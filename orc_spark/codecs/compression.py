@@ -1,0 +1,96 @@
+"""Block compression with ORC chunk framing.
+
+Behavioral reference: scritchley/orc compressioncodec.go:302-314 (chunk
+header: 3-byte little-endian ``(chunkLen << 1) | isOriginal``; max chunk
+2^23-1 bytes) and compressioncodec.go:169-217 (per-chunk fallback: when
+the compressed form is not smaller, the original bytes are stored with
+the isOriginal bit set). ZLIB means raw DEFLATE (wbits=-15), chunked at
+DefaultCompressionChunkSize = 256 KiB (writer.go:24-25). The reference
+writer accepts only NONE/ZLIB (writer.go:70-87); zstd is offered as a
+non-reference extension when available.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+DEFAULT_CHUNK_SIZE = 256 * 1024
+MAX_CHUNK = (1 << 23) - 1
+
+NONE = "none"
+ZLIB = "zlib"
+ZSTD = "zstd"
+
+try:  # optional extension codec, not part of reference parity
+    import zstandard as _zstd  # type: ignore
+except Exception:  # pragma: no cover
+    _zstd = None
+
+
+def _header(length: int, original: bool) -> bytes:
+    if length > MAX_CHUNK:
+        raise ValueError(f"chunk length {length} exceeds {MAX_CHUNK}")
+    v = (length << 1) | (1 if original else 0)
+    return v.to_bytes(3, "little")
+
+
+def parse_header(buf, pos: int) -> tuple[int, bool, int]:
+    v = int.from_bytes(bytes(buf[pos:pos + 3]), "little")
+    return v >> 1, bool(v & 1), pos + 3
+
+
+def _compress_chunk(chunk: bytes, kind: str) -> bytes:
+    if kind == ZLIB:
+        c = zlib.compressobj(zlib.Z_DEFAULT_COMPRESSION, zlib.DEFLATED, -15)
+        return c.compress(chunk) + c.flush()
+    if kind == ZSTD:
+        if _zstd is None:
+            raise RuntimeError("zstandard not available")
+        return _zstd.ZstdCompressor(level=3).compress(chunk)
+    raise ValueError(kind)
+
+
+def _decompress_chunk(data: bytes, kind: str) -> bytes:
+    if kind == ZLIB:
+        return zlib.decompress(data, -15)
+    if kind == ZSTD:
+        if _zstd is None:
+            raise RuntimeError("zstandard not available")
+        return _zstd.ZstdDecompressor().decompress(data)
+    raise ValueError(kind)
+
+
+def compress(data: bytes, kind: str = ZLIB,
+             chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
+    """Compress a stream with ORC chunk framing (per-chunk original
+    fallback). kind=NONE returns the input unchanged (chunk size 1
+    passthrough semantics, compressioncodec.go:22-49)."""
+    if kind == NONE:
+        return bytes(data)
+    data = bytes(data)
+    out = bytearray()
+    for off in range(0, len(data), chunk_size):
+        chunk = data[off:off + chunk_size]
+        comp = _compress_chunk(chunk, kind)
+        if len(comp) >= len(chunk):
+            out.extend(_header(len(chunk), original=True))
+            out.extend(chunk)
+        else:
+            out.extend(_header(len(comp), original=False))
+            out.extend(comp)
+    return bytes(out)
+
+
+def decompress(data: bytes, kind: str = ZLIB) -> bytes:
+    if kind == NONE:
+        return bytes(data)
+    data = bytes(data)
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        length, original, pos = parse_header(data, pos)
+        chunk = data[pos:pos + length]
+        pos += length
+        out.extend(chunk if original else _decompress_chunk(chunk, kind))
+    return bytes(out)
