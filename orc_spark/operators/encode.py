@@ -1,0 +1,256 @@
+"""Spark encode/decode pipelines over the stripe kernels.
+
+The encode path mirrors the reference write path (scritchley/orc
+writer.go:155-174 row buffering + writer.go:320-481 stripe flush) in
+Spark's execution model: ``repartition`` distributes rows, a
+``mapInArrow`` kernel buffers Arrow batches per partition and flushes a
+stripe whenever the row-count or token-budget target is hit, emitting
+ONE row per stripe.  The decode path is the cursor (cursor.go:89-176)
+as a batch kernel: one encoded-stripe row in, one Arrow batch of
+original rows out — no per-row Python anywhere.
+
+Projection pushdown: decode(columns=[...]) selects only the requested
+columns' stream binaries, so the Parquet scan of an encoded table reads
+only those streams (the Spark-native analog of Reader.Select,
+reader.go:335-338 / cursor.go:29-45).
+
+Skew: stripes are capped by BOTH rows and a token budget, so a
+partition full of long documents produces more, smaller stripes instead
+of one huge memory-blowing stripe; partition planning hashes on doc_id
+(many docs >> partitions => even token totals) with optional salting
+for grouped layouts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .. import stripe as stripe_mod
+from ..stripe import ColumnSpec, TOKEN_SCHEMA, stream_columns
+
+DEFAULT_STRIPE_ROWS = 1 << 20  # reference stripeTargetRowCount (writer.go:20)
+DEFAULT_STRIPE_TOKENS = 32 << 20  # token budget analog of 200MiB target
+DEFAULT_CODEC = "zlib"
+
+_META_FIELDS = [
+    ("part_id", T.IntegerType(), pa.int32()),
+    ("stripe_id", T.LongType(), pa.int64()),
+    ("n_rows", T.LongType(), pa.int64()),
+    ("n_tokens", T.LongType(), pa.int64()),
+    ("orig_bytes", T.LongType(), pa.int64()),
+    ("enc_bytes", T.LongType(), pa.int64()),
+    ("encodings", T.StringType(), pa.string()),
+    ("stats", T.StringType(), pa.string()),
+]
+
+
+def encoded_spark_schema(specs: list[ColumnSpec]) -> T.StructType:
+    fields = [T.StructField(n, t, True) for n, t, _ in _META_FIELDS]
+    fields += [T.StructField(c, T.BinaryType(), True)
+               for c in stream_columns(specs)]
+    return T.StructType(fields)
+
+
+def encoded_arrow_schema(specs: list[ColumnSpec]) -> pa.schema:
+    fields = [pa.field(n, at) for n, _, at in _META_FIELDS]
+    fields += [pa.field(c, pa.binary()) for c in stream_columns(specs)]
+    return pa.schema(fields)
+
+
+def _spark_type(spec: ColumnSpec) -> T.DataType:
+    m = {"tinyint": T.ByteType(), "smallint": T.ShortType(),
+         "int": T.IntegerType(), "bigint": T.LongType(),
+         "float": T.FloatType(), "double": T.DoubleType(),
+         "boolean": T.BooleanType(), "string": T.StringType(),
+         "binary": T.BinaryType(), "date": T.DateType(),
+         "timestamp": T.TimestampType()}
+    if spec.is_list:
+        return T.ArrayType(m[spec.child_typ])
+    return m[spec.typ]
+
+
+def decoded_spark_schema(specs: list[ColumnSpec]) -> T.StructType:
+    return T.StructType(
+        [T.StructField(s.name, _spark_type(s), True) for s in specs])
+
+
+def plan_partitions(df: DataFrame, n_partitions: int | None = None,
+                    target_tokens: int = 256 << 20,
+                    weight_col: str = "n_tok",
+                    salt_col: str = "doc_id") -> DataFrame:
+    """Distribute rows so each partition carries a roughly equal token
+    load.  Hashing on the (high-cardinality) doc id gives an even
+    expected token sum when docs >> partitions; the long-tail skew of
+    single huge docs is then bounded inside the encode kernel by the
+    stripe token budget (SURVEY.md §4.2)."""
+    if n_partitions is None:
+        total = df.agg(F.sum(F.col(weight_col)).alias("t")).collect()[0]["t"]
+        n_partitions = max(1, int((total or 0) // target_tokens) + 1)
+    return df.repartition(n_partitions, F.xxhash64(F.col(salt_col)))
+
+
+def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
+           stripe_rows: int = DEFAULT_STRIPE_ROWS,
+           stripe_tokens: int = DEFAULT_STRIPE_TOKENS,
+           codec: str = DEFAULT_CODEC, use_fsst: bool = False,
+           token_col: str = "tokens",
+           group_col: str | None = None) -> DataFrame:
+    """Encode a DataFrame into the stripe table (one row per stripe).
+
+    With ``group_col`` set, input must be sorted by that column within
+    partitions; stripes never span group boundaries and carry the group
+    value as their ``part_id`` (stable lineage for checkpoint/resume).
+    """
+    arrow_schema = encoded_arrow_schema(specs)
+    names = [s.name for s in specs]
+    token_idx = names.index(token_col) if token_col in names else None
+    sel = names + ([group_col] if group_col else [])
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        task_part = ctx.partitionId() if ctx is not None else 0
+        state = {"stripe_id": 0, "buf": [], "rows": 0, "tokens": 0,
+                 "group": None}
+
+        def flush():
+            if not state["buf"]:
+                return None
+            table = pa.Table.from_batches(state["buf"])
+            row = stripe_mod.encode_stripe(table, specs, codec=codec,
+                                           use_fsst=use_fsst)
+            pid = task_part if state["group"] is None else state["group"]
+            row["part_id"] = pid
+            row["stripe_id"] = pid * 1_000_000 + state["stripe_id"]
+            row["n_tokens"] = state["tokens"]
+            row["orig_bytes"] = table.nbytes
+            state["stripe_id"] += 1
+            state["buf"] = []
+            state["rows"] = 0
+            state["tokens"] = 0
+            arrays = [pa.array([row.get(f.name)], f.type)
+                      for f in arrow_schema]
+            return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+        def add(sub: pa.RecordBatch, group):
+            import numpy as np
+            if group is not None and state["group"] is not None and \
+                    group != state["group"]:
+                out = flush()
+                if out is not None:
+                    yield out
+            state["group"] = group
+            # per-row token weights (skew: a huge doc closes its stripe)
+            if token_idx is not None and pa.types.is_list(
+                    sub.column(token_idx).type):
+                weights = sub.column(token_idx).value_lengths() \
+                    .fill_null(0).to_numpy(zero_copy_only=False)
+            else:
+                weights = np.ones(sub.num_rows, dtype=np.int64)
+            cum = np.cumsum(weights)
+            lo = 0
+            n = sub.num_rows
+            while lo < n:
+                room_rows = stripe_rows - state["rows"]
+                room_tok = stripe_tokens - state["tokens"]
+                base = cum[lo - 1] if lo else 0
+                k = int(np.searchsorted(cum[lo:], base + room_tok,
+                                        side="right"))
+                take = max(1, min(n - lo, room_rows, max(k, 1)))
+                piece = sub.slice(lo, take)
+                state["buf"].append(piece)
+                state["rows"] += take
+                state["tokens"] += int(cum[lo + take - 1] - base)
+                lo += take
+                if state["rows"] >= stripe_rows or \
+                        state["tokens"] >= stripe_tokens:
+                    out = flush()
+                    if out is not None:
+                        yield out
+
+        for batch in batches:
+            if group_col is None:
+                yield from add(batch, None)
+                continue
+            gvals = batch.column(group_col).to_numpy(zero_copy_only=False)
+            data = batch.select(names)
+            lo = 0
+            cur = gvals[0] if len(gvals) else None
+            for i in range(1, len(gvals)):
+                if gvals[i] != cur:
+                    yield from add(data.slice(lo, i - lo), int(cur))
+                    lo = i
+                    cur = gvals[i]
+            if len(gvals):
+                yield from add(data.slice(lo, len(gvals) - lo), int(cur))
+        out = flush()
+        if out is not None:
+            yield out
+
+    return df.select(sel).mapInArrow(kernel, encoded_spark_schema(specs))
+
+
+def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
+           columns: list[str] | None = None,
+           codec: str = DEFAULT_CODEC) -> DataFrame:
+    """Decode a stripe table back to original rows.
+
+    ``columns`` prunes the decode to a subset: only those columns'
+    stream binaries are selected (and therefore read from Parquet)."""
+    if columns is not None:
+        specs = [s for s in specs if s.name in columns]
+    needed = ["n_rows", "encodings"] + stream_columns(specs)
+    out_schema = decoded_spark_schema(specs)
+    arrow_out = pa.schema([
+        pa.field(f.name, pa.list_(
+            pa.int32() if f.dataType.elementType == T.IntegerType()
+            else pa.int64()) if isinstance(f.dataType, T.ArrayType)
+            else _ARROW_TYPES[type(f.dataType)])
+        for f in out_schema.fields])
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            rows = batch.to_pylist()
+            for row in rows:
+                table = stripe_mod.decode_stripe(row, specs, codec=codec)
+                table = table.cast(arrow_out)
+                for out in table.to_batches():
+                    yield out
+
+    return enc_df.select(needed).mapInArrow(kernel, out_schema)
+
+
+_ARROW_TYPES = {
+    T.ByteType: pa.int8(), T.ShortType: pa.int16(),
+    T.IntegerType: pa.int32(), T.LongType: pa.int64(),
+    T.FloatType: pa.float32(), T.DoubleType: pa.float64(),
+    T.BooleanType: pa.bool_(), T.StringType: pa.string(),
+    T.BinaryType: pa.binary(), T.DateType: pa.date32(),
+    T.TimestampType: pa.timestamp("us"),
+}
+
+
+def footer(enc_df: DataFrame) -> DataFrame:
+    """File-footer analog: global rollup of the stripe table
+    (writer.go:228-318 footer + metadata), as a small DataFrame."""
+    return enc_df.agg(
+        F.count("*").alias("n_stripes"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("orig_bytes").alias("orig_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        (F.sum("enc_bytes") / F.sum("n_tokens")).alias("bytes_per_token"),
+    )
+
+
+def stripe_report(enc_df: DataFrame) -> DataFrame:
+    """Per-stripe size/encoding report (index-table analog)."""
+    return enc_df.select(
+        "part_id", "stripe_id", "n_rows", "n_tokens", "orig_bytes",
+        "enc_bytes", "encodings",
+        (F.col("enc_bytes") / F.col("n_tokens")).alias("bytes_per_token"),
+    )

@@ -1,0 +1,39 @@
+"""Round-trip verification: decode(encode(df)) == df, token-for-token.
+
+The per-row invariant from BASELINE.json input_hint: token-array
+equality (bit-identical decode).  Realized as a join on doc_id + a
+JVM-side array comparison — no Python in the compare path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..stripe import TOKEN_SCHEMA
+from . import encode as enc_ops
+
+
+def roundtrip_check(df: DataFrame, specs=TOKEN_SCHEMA,
+                    codec: str = "zlib", use_fsst: bool = False,
+                    key: str = "doc_id") -> DataFrame:
+    """Returns a one-row DataFrame (n_rows, n_match, n_token_match)."""
+    encoded = enc_ops.encode(df, specs, codec=codec, use_fsst=use_fsst)
+    decoded = enc_ops.decode(encoded, specs, codec=codec)
+    names = [s.name for s in specs]
+    left = df.select([F.col(n).alias(f"l_{n}") for n in names])
+    right = decoded.select([F.col(n).alias(f"r_{n}") for n in names])
+    joined = left.join(
+        right, left[f"l_{key}"] == right[f"r_{key}"], "full_outer")
+    match_all = None
+    for n in names:
+        eq = (F.col(f"l_{n}") == F.col(f"r_{n}")) | (
+            F.col(f"l_{n}").isNull() & F.col(f"r_{n}").isNull())
+        match_all = eq if match_all is None else (match_all & eq)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(match_all, 1).otherwise(0)).alias("n_match"),
+        F.sum(F.when((F.col("l_tokens") == F.col("r_tokens")) |
+                     (F.col("l_tokens").isNull() &
+                      F.col("r_tokens").isNull()), 1)
+              .otherwise(0)).alias("n_token_match"),
+    )

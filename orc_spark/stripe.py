@@ -1,0 +1,432 @@
+"""Stripe assembly: per-column encode/decode of Arrow batches.
+
+Re-creates the reference's stripe/stream layout (scritchley/orc
+writer.go:320-481 stripe flush, streamname.go:29-36 stream kinds,
+treewriter.go per-type column writers, columnstatistics.go stats) as a
+DataFrame-friendly row model: **one row per stripe**, with one binary
+column per (column, stream-kind) pair named ``{col}__{KIND}`` so that
+Parquet column pruning on the encoded table mirrors the reference's
+"only selected columns' streams are read" projection (reader.go:418-451).
+
+Stream kinds used: PRESENT (null bitmap, boolean codec; elided when a
+column has no nulls, treewriter.go:130-141), DATA, LENGTH,
+DICTIONARY_DATA. All stream payloads are chunk-framed-compressed
+(compression.py). Statistics per column (count/hasNull/min/max/sum,
+columnstatistics.go:72-222) ride along as JSON for the footer rollup.
+
+Everything here is executor-side pure python/numpy/pyarrow — the Spark
+layer invokes it from mapInPandas kernels.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs import byterle, compression, dictionary, fsst, rle2
+
+TIMESTAMP_BASE_SECONDS = 1420070400  # 2015-01-01 (treereader.go:128-131)
+
+# supported logical types
+INT_TYPES = {"tinyint": np.int8, "smallint": np.int16, "int": np.int32,
+             "bigint": np.int64}
+
+
+class ColumnSpec:
+    """One column of the stripe schema: name + logical type string.
+
+    Types: tinyint smallint int bigint | float double | boolean | string
+    | binary | date | timestamp | list<int> | list<bigint> | list<float>
+    | list<double>
+    """
+
+    def __init__(self, name: str, typ: str):
+        self.name = name
+        self.typ = typ
+
+    @property
+    def is_list(self) -> bool:
+        return self.typ.startswith("list<")
+
+    @property
+    def child_typ(self) -> str:
+        return self.typ[5:-1]
+
+    def stream_kinds(self) -> list[str]:
+        if self.is_list:
+            return ["PRESENT", "LENGTH", "DATA"]
+        if self.typ in ("string", "binary"):
+            return ["PRESENT", "DATA", "LENGTH", "DICTIONARY_DATA"]
+        if self.typ == "timestamp":
+            return ["PRESENT", "DATA", "SECONDARY"]
+        return ["PRESENT", "DATA"]
+
+
+def parse_schema(schema: dict[str, str] | list[tuple[str, str]]) -> list[ColumnSpec]:
+    items = schema.items() if isinstance(schema, dict) else schema
+    return [ColumnSpec(n, t) for n, t in items]
+
+
+TOKEN_SCHEMA = parse_schema([
+    ("doc_id", "string"),
+    ("tokens", "list<int>"),
+    ("n_tok", "int"),
+    ("source", "string"),
+])
+
+
+def stream_columns(specs: list[ColumnSpec]) -> list[str]:
+    return [f"{s.name}__{k}" for s in specs for k in s.stream_kinds()]
+
+
+# ---------------------------------------------------------------------------
+# Column encoders
+# ---------------------------------------------------------------------------
+
+
+def _present_stream(arr: pa.Array) -> bytes | None:
+    """PRESENT boolean stream; None when the column has no nulls
+    (null-stream elision, treewriter.go:130-141)."""
+    if arr.null_count == 0:
+        return None
+    valid = np.asarray(arr.is_valid())
+    return byterle.encode_bools(valid)
+
+
+def _int_values(arr: pa.Array) -> np.ndarray:
+    """Non-null values of an integer array as int64."""
+    if arr.null_count:
+        arr = arr.drop_null()
+    return np.asarray(arr).astype(np.int64)
+
+
+def _encode_string_like(arr: pa.Array, use_fsst: bool) -> tuple[str, dict, dict]:
+    data = arr.drop_null() if arr.null_count else arr
+    n = len(data)
+    if n == 0:
+        return "DIRECT_V2", {"DATA": b"", "LENGTH": b""}, {
+            "count": 0, "sum_len": 0}
+    # zero-copy offsets/values from Arrow
+    combined = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
+    buffers = combined.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int32, count=n + 1,
+                            offset=combined.offset * 4)
+    lengths = np.diff(offsets).astype(np.int64)
+    blob = buffers[2].slice(offsets[0], offsets[-1] - offsets[0]).to_pybytes()
+
+    # dictionary decision per stripe (treewriter.go:694-707, threshold .49)
+    enc = pc.dictionary_encode(combined)
+    keys = enc.dictionary
+    n_distinct = len(keys)
+    streams: dict[str, bytes] = {}
+    mm = pc.min_max(combined)
+    stats = {"count": n, "sum_len": int(lengths.sum()),
+             "min": str(mm["min"].as_py()), "max": str(mm["max"].as_py())}
+    if float(n_distinct) / float(n) <= dictionary.DICTIONARY_THRESHOLD:
+        # sorted dictionary (DictionaryV2 semantics)
+        key_bytes = [k.as_py() if isinstance(k.as_py(), bytes)
+                     else k.as_py().encode() for k in keys]
+        order = np.argsort(np.array(key_bytes, dtype=object))
+        remap = np.empty(n_distinct, dtype=np.int64)
+        remap[order] = np.arange(n_distinct)
+        indices = remap[np.asarray(enc.indices).astype(np.int64)]
+        dict_blob = b"".join(key_bytes[int(i)] for i in order)
+        key_lengths = np.array([len(key_bytes[int(i)]) for i in order],
+                               dtype=np.int64)
+        encoding = "DICTIONARY_V2"
+        if use_fsst and len(dict_blob) > 1024:
+            fsst_blob = fsst.encode_blob(dict_blob)
+            if len(fsst_blob) < 0.9 * len(dict_blob):
+                dict_blob = fsst_blob
+                encoding = "DICTIONARY_V2_FSST"
+        streams["DATA"] = rle2.encode(indices, signed=False)
+        streams["DICTIONARY_DATA"] = dict_blob
+        streams["LENGTH"] = rle2.encode(key_lengths, signed=False)
+        stats["dict_size"] = n_distinct
+        return encoding, streams, stats
+    encoding = "DIRECT_V2"
+    if use_fsst and len(blob) > 4096:
+        fsst_blob = fsst.encode_blob(blob)
+        if len(fsst_blob) < 0.9 * len(blob):
+            blob = fsst_blob
+            encoding = "DIRECT_V2_FSST"
+    streams["DATA"] = blob
+    streams["LENGTH"] = rle2.encode(lengths, signed=False)
+    return encoding, streams, stats
+
+
+def encode_column(arr: pa.Array, spec: ColumnSpec,
+                  use_fsst: bool = False) -> tuple[str, dict, dict]:
+    """Encode one column of one stripe -> (encoding, streams, stats)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    streams: dict[str, bytes | None] = {}
+    present = _present_stream(arr)
+    if present is not None:
+        streams["PRESENT"] = present
+    n_valid = len(arr) - arr.null_count
+    typ = spec.typ
+
+    if typ in INT_TYPES or typ == "date":
+        vals = _int_values(arr)
+        streams["DATA"] = rle2.encode(vals, signed=True)
+        stats = {"count": n_valid}
+        if len(vals):
+            stats.update(min=int(vals.min()), max=int(vals.max()),
+                         sum=int(vals.sum()))
+        return "DIRECT_V2", streams, stats
+    if typ in ("float", "double"):
+        data = arr.drop_null() if arr.null_count else arr
+        vals = np.asarray(data)
+        dt = "<f4" if typ == "float" else "<f8"
+        streams["DATA"] = vals.astype(dt).tobytes()
+        stats = {"count": n_valid}
+        if len(vals):
+            stats.update(min=float(vals.min()), max=float(vals.max()),
+                         sum=float(vals.sum()))
+        return "DIRECT", streams, stats
+    if typ == "boolean":
+        data = arr.drop_null() if arr.null_count else arr
+        vals = np.asarray(data)
+        streams["DATA"] = byterle.encode_bools(vals)
+        return "DIRECT", streams, {"count": n_valid,
+                                   "true_count": int(vals.sum())}
+    if typ == "timestamp":
+        data = arr.drop_null() if arr.null_count else arr
+        us = np.asarray(data.cast(pa.int64()))  # microseconds since epoch
+        secs = np.floor_divide(us, 1_000_000)
+        nanos = (us - secs * 1_000_000) * 1000
+        streams["DATA"] = rle2.encode(secs - TIMESTAMP_BASE_SECONDS, signed=True)
+        streams["SECONDARY"] = rle2.encode(_format_nanos(nanos), signed=False)
+        return "DIRECT_V2", streams, {"count": n_valid}
+    if typ in ("string", "binary"):
+        encoding, s, stats = _encode_string_like(arr, use_fsst)
+        streams.update(s)
+        return encoding, streams, stats
+    if spec.is_list:
+        data = arr.drop_null() if arr.null_count else arr
+        n = len(data)
+        if n == 0:
+            streams["LENGTH"] = b""
+            streams["DATA"] = b""
+            return "DIRECT_V2", streams, {"count": 0, "total_elems": 0}
+        offsets = np.frombuffer(data.buffers()[1], dtype=np.int32,
+                                count=n + 1, offset=data.offset * 4)
+        lengths = np.diff(offsets).astype(np.int64)
+        child = data.values[offsets[0]:offsets[-1]]
+        child_vals = np.asarray(child).astype(np.int64)
+        streams["LENGTH"] = rle2.encode(lengths, signed=False)
+        streams["DATA"] = rle2.encode(child_vals, signed=True)
+        stats = {"count": n_valid, "total_elems": int(lengths.sum())}
+        if len(child_vals):
+            stats.update(min=int(child_vals.min()), max=int(child_vals.max()),
+                         sum=int(child_vals.sum()))
+        return "DIRECT_V2", streams, stats
+    raise ValueError(f"unsupported column type: {typ}")
+
+
+def _format_nanos(nanos: np.ndarray) -> np.ndarray:
+    """formatNanos trailing-zero compaction (utils.go:1206-1220)."""
+    out = np.empty(len(nanos), dtype=np.int64)
+    for i, nv in enumerate(nanos.tolist()):
+        if nv == 0:
+            out[i] = 0
+        elif nv % 100 != 0:
+            out[i] = nv << 3
+        else:
+            nv //= 100
+            tz = 1
+            while nv % 10 == 0 and tz < 7:
+                nv //= 10
+                tz += 1
+            out[i] = (nv << 3) | tz
+    return out
+
+
+def _parse_nanos(v: np.ndarray) -> np.ndarray:
+    tz = (v & 7).astype(np.int64)
+    base = (v >> np.uint64(3)).astype(np.int64) if v.dtype == np.uint64 \
+        else (v >> 3)
+    scale = np.where(tz == 0, 1, 10 ** (tz + 1))
+    return base * scale
+
+
+# ---------------------------------------------------------------------------
+# Column decoders
+# ---------------------------------------------------------------------------
+
+
+def decode_column(streams: dict, encoding: str, spec: ColumnSpec,
+                  n_rows: int) -> pa.Array:
+    """Decode one column of one stripe back to an Arrow array."""
+    present = streams.get("PRESENT")
+    if present is not None:
+        valid = byterle.decode_bools(present, n_rows)
+        n_valid = int(valid.sum())
+    else:
+        valid = None
+        n_valid = n_rows
+    typ = spec.typ
+
+    if typ in INT_TYPES or typ == "date":
+        vals = rle2.decode(streams.get("DATA", b""), n_valid, signed=True)
+        if typ == "date":
+            return _with_nulls(vals.astype(np.int32), valid, pa.date32())
+        return _with_nulls(vals.astype(INT_TYPES[typ]), valid, None)
+    if typ in ("float", "double"):
+        dt = "<f4" if typ == "float" else "<f8"
+        vals = np.frombuffer(streams.get("DATA", b""), dtype=dt)
+        return _with_nulls(vals, valid, None)
+    if typ == "boolean":
+        vals = byterle.decode_bools(streams.get("DATA", b""), n_valid)
+        return _with_nulls(vals, valid, None)
+    if typ == "timestamp":
+        secs = rle2.decode(streams.get("DATA", b""), n_valid, signed=True) + \
+            TIMESTAMP_BASE_SECONDS
+        nanos = _parse_nanos(
+            rle2.decode(streams.get("SECONDARY", b""), n_valid, signed=False))
+        us = secs * 1_000_000 + nanos // 1000
+        return _with_nulls(us, valid, pa.timestamp("us"))
+    if typ in ("string", "binary"):
+        return _decode_string_like(streams, encoding, typ, n_valid, valid,
+                                   n_rows)
+    if spec.is_list:
+        lengths = rle2.decode(streams.get("LENGTH", b""), n_valid,
+                              signed=False)
+        total = int(lengths.sum())
+        child = rle2.decode(streams.get("DATA", b""), total, signed=True)
+        child_t = {"int": pa.int32(), "bigint": pa.int64()}.get(
+            spec.child_typ, pa.int64())
+        offsets = np.zeros(n_valid + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        values = pa.array(child.astype(
+            np.int32 if child_t == pa.int32() else np.int64))
+        if valid is None:
+            return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                            values)
+        # re-expand offsets over null slots
+        full_offsets = np.zeros(n_rows + 1, dtype=np.int32)
+        exp = np.zeros(n_rows, dtype=np.int64)
+        exp[valid] = lengths
+        np.cumsum(exp, out=full_offsets[1:])
+        mask = pa.array(~valid)
+        return pa.ListArray.from_arrays(
+            pa.array(full_offsets, pa.int32()), values, mask=mask)
+    raise ValueError(f"unsupported column type: {typ}")
+
+
+def _decode_string_like(streams, encoding, typ, n_valid, valid, n_rows):
+    out_type = pa.binary() if typ == "binary" else pa.string()
+    if n_valid == 0:
+        vals = pa.array([], out_type)
+        return _expand_nulls_generic(vals, valid, n_rows, out_type)
+    if encoding.startswith("DICTIONARY_V2"):
+        indices = rle2.decode(streams["DATA"], n_valid, signed=False)
+        dict_blob = streams["DICTIONARY_DATA"]
+        if encoding.endswith("_FSST"):
+            dict_blob = fsst.decode_blob(dict_blob)
+        n_keys = int(indices.max()) + 1
+        key_lengths = rle2.decode(streams["LENGTH"], n_keys, signed=False)
+        koff = np.zeros(n_keys + 1, dtype=np.int32)
+        np.cumsum(key_lengths, out=koff[1:])
+        keys = pa.Array.from_buffers(
+            pa.binary(), n_keys,
+            [None, pa.py_buffer(koff.tobytes()),
+             pa.py_buffer(bytes(dict_blob))])
+        vals = pa.DictionaryArray.from_arrays(
+            pa.array(indices.astype(np.int32)), keys).cast(pa.binary())
+    else:
+        blob = streams["DATA"]
+        if encoding.endswith("_FSST"):
+            blob = fsst.decode_blob(blob)
+        lengths = rle2.decode(streams.get("LENGTH", b""), n_valid,
+                              signed=False)
+        offsets = np.zeros(n_valid + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        vals = pa.Array.from_buffers(
+            pa.binary(), n_valid,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(bytes(blob))])
+    if out_type == pa.string():
+        vals = vals.cast(pa.string())
+    return _expand_nulls_generic(vals, valid, n_rows, out_type)
+
+
+def _with_nulls(vals: np.ndarray, valid, cast_to):
+    if valid is None:
+        arr = pa.array(vals)
+    else:
+        full = np.zeros(len(valid), dtype=vals.dtype)
+        full[valid] = vals
+        arr = pa.array(full, mask=~valid)
+    if cast_to is not None and arr.type != cast_to:
+        arr = arr.cast(cast_to)
+    return arr
+
+
+def _expand_nulls_generic(vals: pa.Array, valid, n_rows, out_type):
+    if valid is None:
+        return vals
+    # scatter valid values into a full-length array with nulls
+    indices = np.full(n_rows, -1, dtype=np.int64)
+    indices[valid] = np.arange(len(vals))
+    return vals.take(pa.array(
+        np.where(indices < 0, None, indices), type=pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# Stripe encode/decode
+# ---------------------------------------------------------------------------
+
+
+def encode_stripe(batch: pa.Table | pa.RecordBatch, specs: list[ColumnSpec],
+                  codec: str = "zlib", use_fsst: bool = False) -> dict:
+    """Encode one stripe (an Arrow batch) into a flat row dict:
+    stream binaries keyed ``{col}__{KIND}`` + encodings/stats JSON +
+    size accounting."""
+    n_rows = batch.num_rows
+    row: dict = {"n_rows": n_rows}
+    encodings: dict[str, str] = {}
+    stats: dict[str, dict] = {}
+    enc_bytes = 0
+    for spec in specs:
+        arr = batch.column(spec.name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        encoding, streams, cstats = encode_column(arr, spec, use_fsst)
+        encodings[spec.name] = encoding
+        stats[spec.name] = cstats
+        for kind in spec.stream_kinds():
+            data = streams.get(kind)
+            key = f"{spec.name}__{kind}"
+            if data is None or (len(data) == 0 and kind != "DATA"):
+                row[key] = None
+            else:
+                framed = compression.compress(data, codec)
+                row[key] = framed
+                enc_bytes += len(framed)
+    row["encodings"] = json.dumps(encodings)
+    row["stats"] = json.dumps(stats)
+    row["enc_bytes"] = enc_bytes
+    return row
+
+
+def decode_stripe(row: dict, specs: list[ColumnSpec],
+                  codec: str = "zlib") -> pa.Table:
+    """Decode one stripe row back into an Arrow table."""
+    n_rows = int(row["n_rows"])
+    encodings = json.loads(row["encodings"])
+    arrays = []
+    names = []
+    for spec in specs:
+        streams = {}
+        for kind in spec.stream_kinds():
+            data = row.get(f"{spec.name}__{kind}")
+            if data is not None:
+                streams[kind] = compression.decompress(data, codec)
+        arrays.append(decode_column(streams, encodings[spec.name], spec,
+                                    n_rows))
+        names.append(spec.name)
+    return pa.table(dict(zip(names, arrays)))

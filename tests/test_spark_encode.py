@@ -1,0 +1,103 @@
+"""End-to-end Spark pipeline tests: encode -> stripe table -> decode,
+projection pruning, round-trip verification, checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from orc_spark.operators import encode as enc_ops
+from orc_spark.operators import checkpoint, verify
+from orc_spark.sources import tokens as token_src
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    df = token_src.token_table(spark, SF_DIR)
+    df.cache().count()
+    return df
+
+
+def test_token_table_shape(spark, token_df):
+    row = token_df.agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok")).collect()[0]
+    assert row["n"] == 500
+    assert row["tok"] > 1000
+    assert token_df.schema["tokens"].dataType.elementType.typeName() == \
+        "integer"
+
+
+def test_encode_decode_roundtrip(spark, token_df):
+    res = verify.roundtrip_check(token_df).collect()[0]
+    assert res["n_rows"] == 500
+    assert res["n_match"] == 500
+    assert res["n_token_match"] == 500
+
+
+def test_roundtrip_with_fsst(spark, token_df):
+    res = verify.roundtrip_check(token_df, use_fsst=True).collect()[0]
+    assert res["n_match"] == res["n_rows"] == 500
+
+
+def test_stripe_budget_splits(spark, token_df):
+    enc = enc_ops.encode(token_df.repartition(2),
+                         stripe_rows=100).cache()
+    rows = enc.select("n_rows").collect()
+    assert all(r["n_rows"] <= 100 for r in rows)
+    assert enc.count() >= 5
+    total = enc.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == 500
+    enc.unpersist()
+
+
+def test_decode_projection_prunes_streams(spark, token_df):
+    enc = enc_ops.encode(token_df.repartition(2))
+    only_ntok = enc_ops.decode(enc, columns=["n_tok"])
+    assert only_ntok.columns == ["n_tok"]
+    got = only_ntok.agg(F.sum("n_tok")).collect()[0][0]
+    want = token_df.agg(F.sum("n_tok")).collect()[0][0]
+    assert got == want
+
+
+def test_footer_rollup(spark, token_df):
+    enc = enc_ops.encode(token_df.repartition(2))
+    f = enc_ops.footer(enc).collect()[0]
+    assert f["n_rows"] == 500
+    assert f["enc_bytes"] > 0
+    assert f["bytes_per_token"] < 8.0  # beats raw int32 on text tokens
+
+
+def test_checkpoint_resume(spark, token_df, tmp_path):
+    out = str(tmp_path / "enc")
+    r1 = checkpoint.encode_dataset(spark, token_df, out, n_parts=4)
+    assert r1["pending"] == 4
+    # resume: nothing left to do
+    r2 = checkpoint.encode_dataset(spark, token_df, out, n_parts=4)
+    assert r2.get("skipped") is True
+    # stripes decode back to the full dataset
+    enc = spark.read.parquet(f"{out}/stripes")
+    dec = enc_ops.decode(enc)
+    assert dec.count() == 500
+    # audit has lineage for every partition
+    audit = spark.read.parquet(f"{out}/audit")
+    assert audit.select("part_id").distinct().count() == 4
+    assert audit.agg(F.sum("n_rows")).collect()[0][0] == 500
+
+
+def test_partial_then_resume(spark, token_df, tmp_path):
+    out = str(tmp_path / "enc2")
+    r1 = checkpoint.encode_dataset(spark, token_df, out, n_parts=4,
+                                   batch_parts=2)
+    assert r1["pending"] == 2
+    r2 = checkpoint.encode_dataset(spark, token_df, out, n_parts=4)
+    assert r2["pending"] == 2 and r2["done_before"] == 2
+    enc = spark.read.parquet(f"{out}/stripes")
+    assert enc_ops.decode(enc).count() == 500
+
+
+def test_synthetic_generator_roundtrip(spark):
+    df = token_src.synthetic_token_table(spark, n_docs=300, seed=42)
+    res = verify.roundtrip_check(df).collect()[0]
+    assert res["n_match"] == res["n_rows"] == 300
