@@ -1,0 +1,146 @@
+"""Benchmark harness: headline engine queries at SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "tokens": N, "tokens_per_sec_encode": ..., "bytes_per_token": ...}
+
+Scaling-evidence mode (BASELINE.md protocol): SPARK_GRAFT_SCALING=1
+re-runs the encode job at local[8] and local[32] in separate sessions
+and adds {"scaling": {"tokens_per_sec@8":…, "tokens_per_sec@32":…,
+"efficiency":…}} — the sandbox stand-in for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# sf0.1 documents is ~5k rows (~270k tokens); replicate to reach a
+# throughput-meaningful token count (~17M at the default)
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName(f"orc_spark-bench-{cpus}")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "16g")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_encode_job(spark, sf_dir: str, replicate: int, out_dir: str):
+    """The headline job: derive token table, encode, write stripes.
+    Returns (tokens, enc_bytes, seconds)."""
+    from pyspark.sql import functions as F
+    from orc_spark.operators import encode as enc_ops
+    from orc_spark.sources import tokens as token_src
+
+    tok = token_src.token_table(spark, sf_dir, replicate=replicate)
+    tok = tok.repartition(spark.sparkContext.defaultParallelism * 2)
+    tok.cache().count()  # isolate tokenize cost from encode timing
+    t0 = time.time()
+    enc = enc_ops.encode(tok, stripe_rows=1 << 16)
+    enc.write.mode("overwrite").parquet(out_dir)
+    sec = time.time() - t0
+    stats = spark.read.parquet(out_dir).agg(
+        F.sum("n_tokens").alias("t"), F.sum("enc_bytes").alias("b")) \
+        .collect()[0]
+    tok.unpersist()
+    return int(stats["t"]), int(stats["b"]), sec
+
+
+def main():
+    results: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="orc_spark_bench_")
+    spark = make_spark(CPUS)
+    try:
+        from pyspark.sql import functions as F
+        from orc_spark.functions import dedup, similarity, text
+        from orc_spark.operators import encode as enc_ops
+        from orc_spark.sources import tokens as token_src
+
+        enc_path = os.path.join(tmp, "stripes")
+        tokens, enc_bytes, sec = run_encode_job(
+            spark, SF_DIR, REPLICATE, enc_path)
+        results["encode_write"] = round(sec, 3)
+
+        enc_df = spark.read.parquet(enc_path)
+        t0 = time.time()
+        _noop(enc_ops.decode(enc_df))
+        results["decode_full"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        _noop(enc_ops.decode(enc_df, columns=["n_tok"]))
+        results["decode_projected"] = round(time.time() - t0, 3)
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        t0 = time.time()
+        _noop(text.quality_scores(docs))
+        _noop(text.lang_id(docs))
+        results["text_analysis"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        _noop(dedup.minhash_lsh_pairs(docs, min_jaccard=0.4))
+        results["dedup_minhash"] = round(time.time() - t0, 3)
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        q = emb.limit(1).select("embedding").first()["embedding"]
+        t0 = time.time()
+        similarity.cosine_topk(emb, list(q), k=10).collect()
+        similarity.lsh_ann_topk(emb, list(q), k=10).collect()
+        results["similarity"] = round(time.time() - t0, 3)
+
+        out = {
+            "metric": "headline_total_sec(encode+decode+pipeline)",
+            "value": round(sum(results.values()), 3),
+            "unit": "sec",
+            "queries": results,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "tokens": tokens,
+            "tokens_per_sec_encode": round(tokens / sec, 1),
+            "bytes_per_token": round(enc_bytes / max(tokens, 1), 4),
+        }
+    finally:
+        spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling = {}
+        for cpus in (8, 32):
+            s = make_spark(cpus)
+            try:
+                run_encode_job(s, SF_DIR, REPLICATE,
+                               os.path.join(tmp, f"warm{cpus}"))  # warm-up
+                t, _, sec = run_encode_job(
+                    s, SF_DIR, REPLICATE, os.path.join(tmp, f"s{cpus}"))
+                scaling[f"tokens_per_sec@{cpus}"] = round(t / sec, 1)
+            finally:
+                s.stop()
+        scaling["efficiency"] = round(
+            scaling["tokens_per_sec@32"] /
+            (scaling["tokens_per_sec@8"] * 4), 3)
+        out["scaling"] = scaling
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

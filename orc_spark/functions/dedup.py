@@ -1,0 +1,151 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+* exact: hash-groupBy on a content fingerprint — one shuffle on the
+  digest, combiner-friendly.
+* minhash_lsh: shingle -> K minhash permutations -> B bands; candidate
+  pairs come from an equi-join on (band, band-signature), so the only
+  shuffle keys are band signatures (never all-pairs). Verification is an
+  exact shingle-set Jaccard on the candidates only.
+* simhash: 64-bit sign-of-weighted-bit-sums over word hashes, computed
+  with JVM-side explode/agg (no Python); near-dups = equal simhash
+  bucket (or banded XOR refinement downstream).
+* ngram_jaccard: exact n-gram Jaccard for a candidate pair set.
+* embedding near-dup: cosine threshold within LSH buckets (see
+  similarity.py).
+
+All operators broadcast nothing unexpectedly and scale by bucketing —
+the all-pairs comparison never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_PERMS = 16
+DEFAULT_BANDS = 4
+
+
+def exact_duplicates(docs: DataFrame, normalize: bool = True) -> DataFrame:
+    """Groups of byte-identical (optionally whitespace/case-normalized)
+    documents: (fp, dup_count, keep_doc_id)."""
+    content = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ") \
+        if normalize else F.col("text")
+    return (docs.select("doc_id", F.md5(content).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("dup_count"),
+                 F.min("doc_id").alias("keep_doc_id")))
+
+
+def _shingles(n: int = 3):
+    """Word n-gram shingles of the text (array<string>), distinct."""
+    words = F.split(F.trim("text"), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+
+
+def minhash_signatures(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
+                       shingle_n: int = 3) -> DataFrame:
+    """doc_id -> K minhash values.  Permutation k is min over shingles
+    of xxhash64(shingle, salt=k) — explode + groupBy, map-side combine
+    keeps the shuffle tiny (K longs per doc)."""
+    sh = docs.select("doc_id", F.explode(_shingles(shingle_n)).alias("sh"))
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(k))).alias(f"h{k}")
+            for k in range(n_perms)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
+                      bands: int = DEFAULT_BANDS, shingle_n: int = 3,
+                      min_jaccard: float = 0.5) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash-LSH, verified
+    with exact shingle Jaccard: (doc_a, doc_b, est_jaccard, jaccard)."""
+    sigs = minhash_signatures(docs, n_perms, shingle_n)
+    rows_per_band = n_perms // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{k}") for k in range(b * rows_per_band,
+                                              (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.xxhash64(*cols).alias("sig")))
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (a.join(b, ["band", "sig"])
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    # estimated jaccard from full signatures
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"h{k}").alias(f"a{k}") for k in range(n_perms)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"h{k}").alias(f"b{k}") for k in range(n_perms)])
+    est = sum(F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+              for k in range(n_perms)) / F.lit(float(n_perms))
+    with_est = cands.join(sa, "doc_a").join(sb, "doc_b") \
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    # exact verification on candidates only
+    sh = docs.select("doc_id", _shingles(shingle_n).alias("sh"))
+    verified = (with_est
+                .join(sh.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sh").alias("sh_a")), "doc_a")
+                .join(sh.select(F.col("doc_id").alias("doc_b"),
+                                F.col("sh").alias("sh_b")), "doc_b")
+                .withColumn("inter",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+                .select("doc_a", "doc_b", "est_jaccard",
+                        F.round(F.col("inter") / F.col("uni"), 6)
+                        .alias("jaccard")))
+    return verified.where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word hashes, fully JVM-side: explode words,
+    per-bit +/-1 contributions, sign of each bit sum."""
+    w = docs.select("doc_id",
+                    F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    w = w.withColumn("h", F.xxhash64("w"))
+    aggs = [
+        F.sum(F.when(F.shiftright("h", k).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{k}")
+        for k in range(bits)
+    ]
+    sums = w.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for k in range(bits):
+        bit = F.when(F.col(f"b{k}") > 0, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, k)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates by equal 16-bit simhash bands (hamming<=k
+    proxy): pairs sharing any band, with exact hamming distance."""
+    sigs = simhash(docs)
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", i * band_bits)
+                     .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"))
+            for i in range(64 // band_bits)])).alias("bk")) \
+        .select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, ["band", "key"])
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.simhash").alias("sig_b"))
+             .distinct())
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        .alias("hamming"))

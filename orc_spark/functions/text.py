@@ -1,0 +1,84 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot paths are JVM-side built-ins (split/regexp/md5/size) so Catalyst
+can pipeline them inside whole-stage codegen; every operator here has an
+exactly-matching ANSI-SQL formulation used as the DuckDB oracle in
+``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic (deterministic, SQL-replicable)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "les"],
+    "zh": ["de", "shi", "zai"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + char count per document."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_ws_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, mean word length, stopword
+    ratio, digit/punct density (all SQL-expressible)."""
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(F.length(F.regexp_replace("text", r"\s+", "")) /
+                n_words, 4).alias("mean_word_len"),
+        F.round(stop_hits / n_words, 4).alias("stopword_ratio"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long")
+        .alias("n_digits"),
+        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("long")
+        .alias("n_punct"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID: the language whose markers hit the
+    most words wins; ties broken by language code order (deterministic).
+    """
+    words = F.split(F.trim("text"), r"\s+")
+    scores = [
+        F.size(F.filter(words, lambda w: w.isin(markers))).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    pred = None
+    for lang in sorted(LANG_MARKERS):
+        cond = F.col(f"s_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored.select(
+        "doc_id", "lang",
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprints: md5 of the raw text plus a normalized
+    fingerprint (lowercase, collapsed whitespace) for near-exact dedup."""
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.md5(norm).alias("fp_norm"),
+    )

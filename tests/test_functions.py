@@ -1,0 +1,140 @@
+"""Tests for the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from orc_spark.functions import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000)
+    both = docs.unionByName(dup)
+    groups = dedup.exact_duplicates(both)
+    assert groups.where("dup_count = 2").count() == 5
+    assert groups.agg(F.sum("dup_count")).collect()[0][0] == 505
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    near = docs.limit(10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail tail")).alias("text"),
+        "lang", "source", "n_chars")
+    pairs = dedup.minhash_lsh_pairs(docs.unionByName(near),
+                                    min_jaccard=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # each planted near-dup pairs with its source doc
+    hits = sum(1 for (a, b) in found if b - a == 10_000)
+    assert hits >= 8  # LSH is probabilistic; 16 perms catch >=0.8 jaccard
+    for r in pairs:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+def test_simhash_hamming(spark, docs):
+    near = docs.limit(10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat("text", F.lit(" q")).alias("text"),
+        "lang", "source", "n_chars")
+    pairs = dedup.simhash_near_pairs(docs.unionByName(near))
+    close = pairs.where((F.col("doc_b") - F.col("doc_a") == 10_000) &
+                        (F.col("hamming") <= 8))
+    assert close.count() >= 8
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    mat = np.array([np.array(e) for e in pdf["embedding"]])
+    q = mat[0]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.argsort(-cos)
+    expected = [int(pdf["vec_id"][i]) for i in order if
+                int(pdf["vec_id"][i]) != 0][:5]
+    got = [r["vec_id"] for r in similarity.cosine_topk(
+        emb.where("vec_id != 0"), q.tolist(), k=5).collect()]
+    assert got == expected
+
+
+def test_lsh_ann_recall(spark, emb):
+    q = emb.where("vec_id = 0").first()["embedding"]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(
+        emb.where("vec_id != 0"), list(q), k=10).collect()}
+    approx = {r["vec_id"] for r in similarity.lsh_ann_topk(
+        emb.where("vec_id != 0"), list(q), k=10).collect()}
+    # bucketed ANN must reach decent recall on its own buckets
+    assert len(exact & approx) >= 5
+
+
+def test_knn_join_shapes(spark, emb):
+    probes = emb.where("vec_id < 3")
+    res = similarity.knn_join(emb, probes, k=3)
+    rows = res.collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1, 2}
+    for pid, rs in by_probe.items():
+        assert len(rs) <= 3
+        assert all(r["nn_id"] != pid for r in rs)
+
+
+def test_langid_accuracy_on_markers(spark):
+    rows = [
+        (1, "the cat and the dog of the house", "en"),
+        (2, "el gato y la casa de los perros", "es"),
+        (3, "der hund und die katze", "de"),
+        (4, "le chien et la maison les chats le", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de" \
+        and got[4] == "fr"
+
+
+def test_quality_scores_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox 42 jumps!", "en")],
+        ["doc_id", "text", "lang"])
+    r = text.quality_scores(df).collect()[0]
+    assert r["n_words"] == 6
+    assert r["n_digits"] == 2
+    assert r["n_punct"] == 1
+    assert r["n_chars"] == 29
+
+
+def test_multimodal_features(spark, docs):
+    media = multimodal.synthesize_media(spark, docs.limit(50))
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r["features"]
+             for r in multimodal.extract_features(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+
+
+def test_multimodal_unknown_kind_raises(spark, docs):
+    media = multimodal.synthesize_media(spark, docs.limit(2)) \
+        .withColumn("kind", F.lit("audio"))
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(media).collect()
