@@ -46,16 +46,33 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+_INPUT_CACHE: dict = {}
+
+
+def _materialize_input(spark, sf_dir: str, replicate: int) -> str:
+    """Write the derived token table to parquet once (untimed input
+    prep); the timed job is then read-parquet -> encode -> write."""
+    key = (sf_dir, replicate)
+    if key not in _INPUT_CACHE:
+        from orc_spark.sources import tokens as token_src
+        path = os.path.join(tempfile.gettempdir(),
+                            f"orc_spark_tok_{replicate}_"
+                            f"{os.path.basename(sf_dir.rstrip('/'))}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            tok = token_src.token_table(spark, sf_dir, replicate=replicate)
+            tok.repartition(64).write.mode("overwrite").parquet(path)
+        _INPUT_CACHE[key] = path
+    return _INPUT_CACHE[key]
+
+
 def run_encode_job(spark, sf_dir: str, replicate: int, out_dir: str):
-    """The headline job: derive token table, encode, write stripes.
-    Returns (tokens, enc_bytes, seconds)."""
+    """The headline job: read token-table parquet, encode, write
+    stripes.  Returns (tokens, enc_bytes, seconds)."""
     from pyspark.sql import functions as F
     from orc_spark.operators import encode as enc_ops
-    from orc_spark.sources import tokens as token_src
 
-    tok = token_src.token_table(spark, sf_dir, replicate=replicate)
-    tok = tok.repartition(spark.sparkContext.defaultParallelism * 2)
-    tok.cache().count()  # isolate tokenize cost from encode timing
+    inp = _materialize_input(spark, sf_dir, replicate)
+    tok = spark.read.parquet(inp)
     t0 = time.time()
     enc = enc_ops.encode(tok, stripe_rows=1 << 16)
     enc.write.mode("overwrite").parquet(out_dir)
@@ -63,7 +80,6 @@ def run_encode_job(spark, sf_dir: str, replicate: int, out_dir: str):
     stats = spark.read.parquet(out_dir).agg(
         F.sum("n_tokens").alias("t"), F.sum("enc_bytes").alias("b")) \
         .collect()[0]
-    tok.unpersist()
     return int(stats["t"]), int(stats["b"]), sec
 
 
@@ -76,6 +92,11 @@ def main():
         from orc_spark.functions import dedup, similarity, text
         from orc_spark.operators import encode as enc_ops
         from orc_spark.sources import tokens as token_src
+
+        # warm python workers + JIT + page cache before timing (this
+        # sandbox has pathological first-touch page-fault latency)
+        run_encode_job(spark, SF_DIR, max(1, REPLICATE // 8),
+                       os.path.join(tmp, "warmup"))
 
         enc_path = os.path.join(tmp, "stripes")
         tokens, enc_bytes, sec = run_encode_job(
@@ -122,15 +143,20 @@ def main():
         spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        scaling = {}
+        # scaling evidence needs a job large enough that fixed per-job
+        # overhead (~1s) is amortized at 32 cores
+        scale_rep = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE",
+                                       str(REPLICATE * 16)))
+        scaling = {"tokens": None}
         for cpus in (8, 32):
             s = make_spark(cpus)
             try:
-                run_encode_job(s, SF_DIR, REPLICATE,
+                run_encode_job(s, SF_DIR, max(1, scale_rep // 16),
                                os.path.join(tmp, f"warm{cpus}"))  # warm-up
                 t, _, sec = run_encode_job(
-                    s, SF_DIR, REPLICATE, os.path.join(tmp, f"s{cpus}"))
+                    s, SF_DIR, scale_rep, os.path.join(tmp, f"s{cpus}"))
                 scaling[f"tokens_per_sec@{cpus}"] = round(t / sec, 1)
+                scaling["tokens"] = t
             finally:
                 s.stop()
         scaling["efficiency"] = round(

@@ -30,6 +30,24 @@ DICT_V2 = "DICTIONARY_V2"
 DIRECT_V2 = "DIRECT_V2"
 
 
+def dictionary_v1(values) -> tuple[np.ndarray, list]:
+    """Insertion-ordered dictionary (dictionary.go:11-61 semantics):
+    indexes assigned in first-arrival order.  ``pandas.factorize``
+    equivalent, done here with a plain dict to avoid the pandas import.
+    Returns (indexes int64, keys list in arrival order)."""
+    seen: dict = {}
+    idx = np.empty(len(values), dtype=np.int64)
+    keys = []
+    for i, v in enumerate(values):
+        j = seen.get(v)
+        if j is None:
+            j = len(keys)
+            seen[v] = j
+            keys.append(v)
+        idx[i] = j
+    return idx, keys
+
+
 def _to_bytes_array(values) -> np.ndarray:
     """Normalize a sequence of str/bytes to an object array of bytes."""
     arr = np.asarray(values, dtype=object)

@@ -60,7 +60,9 @@ def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
                       min_jaccard: float = 0.5) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash-LSH, verified
     with exact shingle Jaccard: (doc_a, doc_b, est_jaccard, jaccard)."""
-    sigs = minhash_signatures(docs, n_perms, shingle_n)
+    # signatures are reused by banding, estimation, and verification —
+    # persist once instead of recomputing the explode+agg three times
+    sigs = minhash_signatures(docs, n_perms, shingle_n).persist()
     rows_per_band = n_perms // bands
     band_cols = []
     for b in range(bands):
@@ -128,7 +130,7 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
 def simhash_near_pairs(docs: DataFrame, band_bits: int = 16) -> DataFrame:
     """Near-dup candidates by equal 16-bit simhash bands (hamming<=k
     proxy): pairs sharing any band, with exact hamming distance."""
-    sigs = simhash(docs)
+    sigs = simhash(docs).persist()
     bands = sigs.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

@@ -55,12 +55,20 @@ class ColumnSpec:
     def child_typ(self) -> str:
         return self.typ[5:-1]
 
+    @property
+    def is_decimal(self) -> bool:
+        return self.typ.startswith("decimal")
+
+    def decimal_params(self) -> tuple[int, int]:
+        p, s = self.typ[8:-1].split(",")
+        return int(p), int(s)
+
     def stream_kinds(self) -> list[str]:
         if self.is_list:
             return ["PRESENT", "LENGTH", "DATA"]
         if self.typ in ("string", "binary"):
             return ["PRESENT", "DATA", "LENGTH", "DICTIONARY_DATA"]
-        if self.typ == "timestamp":
+        if self.typ == "timestamp" or self.is_decimal:
             return ["PRESENT", "DATA", "SECONDARY"]
         return ["PRESENT", "DATA"]
 
@@ -68,6 +76,41 @@ class ColumnSpec:
 def parse_schema(schema: dict[str, str] | list[tuple[str, str]]) -> list[ColumnSpec]:
     items = schema.items() if isinstance(schema, dict) else schema
     return [ColumnSpec(n, t) for n, t in items]
+
+
+def parse_schema_string(s: str) -> list[ColumnSpec]:
+    """Parse a Hive-style schema string — the ParseSchema equivalent
+    (typedescription.go:709-711, grammar 215-335) restricted to one
+    struct level of supported types, e.g.
+    ``struct<doc_id:string,tokens:array<int>,n_tok:int,source:string>``.
+    ``array<T>`` maps to our ``list<T>`` spec type."""
+    s = s.strip()
+    if not (s.startswith("struct<") and s.endswith(">")):
+        raise ValueError(f"expected struct<...>, got: {s[:40]}")
+    body = s[7:-1]
+    cols: list[tuple[str, str]] = []
+    depth = 0
+    field = ""
+    for ch in body + ",":
+        if ch == "," and depth == 0:
+            if field.strip():
+                name, typ = field.split(":", 1)
+                typ = typ.strip().replace("array<", "list<")
+                cols.append((name.strip(), typ))
+            field = ""
+            continue
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        field += ch
+    return parse_schema(cols)
+
+
+def schema_string(specs: list[ColumnSpec]) -> str:
+    inner = ",".join(
+        f"{s.name}:{s.typ.replace('list<', 'array<')}" for s in specs)
+    return f"struct<{inner}>"
 
 
 TOKEN_SCHEMA = parse_schema([
@@ -206,6 +249,13 @@ def encode_column(arr: pa.Array, spec: ColumnSpec,
         encoding, s, stats = _encode_string_like(arr, use_fsst)
         streams.update(s)
         return encoding, streams, stats
+    if spec.is_decimal:
+        from .codecs import decimal as dec_codec
+        data = arr.drop_null() if arr.null_count else arr
+        _, scale = spec.decimal_params()
+        mants = [int(v.scaleb(scale)) for v in data.to_pylist()]
+        streams.update(dec_codec.encode_decimals(mants, [scale] * len(mants)))
+        return "DIRECT_V2", streams, {"count": n_valid}
     if spec.is_list:
         data = arr.drop_null() if arr.null_count else arr
         n = len(data)
@@ -293,6 +343,20 @@ def decode_column(streams: dict, encoding: str, spec: ColumnSpec,
     if typ in ("string", "binary"):
         return _decode_string_like(streams, encoding, typ, n_valid, valid,
                                    n_rows)
+    if spec.is_decimal:
+        from decimal import Decimal
+        from .codecs import decimal as dec_codec
+        prec, scale = spec.decimal_params()
+        mants, scales = dec_codec.decode_decimals(streams, n_valid)
+        vals = [Decimal(m).scaleb(-int(s))
+                for m, s in zip(mants, scales.tolist())]
+        out_t = pa.decimal128(prec, scale)
+        if valid is None:
+            return pa.array(vals, out_t)
+        full = [None] * n_rows
+        for i, j in enumerate(np.flatnonzero(valid)):
+            full[j] = vals[i]
+        return pa.array(full, out_t)
     if spec.is_list:
         lengths = rle2.decode(streams.get("LENGTH", b""), n_valid,
                               signed=False)
@@ -397,6 +461,9 @@ def encode_stripe(batch: pa.Table | pa.RecordBatch, specs: list[ColumnSpec],
             arr = arr.combine_chunks()
         encoding, streams, cstats = encode_column(arr, spec, use_fsst)
         encodings[spec.name] = encoding
+        # per-stream byte sizes: the positions/row-index analog
+        # (positionrecorder.go / writer.go:337-384) for seek & audit
+        cstats["stream_bytes"] = {}
         stats[spec.name] = cstats
         for kind in spec.stream_kinds():
             data = streams.get(kind)
@@ -407,6 +474,7 @@ def encode_stripe(batch: pa.Table | pa.RecordBatch, specs: list[ColumnSpec],
                 framed = compression.compress(data, codec)
                 row[key] = framed
                 enc_bytes += len(framed)
+                cstats["stream_bytes"][kind] = [len(data), len(framed)]
     row["encodings"] = json.dumps(encodings)
     row["stats"] = json.dumps(stats)
     row["enc_bytes"] = enc_bytes

@@ -101,3 +101,21 @@ def test_synthetic_generator_roundtrip(spark):
     df = token_src.synthetic_token_table(spark, n_docs=300, seed=42)
     res = verify.roundtrip_check(df).collect()[0]
     assert res["n_match"] == res["n_rows"] == 300
+
+
+def test_generic_schema_events_roundtrip(spark):
+    """Beyond the token schema: encode/decode an arbitrary table
+    (timestamps, doubles, strings) through the Spark pipeline."""
+    from orc_spark.stripe import parse_schema
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    specs = parse_schema([
+        ("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"),
+        ("event_type", "string"), ("value", "double"), ("props", "string"),
+    ])
+    enc = enc_ops.encode(events.repartition(2), specs, token_col="event_id")
+    dec = enc_ops.decode(enc, specs)
+    a = sorted(events.collect(), key=lambda r: r["event_id"])
+    b = sorted(dec.collect(), key=lambda r: r["event_id"])
+    assert len(a) == len(b) == 1000
+    for ra, rb in zip(a, b):
+        assert ra == rb

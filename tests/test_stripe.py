@@ -112,3 +112,45 @@ def test_compression_accounting():
     raw = stripe.encode_stripe(batch, stripe.TOKEN_SCHEMA, codec="none")
     assert row["enc_bytes"] < raw["enc_bytes"]
     assert row["enc_bytes"] > 0
+
+
+def test_decimal_roundtrip():
+    from decimal import Decimal
+    specs = stripe.parse_schema([("d", "decimal(18,4)")])
+    vals = [Decimal("123.4567"), Decimal("-0.0001"), None,
+            Decimal("99999999999999.9999"), Decimal("0.0000")]
+    batch = pa.table({"d": pa.array(vals, pa.decimal128(18, 4))})
+    row = stripe.encode_stripe(batch, specs)
+    out = stripe.decode_stripe(row, specs)
+    assert out.column("d").to_pylist() == vals
+
+
+def test_dictionary_v1_insertion_order():
+    from orc_spark.codecs import dictionary as d
+    # dictionary_test.go:8-71 semantics: arrival-order indexes
+    idx, keys = d.dictionary_v1(["owen", "ashutosh", "owen", "alan"])
+    assert idx.tolist() == [0, 1, 0, 2]
+    assert keys == ["owen", "ashutosh", "alan"]
+
+
+def test_stream_bytes_recorded():
+    import json
+    batch = _token_batch(500)
+    row = stripe.encode_stripe(batch, stripe.TOKEN_SCHEMA, codec="zlib")
+    st = json.loads(row["stats"])
+    assert "DATA" in st["tokens"]["stream_bytes"]
+    raw, framed = st["tokens"]["stream_bytes"]["DATA"]
+    assert raw > 0 and framed > 0
+
+
+def test_schema_string_roundtrip():
+    s = "struct<doc_id:string,tokens:array<int>,n_tok:int,source:string>"
+    specs = stripe.parse_schema_string(s)
+    assert [(c.name, c.typ) for c in specs] == [
+        ("doc_id", "string"), ("tokens", "list<int>"), ("n_tok", "int"),
+        ("source", "string")]
+    assert stripe.schema_string(specs) == s
+    nested = stripe.parse_schema_string(
+        "struct<a:decimal(18,4),b:array<bigint>,c:timestamp>")
+    assert nested[0].decimal_params() == (18, 4)
+    assert nested[1].child_typ == "bigint"
