@@ -38,6 +38,11 @@ def make_spark(cpus: int):
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.driver.memory", "16g")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+            # the encode input is a few hundred MB of dense parquet; the
+            # default 128m maxPartitionBytes packs it into ~2 splits and
+            # caps parallelism (at 100TB this is a non-issue)
+            .config("spark.sql.files.maxPartitionBytes", "8m")
+            .config("spark.sql.files.openCostInBytes", "1m")
             .config("spark.ui.enabled", "false")
             .getOrCreate())
 

@@ -44,6 +44,7 @@ from .bits import (
     write_vslong,
     write_vulong,
     zigzag_decode,
+    zigzag_decode_scalar,
     zigzag_encode,
     zigzag_encode_scalar,
 )
@@ -711,7 +712,9 @@ def _decode(data, n: int, signed: bool) -> np.ndarray:
             l = (first & 0x07) + MIN_REPEAT
             val, pos = bytes_to_long_be(buf, pos, size)
             if signed:
-                val = int(zigzag_decode(np.array([val], dtype=np.uint64))[0])
+                val = zigzag_decode_scalar(val)
+            else:
+                val = _wrap_i64(val)
             out[got:got + l] = val
             got += l
         elif enc == DIRECT:
