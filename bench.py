@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_spark(cpus: int):
+    # large numpy temporaries otherwise round-trip through mmap and pay
+    # this sandbox's pathological first-touch page faults on every job
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     from pyspark.sql import SparkSession
     return (SparkSession.builder.master(f"local[{cpus}]")
             .appName(f"orc_spark-bench-{cpus}")
@@ -49,6 +53,22 @@ def make_spark(cpus: int):
 
 def _noop(df):
     df.write.format("noop").mode("overwrite").save()
+
+
+def warm_workers(spark, input_path: str | None = None):
+    """Touch EVERY python worker (imports + page faults) and optionally
+    pull the input through the OS page cache before timing."""
+    from pyspark.sql import functions as F
+    from orc_spark.operators import encode as enc_ops
+    n = spark.sparkContext.defaultParallelism * 4
+    df = spark.range(n * 2000).repartition(n).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        F.array_repeat((F.col("id") % 97).cast("int"), 64).alias("tokens"),
+        F.lit(64).cast("int").alias("n_tok"),
+        F.lit("warm").alias("source"))
+    _noop(enc_ops.encode(df, stripe_rows=4000))
+    if input_path:
+        spark.read.parquet(input_path).agg(F.sum("n_tok")).collect()
 
 
 _INPUT_CACHE: dict = {}
@@ -100,8 +120,7 @@ def main():
 
         # warm python workers + JIT + page cache before timing (this
         # sandbox has pathological first-touch page-fault latency)
-        run_encode_job(spark, SF_DIR, max(1, REPLICATE // 8),
-                       os.path.join(tmp, "warmup"))
+        warm_workers(spark, _materialize_input(spark, SF_DIR, REPLICATE))
 
         enc_path = os.path.join(tmp, "stripes")
         tokens, enc_bytes, sec = run_encode_job(
@@ -156,8 +175,7 @@ def main():
         for cpus in (8, 32):
             s = make_spark(cpus)
             try:
-                run_encode_job(s, SF_DIR, max(1, scale_rep // 16),
-                               os.path.join(tmp, f"warm{cpus}"))  # warm-up
+                warm_workers(s, _materialize_input(s, SF_DIR, scale_rep))
                 t, _, sec = run_encode_job(
                     s, SF_DIR, scale_rep, os.path.join(tmp, f"s{cpus}"))
                 scaling[f"tokens_per_sec@{cpus}"] = round(t / sec, 1)

@@ -143,11 +143,23 @@ def _emit_patched_base(out: bytearray, vals: np.ndarray, vmin: int,
         br_bits_95p = 8
     mask = (1 << br_bits_95p) - 1
 
-    base_red = base_red.copy()
-    idx_arr = np.flatnonzero(base_red > mask)
-    idxs = idx_arr.tolist()
-    over_vals = base_red[idx_arr].tolist()
-    base_red[idx_arr] &= mask
+    br_list = None
+    if n <= 128:
+        # scalar path: python list ops beat numpy call overhead here
+        br_list = base_red.tolist()
+        idxs = []
+        over_vals = []
+        for i, bv in enumerate(br_list):
+            if bv > mask:
+                idxs.append(i)
+                over_vals.append(bv)
+                br_list[i] = bv & mask
+    else:
+        base_red = base_red.copy()
+        idx_arr = np.flatnonzero(base_red > mask)
+        idxs = idx_arr.tolist()
+        over_vals = base_red[idx_arr].tolist()
+        base_red[idx_arr] &= mask
 
     gaps = []
     patches = []
@@ -208,7 +220,11 @@ def _emit_patched_base(out: bytearray, vals: np.ndarray, vmin: int,
     for k in range(base_bytes - 1, -1, -1):
         out.append((base_val >> (k * 8)) & 0xFF)
 
-    out.extend(pack_bits(base_red.view(np.uint64), get_closest_fixed_bits(fb)))
+    if br_list is not None:
+        out.extend(_pack_bits_int(br_list, get_closest_fixed_bits(fb)))
+    else:
+        out.extend(pack_bits(base_red.view(np.uint64),
+                             get_closest_fixed_bits(fb)))
     out.extend(_pack_bits_int(
         gvp, get_closest_fixed_bits(patch_gap_width + patch_width)))
 

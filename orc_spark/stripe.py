@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .codecs import byterle, compression, dictionary, fsst, rle2
+from .codecs import bits, byterle, compression, dictionary, fsst, rle2
 
 TIMESTAMP_BASE_SECONDS = 1420070400  # 2015-01-01 (treereader.go:128-131)
 
@@ -65,7 +65,9 @@ class ColumnSpec:
 
     def stream_kinds(self) -> list[str]:
         if self.is_list:
-            return ["PRESENT", "LENGTH", "DATA"]
+            return ["PRESENT", "LENGTH", "DATA", "DICTIONARY_DATA"]
+        if self.typ in INT_TYPES:
+            return ["PRESENT", "DATA", "DICTIONARY_DATA"]
         if self.typ in ("string", "binary"):
             return ["PRESENT", "DATA", "LENGTH", "DICTIONARY_DATA"]
         if self.typ == "timestamp" or self.is_decimal:
@@ -146,6 +148,65 @@ def _int_values(arr: pa.Array) -> np.ndarray:
     return np.asarray(arr).astype(np.int64)
 
 
+# Integer dictionary encoding (engine extension, mirrors the string
+# DICT/DIRECT auto-selection): when a stripe's int stream draws from a
+# small value set (e.g. token ids over a small effective vocabulary),
+# remap to dense sorted-dictionary indexes so the RLE bit width drops
+# from bits(max zigzag value) to bits(cardinality).
+INT_DICT_MAX_RANGE = 1 << 22  # bincount remap window
+INT_DICT_MIN_VALUES = 4096
+
+
+def _encode_int_stream(vals: np.ndarray) -> tuple[str, dict[str, bytes]]:
+    """DATA stream for an int64 array: plain signed RLE v2, or
+    dictionary indexes + DICTIONARY_DATA when that is clearly smaller.
+    The dictionary stream is [vulong n_keys][RLE v2 signed keys]."""
+    n = len(vals)
+    if n >= INT_DICT_MIN_VALUES:
+        vmin = int(vals.min())
+        vmax = int(vals.max())
+        rng = vmax - vmin
+        if 0 < rng <= INT_DICT_MAX_RANGE:
+            counts = np.bincount((vals - vmin).astype(np.int64),
+                                 minlength=rng + 1)
+            present = np.flatnonzero(counts)
+            n_distinct = len(present)
+            # width if direct (zigzag of extremes) vs width of indexes
+            zz_max = max(bits.zigzag_encode_scalar(vmin),
+                         bits.zigzag_encode_scalar(vmax))
+            direct_bits = bits.get_closest_aligned_fixed_bits(
+                max(zz_max.bit_length(), 1))
+            index_bits = bits.get_closest_aligned_fixed_bits(
+                max((n_distinct - 1).bit_length(), 1))
+            dict_overhead = n_distinct * 3  # keys stream estimate
+            if float(n_distinct) / n <= 0.49 and \
+                    index_bits < direct_bits and \
+                    (direct_bits - index_bits) * n // 8 > dict_overhead:
+                remap = np.zeros(rng + 1, dtype=np.int64)
+                remap[present] = np.arange(n_distinct)
+                indexes = remap[(vals - vmin).astype(np.int64)]
+                keys = (present + vmin).astype(np.int64)
+                dict_stream = bytearray()
+                bits.write_vulong(dict_stream, n_distinct)
+                dict_stream.extend(rle2.encode(keys, signed=True))
+                return "DICT_INT", {
+                    "DATA": rle2.encode(indexes, signed=False),
+                    "DICTIONARY_DATA": bytes(dict_stream),
+                }
+    return "DIRECT", {"DATA": rle2.encode(vals, signed=True)}
+
+
+def _decode_int_stream(streams: dict, encoding_suffix: str,
+                       n: int) -> np.ndarray:
+    if encoding_suffix == "DICT_INT":
+        dict_stream = streams["DICTIONARY_DATA"]
+        n_keys, pos = bits.read_vulong(dict_stream, 0)
+        keys = rle2.decode(dict_stream[pos:], int(n_keys), signed=True)
+        indexes = rle2.decode(streams["DATA"], n, signed=False)
+        return keys[indexes]
+    return rle2.decode(streams.get("DATA", b""), n, signed=True)
+
+
 def _encode_string_like(arr: pa.Array, use_fsst: bool) -> tuple[str, dict, dict]:
     data = arr.drop_null() if arr.null_count else arr
     n = len(data)
@@ -215,12 +276,18 @@ def encode_column(arr: pa.Array, spec: ColumnSpec,
 
     if typ in INT_TYPES or typ == "date":
         vals = _int_values(arr)
-        streams["DATA"] = rle2.encode(vals, signed=True)
+        if typ == "date" or len(vals) == 0:
+            streams["DATA"] = rle2.encode(vals, signed=True)
+            suffix = "DIRECT"
+        else:
+            suffix, s = _encode_int_stream(vals)
+            streams.update(s)
         stats = {"count": n_valid}
         if len(vals):
             stats.update(min=int(vals.min()), max=int(vals.max()),
                          sum=int(vals.sum()))
-        return "DIRECT_V2", streams, stats
+        enc_name = "DICTIONARY_INT_V2" if suffix == "DICT_INT" else "DIRECT_V2"
+        return enc_name, streams, stats
     if typ in ("float", "double"):
         data = arr.drop_null() if arr.null_count else arr
         vals = np.asarray(data)
@@ -269,12 +336,18 @@ def encode_column(arr: pa.Array, spec: ColumnSpec,
         child = data.values[offsets[0]:offsets[-1]]
         child_vals = np.asarray(child).astype(np.int64)
         streams["LENGTH"] = rle2.encode(lengths, signed=False)
-        streams["DATA"] = rle2.encode(child_vals, signed=True)
+        if len(child_vals):
+            suffix, s = _encode_int_stream(child_vals)
+            streams.update(s)
+        else:
+            streams["DATA"] = b""
+            suffix = "DIRECT"
         stats = {"count": n_valid, "total_elems": int(lengths.sum())}
         if len(child_vals):
             stats.update(min=int(child_vals.min()), max=int(child_vals.max()),
                          sum=int(child_vals.sum()))
-        return "DIRECT_V2", streams, stats
+        enc_name = "DICTIONARY_INT_V2" if suffix == "DICT_INT" else "DIRECT_V2"
+        return enc_name, streams, stats
     raise ValueError(f"unsupported column type: {typ}")
 
 
@@ -322,7 +395,8 @@ def decode_column(streams: dict, encoding: str, spec: ColumnSpec,
     typ = spec.typ
 
     if typ in INT_TYPES or typ == "date":
-        vals = rle2.decode(streams.get("DATA", b""), n_valid, signed=True)
+        sfx = "DICT_INT" if encoding.startswith("DICTIONARY_INT") else ""
+        vals = _decode_int_stream(streams, sfx, n_valid)
         if typ == "date":
             return _with_nulls(vals.astype(np.int32), valid, pa.date32())
         return _with_nulls(vals.astype(INT_TYPES[typ]), valid, None)
@@ -361,7 +435,8 @@ def decode_column(streams: dict, encoding: str, spec: ColumnSpec,
         lengths = rle2.decode(streams.get("LENGTH", b""), n_valid,
                               signed=False)
         total = int(lengths.sum())
-        child = rle2.decode(streams.get("DATA", b""), total, signed=True)
+        sfx = "DICT_INT" if encoding.startswith("DICTIONARY_INT") else ""
+        child = _decode_int_stream(streams, sfx, total)
         child_t = {"int": pa.int32(), "bigint": pa.int64()}.get(
             spec.child_typ, pa.int64())
         offsets = np.zeros(n_valid + 1, dtype=np.int32)
