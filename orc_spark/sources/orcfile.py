@@ -1,0 +1,331 @@
+"""Minimal Apache ORC *file* reader built on our codec kernels.
+
+Re-creates the reference read path (scritchley/orc reader.go:76-170
+postscript/footer extraction, reader.go:188-315 schema reconstruction,
+reader.go:376-456 stripe stream demux, treereaderfactory.go column
+readers) with a hand-rolled protobuf wire-format parser (field numbers
+from the public ORC spec, proto/orc.proto) — no protobuf dependency.
+
+Purpose: end-to-end golden parity — decode the reference's example
+``.orc`` files with OUR RLE v1/v2, byte-RLE, boolean, dictionary,
+decimal and timestamp kernels and compare row-by-row against
+``examples/expected/*.jsn.gz`` (orc_test.go:14-131).  It also lets a
+Spark pipeline ingest legacy ORC files through ``mapInPandas`` without
+the JVM ORC reader, though parquet/Iceberg remains the primary source.
+
+Supports NONE/ZLIB compression (the reference writer's own gate,
+writer.go:70-87), both RLE versions, and all types except UNION (absent
+from the token schema; the reference's own example test skips its union
+file as well).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import numpy as np
+
+from ..codecs import byterle, compression, decimal as dec_codec, rle1, rle2
+from ..codecs.bits import read_vulong
+
+# proto enum tables (proto/orc.proto)
+KINDS = ["boolean", "byte", "short", "int", "long", "float", "double",
+         "string", "binary", "timestamp", "list", "map", "struct",
+         "union", "decimal", "date", "varchar", "char"]
+STREAM_KINDS = ["PRESENT", "DATA", "LENGTH", "DICTIONARY_DATA",
+                "DICTIONARY_COUNT", "SECONDARY", "ROW_INDEX",
+                "BLOOM_FILTER", "BLOOM_FILTER_UTF8"]
+ENCODINGS = ["DIRECT", "DICTIONARY", "DIRECT_V2", "DICTIONARY_V2"]
+COMPRESSIONS = ["none", "zlib", "snappy", "lzo", "lz4", "zstd"]
+
+TIMESTAMP_BASE_SECONDS = 1420070400
+
+
+def parse_message(buf) -> dict[int, list]:
+    """Generic protobuf wire-format parse: field number -> values."""
+    buf = bytes(buf)
+    out: dict[int, list] = {}
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = read_vulong(buf, pos)
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            v, pos = read_vulong(buf, pos)
+        elif wt == 1:
+            v = buf[pos:pos + 8]
+            pos += 8
+        elif wt == 2:
+            ln, pos = read_vulong(buf, pos)
+            v = buf[pos:pos + ln]
+            pos += ln
+        elif wt == 5:
+            v = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"wire type {wt}")
+        out.setdefault(fno, []).append(v)
+    return out
+
+
+def packed_varints(vals: list) -> list[int]:
+    out = []
+    for v in vals:
+        if isinstance(v, int):
+            out.append(v)
+        else:
+            pos = 0
+            while pos < len(v):
+                x, pos = read_vulong(v, pos)
+                out.append(x)
+    return out
+
+
+class TypeNode:
+    def __init__(self, msg):
+        self.kind = KINDS[msg.get(1, [0])[0]]
+        self.children = packed_varints(msg.get(2, []))
+        self.field_names = [b.decode() for b in msg.get(3, [])]
+        self.precision = msg.get(5, [38])[0]
+        self.scale = msg.get(6, [10])[0]
+
+
+class ORCFile:
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self.data = f.read()
+        psl = self.data[-1]
+        ps = parse_message(self.data[-1 - psl:-1])
+        self.compression = COMPRESSIONS[ps.get(2, [0])[0]]
+        if self.compression not in ("none", "zlib"):
+            raise NotImplementedError(f"compression {self.compression}")
+        footer_len = ps[1][0]
+        meta_len = ps.get(5, [0])[0]
+        self.version = packed_varints(ps.get(4, []))
+        foot_end = len(self.data) - 1 - psl
+        footer = parse_message(self._decomp(
+            self.data[foot_end - footer_len:foot_end]))
+        self.types = [TypeNode(parse_message(t)) for t in footer.get(4, [])]
+        self.stripes = [parse_message(s) for s in footer.get(3, [])]
+        self.n_rows = footer.get(6, [0])[0]
+
+    def _decomp(self, blob: bytes) -> bytes:
+        if self.compression == "none":
+            return bytes(blob)
+        return compression.decompress(blob, "zlib")
+
+    # ------------------------------------------------------------------
+    def read_stripe(self, si: int) -> list:
+        """Decode stripe si -> list of python row values for the root."""
+        info = self.stripes[si]
+        offset = info.get(1, [0])[0]
+        index_len = info.get(2, [0])[0]
+        data_len = info.get(3, [0])[0]
+        footer_len = info.get(4, [0])[0]
+        n_rows = info.get(5, [0])[0]
+        sf_start = offset + index_len + data_len
+        sfooter = parse_message(self._decomp(
+            self.data[sf_start:sf_start + footer_len]))
+        self.encodings = [
+            ENCODINGS[parse_message(c).get(1, [0])[0]]
+            for c in sfooter.get(2, [])]
+        self.dict_sizes = [
+            parse_message(c).get(2, [0])[0] for c in sfooter.get(2, [])]
+        wtz = sfooter.get(3, [b""])[0]
+        self.writer_tz = wtz.decode() if wtz else ""
+        # stream directory: blobs are laid out in order from the stripe
+        # offset (index streams first)
+        streams: dict[tuple[int, str], bytes] = {}
+        pos = offset
+        for s in sfooter.get(1, []):
+            sm = parse_message(s)
+            kind = STREAM_KINDS[sm.get(1, [0])[0]]
+            col = sm.get(2, [0])[0]
+            ln = sm.get(3, [0])[0]
+            if kind not in ("ROW_INDEX", "BLOOM_FILTER", "BLOOM_FILTER_UTF8"):
+                streams[(col, kind)] = self.data[pos:pos + ln]
+            pos += ln
+        self._streams = streams
+        return self._read_column(0, n_rows)
+
+    # ------------------------------------------------------------------
+    def _stream(self, col: int, kind: str) -> bytes | None:
+        raw = self._streams.get((col, kind))
+        return None if raw is None else self._decomp(raw)
+
+    def _present(self, col: int, n: int):
+        raw = self._stream(col, "PRESENT")
+        if raw is None or len(raw) == 0:
+            return None, n
+        valid = byterle.decode_bools(raw, n)
+        return valid, int(valid.sum())
+
+    def _ints(self, col: int, kind: str, n: int, signed: bool) -> np.ndarray:
+        data = self._stream(col, kind) or b""
+        if self.encodings[col] in ("DIRECT_V2", "DICTIONARY_V2"):
+            return rle2.decode(data, n, signed)
+        return rle1.decode(data, n, signed)
+
+    def _weave(self, vals: list, valid, n: int) -> list:
+        if valid is None:
+            return vals
+        out = [None] * n
+        it = iter(vals)
+        for i in np.flatnonzero(valid):
+            out[i] = next(it)
+        return out
+
+    def _read_column(self, col: int, n: int) -> list:
+        t = self.types[col]
+        valid, n_valid = self._present(col, n)
+        k = t.kind
+
+        if k == "struct":
+            fields = [self._read_column(c, n_valid) for c in t.children]
+            rows = [dict(zip(t.field_names, vals))
+                    for vals in zip(*fields)] if t.children else [{}] * n_valid
+            return self._weave(rows, valid, n)
+        if k in ("list", "map"):
+            lengths = self._ints(col, "LENGTH", n_valid, signed=False)
+            total = int(lengths.sum())
+            if k == "list":
+                child = self._read_column(t.children[0], total)
+                items = []
+            else:
+                keys = self._read_column(t.children[0], total)
+                vals_ = self._read_column(t.children[1], total)
+                child = [{"key": a, "value": b} for a, b in zip(keys, vals_)]
+            out = []
+            off = 0
+            for ln in lengths.tolist():
+                out.append(child[off:off + ln])
+                off += ln
+            return self._weave(out, valid, n)
+        if k == "boolean":
+            raw = self._stream(col, "DATA") or b""
+            vals = byterle.decode_bools(raw, n_valid).tolist()
+            return self._weave(vals, valid, n)
+        if k == "byte":
+            raw = self._stream(col, "DATA") or b""
+            vals = byterle.decode(raw, n_valid).astype(np.int8).tolist()
+            return self._weave(vals, valid, n)
+        if k in ("short", "int", "long", "date"):
+            vals = self._ints(col, "DATA", n_valid, signed=True)
+            if k == "date":
+                days = vals.astype("datetime64[D]")
+                vals = np.datetime_as_string(days, unit="D").tolist()
+            else:
+                vals = vals.tolist()
+            return self._weave(vals, valid, n)
+        if k in ("float", "double"):
+            raw = self._stream(col, "DATA") or b""
+            if k == "float":
+                # shortest float32 repr (matches Go/Java JSON rendering)
+                vals = [float(repr(v))
+                        for v in np.frombuffer(raw, dtype="<f4")[:n_valid]]
+            else:
+                vals = np.frombuffer(raw, dtype="<f8")[:n_valid].astype(
+                    float).tolist()
+            return self._weave(vals, valid, n)
+        if k in ("string", "varchar", "char"):
+            vals = self._read_strings(col, n_valid)
+            return self._weave(vals, valid, n)
+        if k == "binary":
+            lengths = self._ints(col, "LENGTH", n_valid, signed=False)
+            blob = self._stream(col, "DATA") or b""
+            out = []
+            off = 0
+            for ln in lengths.tolist():
+                out.append(list(blob[off:off + ln]))
+                off += ln
+            return self._weave(out, valid, n)
+        if k == "decimal":
+            streams = {"DATA": self._stream(col, "DATA") or b""}
+            mants = dec_codec.decode_mantissas(streams["DATA"], n_valid)
+            scales = self._ints(col, "SECONDARY", n_valid, signed=True)
+            vals = [m / (10.0 ** int(s))
+                    for m, s in zip(mants, scales.tolist())]
+            return self._weave(vals, valid, n)
+        if k == "timestamp":
+            secs = self._ints(col, "DATA", n_valid, signed=True)
+            raw_nanos = self._ints(col, "SECONDARY", n_valid, signed=False)
+            tz = _tzinfo(self.writer_tz)
+            vals = [_format_ts(int(s), _parse_nanos_scalar(int(nv)), tz)
+                    for s, nv in zip(secs, raw_nanos)]
+            return self._weave(vals, valid, n)
+        raise NotImplementedError(f"type {k}")
+
+    def _read_strings(self, col: int, n_valid: int) -> list:
+        enc = self.encodings[col]
+        if enc.startswith("DICTIONARY"):
+            n_keys = self.dict_sizes[col]
+            key_lengths = self._ints(col, "LENGTH", n_keys, signed=False)
+            blob = self._stream(col, "DICTIONARY_DATA") or b""
+            keys = []
+            off = 0
+            for ln in key_lengths.tolist():
+                keys.append(blob[off:off + ln].decode("utf-8", "replace"))
+                off += ln
+            idx = self._ints(col, "DATA", n_valid, signed=False)
+            return [keys[i] for i in idx.tolist()]
+        lengths = self._ints(col, "LENGTH", n_valid, signed=False)
+        blob = self._stream(col, "DATA") or b""
+        out = []
+        off = 0
+        for ln in lengths.tolist():
+            out.append(blob[off:off + ln].decode("utf-8", "replace"))
+            off += ln
+        return out
+
+    def read_all(self):
+        for si in range(len(self.stripes)):
+            yield from self.read_stripe(si)
+
+
+def _parse_nanos_scalar(v: int) -> int:
+    tz = v & 7
+    base = v >> 3
+    return base if tz == 0 else base * (10 ** (tz + 1))
+
+
+_TZ_CACHE: dict = {}
+
+
+def _tzinfo(name: str):
+    if name not in _TZ_CACHE:
+        try:
+            from zoneinfo import ZoneInfo
+            _TZ_CACHE[name] = ZoneInfo(name) if name else None
+        except Exception:
+            _TZ_CACHE[name] = None
+    return _TZ_CACHE[name]
+
+
+def _format_ts(rel_secs: int, nanos: int, tz=None) -> str:
+    """Civil wall-clock rendering of an ORC timestamp.  The stored
+    seconds are relative to 2015-01-01 00:00:00 in the WRITER's
+    timezone (stripe footer writerTimezone), so the wall clock is
+    recovered through that zone (DST-correct); without a zone this
+    reduces to the reference reader's flat UTC-base arithmetic
+    (treereader.go:128-131).  Fractional digits: trailing zeros
+    trimmed, at least one kept (orc_test.go:96 / Java tools)."""
+    from datetime import datetime
+    frac = f"{nanos:09d}".rstrip("0") or "0"
+    if tz is not None:
+        epoch_local = datetime(2015, 1, 1, tzinfo=tz).timestamp()
+        dt = datetime.fromtimestamp(rel_secs + epoch_local, tz)
+        return f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d} " \
+               f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}.{frac}"
+    secs = rel_secs + TIMESTAMP_BASE_SECONDS
+    days, rem = divmod(secs, 86400)
+    d = np.datetime64(0, "D") + np.timedelta64(int(days), "D")
+    h, rem2 = divmod(rem, 3600)
+    m, s = divmod(rem2, 60)
+    return f"{np.datetime_as_string(d, unit='D')} " \
+           f"{h:02d}:{m:02d}:{s:02d}.{frac}"
+
+
+def load_expected(path: str) -> list[dict]:
+    with gzip.open(path, "rt") as f:
+        return [json.loads(line) for line in f if line.strip()]
