@@ -191,6 +191,32 @@ def _q_sim_knn_join(spark, sf_dir):
     return similarity.knn_join(emb, probes, k=3)
 
 
+def _q_orc_file_roundtrip(spark, sf_dir):
+    """Write a real .orc file with our kernels, read it back with
+    Spark's JVM ORC reader, and aggregate — cross-implementation
+    round-trip, checked against the raw documents by the oracle."""
+    import tempfile
+    import os
+    from orc_spark.sources import orcwriter
+    tok = token_src.token_table(spark, sf_dir)
+    pdf = tok.toPandas()
+    import pyarrow as pa
+    table = pa.table({
+        "doc_id": pdf["doc_id"],
+        "tokens": pa.array([list(x) for x in pdf["tokens"]],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array(pdf["n_tok"], pa.int32()),
+        "source": pdf["source"],
+    })
+    path = os.path.join(tempfile.mkdtemp(prefix="orcq_"), "t.orc")
+    orcwriter.write_orc(table, path, codec="zlib")
+    df = spark.read.orc(path)
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
+        F.countDistinct("doc_id").alias("n_ids"))
+
+
 def _q_mm_features(spark, sf_dir):
     media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
@@ -218,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "orc_file_roundtrip": _q_orc_file_roundtrip,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ann_lsh": _q_sim_ann_lsh,
         "sim_knn_join": _q_sim_knn_join,
@@ -294,6 +321,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fp, "
             "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
             "AS fp_norm FROM documents"),
+        "orc_file_roundtrip": (
+            f"SELECT count(*) AS n_docs, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
+            f"count(DISTINCT doc_id) AS n_ids FROM documents"),
         "dedup_exact": (
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
             " AS fp, count(*) AS dup_count, min(doc_id) AS keep_doc_id "
