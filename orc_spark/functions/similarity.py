@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -51,17 +52,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 def add_lsh_signature(df: DataFrame, dim: int, n_planes: int = 16,
                       seed: int = 42, emb_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane signature: bit i = sign(dot(emb, plane_i))."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    sig = None
-    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
-    for i in range(n_planes):
-        p = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(_dot(emb, p) > 0, F.lit(1).cast("long")) \
-            .otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return df.withColumn("lsh_sig", sig)
+    """Random-hyperplane signature: bit i = sign(dot(emb, plane_i)),
+    computed as ONE Arrow-vectorized matmul per batch (a 16-plane JVM
+    expression tree is codegen-heavy and slower)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = _hyperplanes(dim, n_planes, seed).T  # (dim, n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    @pandas_udf("long")
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(e, dtype=np.float64) for e in emb])
+        if len(mat) == 0:
+            return pd.Series([], dtype="int64")
+        bits = (mat @ planes_t) > 0
+        sigs = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(sigs.view(np.int64))
+
+    return df.withColumn("lsh_sig", sig_udf(F.col(emb_col)))
 
 
 def lsh_ann_topk(df: DataFrame, query: list[float], k: int = 10,

@@ -172,21 +172,20 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
                     if out is not None:
                         yield out
 
+        import numpy as np
         for batch in batches:
             if group_col is None:
                 yield from add(batch, None)
                 continue
             gvals = batch.column(group_col).to_numpy(zero_copy_only=False)
             data = batch.select(names)
+            if not len(gvals):
+                continue
+            bounds = np.flatnonzero(np.diff(gvals)) + 1
             lo = 0
-            cur = gvals[0] if len(gvals) else None
-            for i in range(1, len(gvals)):
-                if gvals[i] != cur:
-                    yield from add(data.slice(lo, i - lo), int(cur))
-                    lo = i
-                    cur = gvals[i]
-            if len(gvals):
-                yield from add(data.slice(lo, len(gvals) - lo), int(cur))
+            for b in bounds.tolist() + [len(gvals)]:
+                yield from add(data.slice(lo, b - lo), int(gvals[lo]))
+                lo = b
         out = flush()
         if out is not None:
             yield out
