@@ -1,0 +1,82 @@
+"""Edge cases: empty inputs, extreme token-length skew, single-doc
+stripes — the long-tail behaviors the north rule calls out."""
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import functions as F, types as T
+
+from orc_spark import stripe
+from orc_spark.operators import encode as enc_ops
+
+
+def test_empty_dataframe_roundtrip(spark):
+    schema = enc_ops.decoded_spark_schema(stripe.TOKEN_SCHEMA)
+    empty = spark.createDataFrame([], schema)
+    enc = enc_ops.encode(empty)
+    assert enc.count() == 0
+    dec = enc_ops.decode(enc)
+    assert dec.count() == 0
+
+
+def test_extreme_skew_one_huge_doc(spark):
+    """A single 2M-token document among tiny docs must close its own
+    stripe (token budget) and round-trip bit-identically."""
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 50257, 2_000_000).astype(np.int32)
+    rows = [("big-doc", big.tolist(), len(big), "cc")]
+    rows += [(f"small-{i}", rng.integers(0, 50257, 5).astype(np.int32)
+              .tolist(), 5, "wiki") for i in range(50)]
+    df = spark.createDataFrame(rows, enc_ops.decoded_spark_schema(
+        stripe.TOKEN_SCHEMA))
+    enc = enc_ops.encode(df.coalesce(1), stripe_tokens=1 << 19).cache()
+    # rows are atomic: the huge doc closes its OWN stripe (n_rows=1)
+    # instead of dragging 50 small docs into a monster stripe
+    stripes = enc.select("n_rows", "n_tokens").collect()
+    assert len(stripes) >= 2
+    big_stripes = [r for r in stripes if r["n_tokens"] >= 2_000_000]
+    assert len(big_stripes) == 1
+    assert big_stripes[0]["n_rows"] == 1
+    dec = enc_ops.decode(enc)
+    got = dec.where("doc_id = 'big-doc'").select("tokens").collect()[0][0]
+    assert got == big.tolist()
+    assert dec.count() == 51
+    enc.unpersist()
+
+
+def test_unicode_and_empty_strings():
+    batch = pa.table({
+        "doc_id": pa.array(["", "日本語テキスト", "emoji 🎉🎊", "a" * 10000]),
+        "tokens": pa.array([[1], [2, 3], [], [4]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 2, 0, 1], pa.int32()),
+        "source": pa.array(["", "", "ünïcödé", ""]),
+    })
+    row = stripe.encode_stripe(batch, stripe.TOKEN_SCHEMA)
+    out = stripe.decode_stripe(row, stripe.TOKEN_SCHEMA)
+    for c in batch.column_names:
+        assert out.column(c).to_pylist() == batch.column(c).to_pylist(), c
+
+
+def test_single_row_stripe():
+    batch = pa.table({
+        "doc_id": pa.array(["only"]),
+        "tokens": pa.array([[42]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1], pa.int32()),
+        "source": pa.array(["s"]),
+    })
+    row = stripe.encode_stripe(batch, stripe.TOKEN_SCHEMA)
+    out = stripe.decode_stripe(row, stripe.TOKEN_SCHEMA)
+    assert out.column("tokens").to_pylist() == [[42]]
+
+
+def test_extreme_token_values():
+    vals = [[0, 1, -1, 2**31 - 1, -2**31]]
+    batch = pa.table({
+        "doc_id": pa.array(["x"]),
+        "tokens": pa.array(vals, pa.list_(pa.int32())),
+        "n_tok": pa.array([5], pa.int32()),
+        "source": pa.array(["s"]),
+    })
+    row = stripe.encode_stripe(batch, stripe.TOKEN_SCHEMA)
+    out = stripe.decode_stripe(row, stripe.TOKEN_SCHEMA)
+    assert out.column("tokens").to_pylist() == vals
