@@ -93,6 +93,18 @@ def plan_partitions(df: DataFrame, n_partitions: int | None = None,
     return df.repartition(n_partitions, F.xxhash64(F.col(salt_col)))
 
 
+def salted_repartition(df: DataFrame, n_partitions: int,
+                       group_col: str = "source", salts: int = 16,
+                       salt_src: str = "doc_id") -> DataFrame:
+    """Skew-tamed repartition for grouped layouts: when co-locating by a
+    low-cardinality key (e.g. source), a hot group would land on one
+    partition; salting spreads each group over ``salts`` partitions
+    while keeping group members clustered (SURVEY.md §2.3/§4.2)."""
+    return df.repartition(
+        n_partitions, F.col(group_col),
+        F.pmod(F.xxhash64(F.col(salt_src)), F.lit(salts)))
+
+
 def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
            stripe_rows: int = DEFAULT_STRIPE_ROWS,
            stripe_tokens: int = DEFAULT_STRIPE_TOKENS,

@@ -119,3 +119,13 @@ def test_generic_schema_events_roundtrip(spark):
     assert len(a) == len(b) == 1000
     for ra, rb in zip(a, b):
         assert ra == rb
+
+
+def test_salted_repartition_spreads_hot_group(spark, token_df):
+    # make one source dominate, then check salting spreads it
+    hot = token_df.withColumn("source", F.lit("hot"))
+    salted = enc_ops.salted_repartition(hot, 8, salts=8)
+    sizes = salted.rdd.glom().map(len).collect()
+    nonempty = [s for s in sizes if s > 0]
+    assert len(nonempty) >= 4  # one group spread over several partitions
+    assert max(nonempty) < 500  # no single partition holds everything
