@@ -245,6 +245,25 @@ _ARROW_TYPES = {
 }
 
 
+def prune_stripes(enc_df: DataFrame, column: str,
+                  lo=None, hi=None) -> DataFrame:
+    """Row-group skipping, realized: drop stripes whose recorded
+    min/max stats (stripe stats JSON) cannot contain values in
+    [lo, hi].  The reference records this index data but never consumes
+    it (SURVEY §2.2 P2 / §3.3); here it prunes the decode input —
+    combine with decode() + a row filter for exact results."""
+    out = enc_df
+    if hi is not None:
+        out = out.where(
+            F.get_json_object("stats", f"$.{column}.min").cast("double")
+            <= F.lit(hi))
+    if lo is not None:
+        out = out.where(
+            F.get_json_object("stats", f"$.{column}.max").cast("double")
+            >= F.lit(lo))
+    return out
+
+
 def footer(enc_df: DataFrame) -> DataFrame:
     """File-footer analog: global rollup of the stripe table
     (writer.go:228-318 footer + metadata), as a small DataFrame."""

@@ -129,3 +129,19 @@ def test_salted_repartition_spreads_hot_group(spark, token_df):
     nonempty = [s for s in sizes if s > 0]
     assert len(nonempty) >= 4  # one group spread over several partitions
     assert max(nonempty) < 500  # no single partition holds everything
+
+
+def test_stripe_pruning_by_stats(spark, token_df):
+    """Stats-based stripe skipping: selective decode touches fewer
+    stripes but returns exactly the matching rows."""
+    # sort so stripes have disjoint n_tok ranges -> pruning can bite
+    df = token_df.coalesce(1).sortWithinPartitions("n_tok")
+    enc = enc_ops.encode(df, stripe_rows=100).cache()
+    n_stripes = enc.count()
+    hi_thresh = token_df.approxQuantile("n_tok", [0.9], 0.0)[0]
+    pruned = enc_ops.prune_stripes(enc, "n_tok", lo=hi_thresh)
+    assert pruned.count() < n_stripes  # skipped cold stripes
+    got = enc_ops.decode(pruned).where(F.col("n_tok") >= hi_thresh).count()
+    want = token_df.where(F.col("n_tok") >= hi_thresh).count()
+    assert got == want
+    enc.unpersist()
