@@ -107,6 +107,18 @@ def _q_rt_projection(spark, sf_dir):
                    F.count("*").alias("n_docs"))
 
 
+def _q_rt_pruned_decode(spark, sf_dir):
+    """Stats-based stripe pruning + selective decode: only stripes
+    whose n_tok range can match survive to decompression."""
+    tok = token_src.token_table(spark, sf_dir)
+    enc = enc_ops.encode(
+        tok.coalesce(2).sortWithinPartitions("n_tok"), stripe_rows=100)
+    pruned = enc_ops.prune_stripes(enc, "n_tok", lo=60)
+    dec = enc_ops.decode(pruned).where(F.col("n_tok") >= 60)
+    return dec.agg(F.count("*").alias("n_docs"),
+                   F.sum("n_tok").cast("long").alias("sum_ntok"))
+
+
 def _q_enc_footer(spark, sf_dir):
     tok = token_src.token_table(spark, sf_dir)
     return enc_ops.footer(enc_ops.encode(tok.repartition(4))).select(
@@ -233,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_roundtrip": _q_rt_roundtrip,
         "rt_roundtrip_fsst": _q_rt_roundtrip_fsst,
         "rt_projection": _q_rt_projection,
+        "rt_pruned_decode": _q_rt_pruned_decode,
         "enc_token_profile": _q_enc_token_profile,
         "enc_column_stats": _q_enc_column_stats,
         "enc_footer": _q_enc_footer,
@@ -301,6 +314,10 @@ def oracle_sql() -> dict[str, str]:
         "rt_projection": (
             f"SELECT CAST(sum({n_tok}) AS BIGINT) AS sum_ntok, "
             f"count(*) AS n_docs FROM documents"),
+        "rt_pruned_decode": (
+            f"SELECT count(*) AS n_docs, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok FROM documents "
+            f"WHERE {n_tok} >= 60"),
         "enc_token_profile": (
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
