@@ -454,9 +454,11 @@ def _analyze_segments(v, zz, starts, lens):
     mn = np.minimum.reduceat(g, gs)
     mx = np.maximum.reduceat(g, gs)
 
-    # per-delta arrays over the gathered values, junk at segment joins
-    dg = np.diff(g) if total > 1 else np.empty(0, dtype=np.int64)
-    dg = np.append(dg, np.int64(0))  # sentinel so reduceat stays in bounds
+    # per-delta arrays over the gathered values, junk at segment joins;
+    # one trailing sentinel slot keeps reduceat in bounds
+    dg = np.zeros(total, dtype=np.int64)
+    if total > 1:
+        np.subtract(g[1:], g[:-1], out=dg[:total - 1])
     junk = gs[1:] - 1
     first_d = dg[np.minimum(gs, max(total - 2, 0))]
 
@@ -466,8 +468,8 @@ def _analyze_segments(v, zz, starts, lens):
     dec_ok = dg <= 0
     dec_ok[junk] = True
     dec_ok[-1] = True
-    eq = dg == np.repeat(first_d, lens)[:total]
-    eq = np.append(eq[:total - 1], True)
+    eq = dg == np.repeat(first_d, lens)
+    eq[-1] = True
     eq[junk] = True
     inc = np.logical_and.reduceat(inc_ok, gs)
     dec = np.logical_and.reduceat(dec_ok, gs)
