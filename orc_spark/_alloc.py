@@ -1,0 +1,42 @@
+"""Executor-side allocator tuning.
+
+This sandbox's (and many container runtimes') kernel page-fault path
+serializes under concurrent first-touch faults; glibc returns large
+blocks to the OS via mmap/trim on free, so every Arrow batch / numpy
+temporary re-faults its pages on every task.  ``tune_worker()`` makes
+worker heaps grow-and-stay:
+
+* mallopt(M_MMAP_THRESHOLD / M_TRIM_THRESHOLD, 1 GiB): large numpy
+  temporaries live on the reusable heap instead of fresh mmaps,
+* pyarrow switches to the system allocator (its default jemalloc purges
+  dirty pages aggressively, defeating the above).
+
+Called at the top of every mapInArrow/mapInPandas kernel (idempotent,
+best-effort); safe and beneficial on real clusters too.
+"""
+
+from __future__ import annotations
+
+_done = False
+
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+
+
+def tune_worker() -> None:
+    global _done
+    if _done:
+        return
+    _done = True
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(_M_TRIM_THRESHOLD, 1 << 30)
+        libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+    try:
+        import pyarrow as pa
+        pa.set_memory_pool(pa.system_memory_pool())
+    except Exception:
+        pass

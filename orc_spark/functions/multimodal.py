@@ -73,6 +73,8 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     ])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from orc_spark._alloc import tune_worker
+        tune_worker()
         for pdf in batches:
             feats = [
                 _fake_decode(p, dim) if k == "image" else _not_impl(k)

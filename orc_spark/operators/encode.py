@@ -123,6 +123,8 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
     sel = names + ([group_col] if group_col else [])
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from orc_spark._alloc import tune_worker
+        tune_worker()
         from pyspark import TaskContext
         ctx = TaskContext.get()
         task_part = ctx.partitionId() if ctx is not None else 0
@@ -224,6 +226,8 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
         for f in out_schema.fields])
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from orc_spark._alloc import tune_worker
+        tune_worker()
         for batch in batches:
             rows = batch.to_pylist()
             for row in rows:
