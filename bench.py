@@ -39,7 +39,6 @@ def make_spark(cpus: int):
     # pages and re-faults every task).
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
-    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     from pyspark.sql import SparkSession
     return (SparkSession.builder.master(f"local[{cpus}]")
             .appName(f"orc_spark-bench-{cpus}")

@@ -35,8 +35,6 @@ def tune_worker() -> None:
         libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)
     except Exception:
         pass
-    try:
-        import pyarrow as pa
-        pa.set_memory_pool(pa.system_memory_pool())
-    except Exception:
-        pass
+    # NOTE: do NOT switch Arrow to the system pool here — measured
+    # 32-worker throughput drops ~4x when Arrow IPC buffers go through
+    # glibc heap growth instead of jemalloc's extent reuse.
