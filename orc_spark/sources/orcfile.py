@@ -115,6 +115,14 @@ class ORCFile:
             return bytes(blob)
         return compression.decompress(blob, "zlib")
 
+    def select(self, *field_names: str) -> "ORCFile":
+        """Restrict decoding to the given root fields (Reader.Select
+        equivalent, reader.go:335-338): only their streams are
+        decompressed."""
+        self._selected = set(field_names) if field_names and \
+            "*" not in field_names else None
+        return self
+
     # ------------------------------------------------------------------
     def read_stripe(self, si: int) -> list:
         """Decode stripe si -> list of python row values for the root."""
@@ -182,9 +190,16 @@ class ORCFile:
         k = t.kind
 
         if k == "struct":
-            fields = [self._read_column(c, n_valid) for c in t.children]
-            rows = [dict(zip(t.field_names, vals))
-                    for vals in zip(*fields)] if t.children else [{}] * n_valid
+            selected = getattr(self, "_selected", None)
+            if col == 0 and selected is not None:
+                keep = [(c, fn) for c, fn in zip(t.children, t.field_names)
+                        if fn in selected]
+            else:
+                keep = list(zip(t.children, t.field_names))
+            fields = [self._read_column(c, n_valid) for c, _ in keep]
+            names = [fn for _, fn in keep]
+            rows = [dict(zip(names, vals))
+                    for vals in zip(*fields)] if keep else [{}] * n_valid
             return self._weave(rows, valid, n)
         if k in ("list", "map"):
             lengths = self._ints(col, "LENGTH", n_valid, signed=False)

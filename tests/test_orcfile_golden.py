@@ -72,3 +72,13 @@ def test_demo12_full_decode():
     rows = list(f.read_all())
     assert len(rows) == 1920800
     assert rows[-1]["_col0"] == 1920800
+
+
+def test_column_projection_select():
+    # Reader.Select equivalent: only requested fields decoded
+    f = orcfile.ORCFile(os.path.join(EXAMPLES, "orc_split_elim.orc"))
+    f.select("userid", "string1")
+    rows = list(f.read_all())
+    assert len(rows) == 25000
+    assert set(rows[0].keys()) == {"userid", "string1"}
+    assert rows[0]["userid"] == 2 and rows[0]["string1"] == "foo"
