@@ -217,6 +217,19 @@ class ORCFile:
                 out.append(child[off:off + ln])
                 off += ln
             return self._weave(out, valid, n)
+        if k == "union":
+            # tag byte-RLE + one child column per variant
+            # (treereader.go:816-878); the reference's own golden test
+            # skips its union file — we don't.
+            raw = self._stream(col, "DATA") or b""
+            tags = byterle.decode(raw, n_valid)
+            iters = []
+            for vi, child in enumerate(t.children):
+                cnt = int((tags == vi).sum())
+                iters.append(iter(self._read_column(child, cnt)))
+            vals = [{"tag": int(tag), "value": next(iters[tag])}
+                    for tag in tags.tolist()]
+            return self._weave(vals, valid, n)
         if k == "boolean":
             raw = self._stream(col, "DATA") or b""
             vals = byterle.decode_bools(raw, n_valid).tolist()
