@@ -19,6 +19,7 @@ MAX_CHUNK = (1 << 23) - 1
 
 NONE = "none"
 ZLIB = "zlib"
+SNAPPY = "snappy"  # decode only, like the reference (codec gate C5)
 ZSTD = "zstd"
 
 try:  # optional extension codec, not part of reference parity
@@ -65,6 +66,15 @@ def _compress_chunk(chunk: bytes, kind: str) -> bytes:
 def _decompress_chunk(data: bytes, kind: str) -> bytes:
     if kind == ZLIB:
         return zlib.decompress(data, -15)
+    if kind == SNAPPY:
+        from . import snappy_pure
+        return snappy_pure.decompress(data)
+    if kind == "lz4":
+        from . import lz4_pure
+        return lz4_pure.decompress(data)
+    if kind == "lzo":
+        from . import lzo_pure
+        return lzo_pure.decompress(data)
     if kind == ZSTD:
         if _zstd is None:
             raise RuntimeError("zstandard not available")

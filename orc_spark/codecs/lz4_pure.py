@@ -1,0 +1,49 @@
+"""Pure-Python LZ4 block decompressor (decode only), for reading
+lz4-compressed ORC files (public LZ4 block format spec).  Same
+decode-only stance as snappy: the engine writes NONE/ZLIB like the
+reference writer gate."""
+
+from __future__ import annotations
+
+
+def decompress(data: bytes, max_out: int | None = None) -> bytes:
+    data = bytes(data)
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        token = data[pos]
+        pos += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = data[pos]
+                pos += 1
+                lit_len += b
+                if b != 255:
+                    break
+        out += data[pos:pos + lit_len]
+        pos += lit_len
+        if pos >= n:
+            break  # last sequence is literals-only
+        offset = int.from_bytes(data[pos:pos + 2], "little")
+        pos += 2
+        if offset == 0:
+            raise ValueError("corrupt lz4: zero offset")
+        match_len = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = data[pos]
+                pos += 1
+                match_len += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("corrupt lz4: offset before start")
+        if offset >= match_len:
+            out += out[start:start + match_len]
+        else:
+            for i in range(match_len):
+                out.append(out[start + i])
+    return bytes(out)

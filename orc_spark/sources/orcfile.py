@@ -99,7 +99,7 @@ class ORCFile:
         psl = self.data[-1]
         ps = parse_message(self.data[-1 - psl:-1])
         self.compression = COMPRESSIONS[ps.get(2, [0])[0]]
-        if self.compression not in ("none", "zlib"):
+        if self.compression not in ("none", "zlib", "snappy", "lz4", "lzo"):
             raise NotImplementedError(f"compression {self.compression}")
         footer_len = ps[1][0]
         meta_len = ps.get(5, [0])[0]
@@ -114,7 +114,7 @@ class ORCFile:
     def _decomp(self, blob: bytes) -> bytes:
         if self.compression == "none":
             return bytes(blob)
-        return compression.decompress(blob, "zlib")
+        return compression.decompress(blob, self.compression)
 
     def select(self, *field_names: str) -> "ORCFile":
         """Restrict decoding to the given root fields (Reader.Select

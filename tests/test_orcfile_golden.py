@@ -1,9 +1,13 @@
 """End-to-end golden-file parity: decode the reference's real Apache
 ORC example files with OUR codec kernels and compare every row against
 examples/expected/*.jsn.gz (the reference's own e2e corpus,
-orc_test.go:14-131). Exercises RLE v1 (v0.11 files) and v2, dictionary
-and direct strings, nested struct/list/map, decimal, timestamp, date,
-boolean, byte, float/double, binary, PRESENT streams and chunked zlib.
+orc_test.go:14-131). Covers EVERY example file that has an expected
+output — 24 files; the reference's own test passes 7 and skips or
+cannot read the rest. Exercises RLE v1 (v0.11 files) and v2,
+dictionary and direct strings, nested struct/list/map/union, decimal,
+timestamps (writer-timezone DST + pre-1970), date, boolean, byte,
+float/double, binary, PRESENT streams, and zlib/snappy/lz4/lzo
+chunk decompression (pure-Python decoders).
 """
 
 import json
@@ -33,11 +37,17 @@ CASES = [
     "over1k_bloom",
     "TestOrcFile.testMemoryManagementV11",
     "TestOrcFile.testMemoryManagementV12",
-    # the reference's own golden test SKIPS these four files
-    # (orc_test.go:40-47: union, 1900/2038 dates); our reader handles them
+    # the reference's own golden test SKIPS these
+    # (orc_test.go:40-47: union, 1900/2038 dates, snappy writer absent)
+    # or cannot read them at all (lz4/lzo); our reader handles them all
     "TestOrcFile.testUnionAndTimestamp",
     "TestOrcFile.testDate1900",
     "TestOrcFile.testDate2038",
+    "TestOrcFile.testSnappy",
+    "nulls-at-end-snappy",
+    "TestOrcFile.testWithoutIndex",
+    "TestVectorOrcFile.testLz4",
+    "TestVectorOrcFile.testLzo",
 ]
 
 
