@@ -269,3 +269,43 @@ def write_orc(table: pa.Table, path: str,
         f.write(out)
     return {"bytes": len(out), "rows": n_total,
             "stripes": len(stripe_infos)}
+
+
+def dataframe_to_orc_dir(df, out_dir: str,
+                         specs=None, codec: str = "zlib",
+                         stripe_rows: int = 1 << 20) -> None:
+    """Distributed ORC sink: each Spark partition writes one real .orc
+    file into ``out_dir`` via our kernels (mapInArrow; no JVM ORC
+    writer involved). The directory is readable by ``spark.read.orc``.
+    Local/shared filesystem paths only."""
+    import os
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from .. import stripe as stripe_mod
+
+    if specs is None:
+        specs = stripe_mod.TOKEN_SCHEMA
+    os.makedirs(out_dir, exist_ok=True)
+    names = [s.name for s in specs]
+
+    def kernel(batches):
+        from pyspark import TaskContext
+        from orc_spark._alloc import tune_worker
+        tune_worker()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        collected = list(batches)
+        n = 0
+        if collected:
+            table = pa.Table.from_batches(collected)
+            n = table.num_rows
+            if n:
+                write_orc(table, os.path.join(out_dir, f"part-{pid:05d}.orc"),
+                          specs=specs, codec=codec, stripe_rows=stripe_rows)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], pa.int64())],
+            schema=pa.schema([("n_rows", pa.int64())]))
+
+    out_schema = T.StructType([T.StructField("n_rows", T.LongType())])
+    df.select(names).mapInArrow(kernel, out_schema) \
+        .agg({"n_rows": "sum"}).collect()

@@ -86,3 +86,17 @@ def test_nulls_and_scalars(tmp_path):
     got = pa_orc.read_table(path)
     for col in t.column_names:
         assert got.column(col).to_pylist() == t.column(col).to_pylist(), col
+
+
+def test_distributed_orc_sink(spark, token_table, tmp_path):
+    """Each Spark partition writes a real .orc file via our kernels;
+    Spark's JVM reader reads the directory back."""
+    from pyspark.sql import functions as F
+    from orc_spark.operators import encode as enc_ops
+    out = str(tmp_path / "orcsink")
+    df = spark.createDataFrame(token_table).repartition(3)
+    orcwriter.dataframe_to_orc_dir(df, out)
+    back = spark.read.orc(out)
+    assert back.count() == token_table.num_rows
+    got = back.agg(F.sum("n_tok")).collect()[0][0]
+    assert got == sum(token_table.column("n_tok").to_pylist())
