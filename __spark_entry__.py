@@ -229,6 +229,29 @@ def _q_orc_file_roundtrip(spark, sf_dir):
         F.countDistinct("doc_id").alias("n_ids"))
 
 
+def _q_stream_encode(spark, sf_dir):
+    """Structured Streaming ingestion: stream the token table through
+    the stripe-encode foreachBatch pipeline (availableNow trigger),
+    then aggregate the decoded output — exactly-once via the streaming
+    checkpoint."""
+    import os
+    import tempfile
+    from orc_spark.streaming import encode_stream
+    tok = token_src.token_table(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="orcstream_")
+    inp = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    tok.repartition(3).write.parquet(inp)
+    q = encode_stream.encode_stream(spark, inp, out,
+                                    max_files_per_trigger=2)
+    q.awaitTermination(300)
+    enc = spark.read.parquet(os.path.join(out, "stripes"))
+    dec = enc_ops.decode(enc)
+    return dec.agg(F.count("*").alias("n_docs"),
+                   F.sum("n_tok").cast("long").alias("sum_ntok"),
+                   F.countDistinct("doc_id").alias("n_ids"))
+
+
 def _q_mm_features(spark, sf_dir):
     media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
@@ -258,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
+        "stream_encode": _q_stream_encode,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ann_lsh": _q_sim_ann_lsh,
         "sim_knn_join": _q_sim_knn_join,
@@ -341,6 +365,10 @@ def oracle_sql() -> dict[str, str]:
         "orc_file_roundtrip": (
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
+            f"count(DISTINCT doc_id) AS n_ids FROM documents"),
+        "stream_encode": (
+            f"SELECT count(*) AS n_docs, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok, "
             f"count(DISTINCT doc_id) AS n_ids FROM documents"),
         "dedup_exact": (
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
