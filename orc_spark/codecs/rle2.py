@@ -487,12 +487,24 @@ def _analyze_segments(v, zz, starts, lens):
     cand = eligible & (mn != mx) & ~fixedflag & ~mono & (zz100p - zz90p > 1)
     br95p = br100p = None
     if cand.any():
-        br = (g.view(np.uint64) - np.repeat(mn, lens).view(np.uint64))
+        # base-reduced percentile analysis over candidate segments only
+        cand_idx = np.flatnonzero(cand)
+        clens = lens[cand_idx]
+        cmask = cand[seg_of]
+        g_c = g[cmask]
+        br = (g_c.view(np.uint64) -
+              np.repeat(mn[cand_idx], clens).view(np.uint64))
         brc = _ENCODE_WIDTH[_CLOSEST_FIXED[bit_length_u64(br)]]
-        bh = np.bincount(seg_of * 32 + brc, minlength=nseg * 32).reshape(
-            nseg, 32)
-        br100p = _percentile_from_hist(bh, np.zeros(nseg))
-        br95p = _percentile_from_hist(bh, lens_f * _P95_FACTOR)
+        csub = np.repeat(np.arange(len(cand_idx), dtype=np.int64), clens)
+        bh = np.bincount(csub * 32 + brc,
+                         minlength=len(cand_idx) * 32).reshape(-1, 32)
+        c100 = _percentile_from_hist(bh, np.zeros(len(cand_idx)))
+        c95 = _percentile_from_hist(
+            bh, clens.astype(np.float64) * _P95_FACTOR)
+        br100p = np.zeros(nseg, dtype=np.int64)
+        br95p = np.zeros(nseg, dtype=np.int64)
+        br100p[cand_idx] = c100
+        br95p[cand_idx] = c95
         decision[cand & (br100p != br95p)] = _D_PATCHED
     return decision, {
         "zz100p": zz100p, "mn": mn, "first_d": first_d,
