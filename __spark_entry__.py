@@ -204,25 +204,17 @@ def _q_sim_knn_join(spark, sf_dir):
 
 
 def _q_orc_file_roundtrip(spark, sf_dir):
-    """Write a real .orc file with our kernels, read it back with
-    Spark's JVM ORC reader, and aggregate — cross-implementation
+    """Distributed ORC sink round-trip: every partition streams its
+    rows through our kernels into a real .orc file (executor-side,
+    stripe-at-a-time — no driver collect), then Spark's JVM ORC reader
+    reads the directory back and aggregates — cross-implementation
     round-trip, checked against the raw documents by the oracle."""
     import tempfile
-    import os
     from orc_spark.sources import orcwriter
     tok = token_src.token_table(spark, sf_dir)
-    pdf = tok.toPandas()
-    import pyarrow as pa
-    table = pa.table({
-        "doc_id": pdf["doc_id"],
-        "tokens": pa.array([list(x) for x in pdf["tokens"]],
-                           pa.list_(pa.int32())),
-        "n_tok": pa.array(pdf["n_tok"], pa.int32()),
-        "source": pdf["source"],
-    })
-    path = os.path.join(tempfile.mkdtemp(prefix="orcq_"), "t.orc")
-    orcwriter.write_orc(table, path, codec="zlib")
-    df = spark.read.orc(path)
+    out = tempfile.mkdtemp(prefix="orcq_")
+    orcwriter.dataframe_to_orc_dir(tok.repartition(4), out, codec="zlib")
+    df = spark.read.orc(out)
     return df.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("tokens")).cast("long").alias("total_tokens"),

@@ -34,9 +34,9 @@ def make_spark(cpus: int):
     # This sandbox's kernel page-fault path serializes badly under
     # concurrency (control: alloc-heavy work anti-scales 0.28x at 32
     # procs while cpu-only scales 0.79). Keep worker heaps grown and
-    # reused: glibc must not mmap/trim large blocks, and Arrow must use
-    # the system allocator instead of jemalloc (which purges dirty
-    # pages and re-faults every task).
+    # reused: glibc must not mmap/trim large blocks. Arrow stays on its
+    # default jemalloc pool — switching to the system pool measured 4x
+    # WORSE at 32 workers (BENCH.md / CLAUDE.md); do not "fix" this.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     from pyspark.sql import SparkSession

@@ -110,10 +110,14 @@ def compress(data: bytes, kind: str = ZLIB,
     return bytes(out)
 
 
-def decompress(data: bytes, kind: str = ZLIB) -> bytes:
+def decompress(data, kind: str = ZLIB) -> bytes:
+    """Accepts any buffer-protocol object (bytes, memoryview, Arrow
+    buffer) — framed chunks are sliced zero-copy; only the decompressed
+    output is materialized."""
     if kind == NONE:
-        return bytes(data)
-    data = bytes(data)
+        return data if isinstance(data, (bytes, bytearray)) else bytes(data)
+    if not isinstance(data, (bytes, bytearray)):
+        data = memoryview(data)
     out = bytearray()
     pos = 0
     n = len(data)

@@ -229,8 +229,23 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
         from orc_spark._alloc import tune_worker
         tune_worker()
         for batch in batches:
-            rows = batch.to_pylist()
-            for row in rows:
+            # one input row per stripe; stream blobs stay zero-copy
+            # Arrow buffer views (never copied into Python bytes) —
+            # decompress() slices the framed chunks straight off them
+            names = batch.schema.names
+            cols = [batch.column(i) for i in range(batch.num_columns)]
+            is_bin = [pa.types.is_binary(c.type) or
+                      pa.types.is_large_binary(c.type) for c in cols]
+            for j in range(batch.num_rows):
+                row = {}
+                for name, col, binary in zip(names, cols, is_bin):
+                    s = col[j]
+                    if not s.is_valid:
+                        row[name] = None
+                    elif binary:
+                        row[name] = memoryview(s.as_buffer())
+                    else:
+                        row[name] = s.as_py()
                 table = stripe_mod.decode_stripe(row, specs, codec=codec)
                 table = table.cast(arrow_out)
                 for out in table.to_batches():

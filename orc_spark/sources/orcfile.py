@@ -83,6 +83,69 @@ def packed_varints(vals: list) -> list[int]:
     return out
 
 
+def _unzig(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _f64(b: bytes) -> float:
+    import struct
+    return struct.unpack("<d", b)[0]
+
+
+def parse_stats(msg: dict) -> dict:
+    """ColumnStatistics protobuf -> dict (proto orc.proto: 1=count,
+    2=int, 3=double, 4=string, 5=bucket, 6=decimal, 7=date, 8=binary,
+    9=timestamp, 10=hasNull)."""
+    out = {"n": msg.get(1, [0])[0], "has_null": bool(msg.get(10, [0])[0])}
+    if 2 in msg:
+        s = parse_message(msg[2][0])
+        if 1 in s:
+            out["min"] = _unzig(s[1][0])
+            out["max"] = _unzig(s[2][0])
+        if 3 in s:
+            out["sum"] = _unzig(s[3][0])
+    if 3 in msg:
+        s = parse_message(msg[3][0])
+        if 1 in s:
+            out["min"] = _f64(s[1][0])
+            out["max"] = _f64(s[2][0])
+        if 3 in s:
+            out["sum"] = _f64(s[3][0])
+    if 4 in msg:
+        s = parse_message(msg[4][0])
+        if 1 in s:
+            out["min"] = s[1][0].decode("utf-8", "replace")
+            out["max"] = s[2][0].decode("utf-8", "replace")
+        if 3 in s:
+            out["sum"] = _unzig(s[3][0])
+    if 5 in msg:
+        s = parse_message(msg[5][0])
+        out["true_count"] = packed_varints(s.get(1, []))[0] \
+            if s.get(1) else 0
+    if 6 in msg:
+        s = parse_message(msg[6][0])
+        if 1 in s:
+            out["min"] = s[1][0].decode()
+            out["max"] = s[2][0].decode()
+        if 3 in s:
+            out["sum"] = s[3][0].decode()
+    if 7 in msg:
+        s = parse_message(msg[7][0])
+        if 1 in s:
+            out["min"] = _unzig(s[1][0])
+            out["max"] = _unzig(s[2][0])
+    if 8 in msg:
+        s = parse_message(msg[8][0])
+        if 1 in s:
+            out["sum"] = _unzig(s[1][0])
+    if 9 in msg:
+        s = parse_message(msg[9][0])
+        if 1 in s:
+            out["min"] = _unzig(s[1][0])
+            out["max"] = _unzig(s[2][0])
+    return out
+
+
 class TypeNode:
     def __init__(self, msg):
         self.kind = KINDS[msg.get(1, [0])[0]]
@@ -110,6 +173,18 @@ class ORCFile:
         self.types = [TypeNode(parse_message(t)) for t in footer.get(4, [])]
         self.stripes = [parse_message(s) for s in footer.get(3, [])]
         self.n_rows = footer.get(6, [0])[0]
+        self.row_index_stride = footer.get(8, [0])[0]
+        self.file_statistics = [parse_stats(parse_message(b))
+                                for b in footer.get(7, [])]
+        self.stripe_statistics: list[list[dict]] = []
+        if meta_len:
+            meta = parse_message(self._decomp(
+                self.data[foot_end - footer_len - meta_len:
+                          foot_end - footer_len]))
+            for ss in meta.get(1, []):
+                cols = parse_message(ss).get(1, [])
+                self.stripe_statistics.append(
+                    [parse_stats(parse_message(c)) for c in cols])
 
     def _decomp(self, blob: bytes) -> bytes:
         if self.compression == "none":
@@ -306,6 +381,36 @@ class ORCFile:
             out.append(blob[off:off + ln].decode("utf-8", "replace"))
             off += ln
         return out
+
+    def row_index(self, si: int, col: int) -> list[dict]:
+        """Parse stripe si's ROW_INDEX stream for a column: one entry
+        per row-group with {"positions": [...], "stats": {...}}."""
+        info = self.stripes[si]
+        offset = info.get(1, [0])[0]
+        footer_len = info.get(4, [0])[0]
+        index_len = info.get(2, [0])[0]
+        data_len = info.get(3, [0])[0]
+        sf_start = offset + index_len + data_len
+        sfooter = parse_message(self._decomp(
+            self.data[sf_start:sf_start + footer_len]))
+        pos = offset
+        for s in sfooter.get(1, []):
+            sm = parse_message(s)
+            kind = STREAM_KINDS[sm.get(1, [0])[0]]
+            c = sm.get(2, [0])[0]
+            ln = sm.get(3, [0])[0]
+            if kind == "ROW_INDEX" and c == col:
+                ri = parse_message(self._decomp(self.data[pos:pos + ln]))
+                out = []
+                for e in ri.get(1, []):
+                    em = parse_message(e)
+                    stats = parse_stats(parse_message(em[2][0])) \
+                        if 2 in em else {}
+                    out.append({"positions": packed_varints(em.get(1, [])),
+                                "stats": stats})
+                return out
+            pos += ln
+        return []
 
     def read_all(self):
         for si in range(len(self.stripes)):

@@ -1,27 +1,55 @@
-"""Minimal Apache ORC *file* writer built on our codec kernels.
+"""Apache ORC *file* writer built on our codec kernels.
 
 The inverse of orcfile.py: assembles real ``.orc`` files — magic,
-stripes (data streams laid out per the stream directory), stripe
-footers, footer/postscript protobufs (hand-encoded wire format, no
-protobuf dependency) — from Arrow batches, using OUR RLE v2 /
-byte-RLE / boolean / dictionary kernels for the column streams.
+stripes (ROW_INDEX streams + data streams laid out per the stream
+directory), stripe footers, metadata (stripe statistics), footer with
+file column statistics, postscript — all hand-encoded protobuf wire
+format (no protobuf dependency), using OUR RLE v2 / byte-RLE / boolean
+/ dictionary / decimal kernels for the column streams.
 
 Behavioral reference: scritchley/orc writer.go:13-27 (layout),
-writer.go:228-318 (footer/postscript), writer.go:320-481 (stripe
-flush), treewriter.go (per-type streams).  Output is readable by any
-ORC reader — the round-trip proof in tests uses both our own
-orcfile.ORCFile and Spark's JVM ORC reader.
+writer.go:228-318 (footer/metadata/postscript), writer.go:320-481
+(stripe flush), treewriter.go (per-type streams, including the
+map/struct/union writers at treewriter.go:722-1132),
+columnstatistics.go:9-63 (statistics), writer.go:162-172 +
+treewriter.go:69-92 (10k-row row-index stride positions).
 
-Supported column types: the token schema and friends — boolean, int
-family, float/double, string (dict/direct auto-selected), binary,
-date, timestamp, list<int>/list<bigint>.  Compression: NONE or ZLIB
-(the reference writer's own gate, writer.go:70-87).
+Key properties:
+
+* **Streaming**: ``ORCFileWriter`` accepts Arrow batches incrementally
+  and flushes a stripe to disk whenever ``stripe_rows`` accumulate —
+  per-task memory is one stripe, never the whole partition (the 100 TB
+  sink shape; ``dataframe_to_orc_dir`` feeds it batch-by-batch).
+* **Row index**: every column gets a ROW_INDEX stream with an entry per
+  ``row_index_stride`` rows carrying positions + per-stride statistics.
+  Encoders RESTART at stride boundaries (a new RLE run / compression
+  chunk per stride), so recorded positions are exact with zero codec
+  state — the same trick Presto/Trino writers use.  Bit-granular
+  streams (PRESENT, boolean DATA) whose stride boundaries fall mid-byte
+  are written as one run with consume-from-start positions instead
+  (valid per the spec's cross-run consume semantics).
+* **Statistics**: per-stride (row index), per-stripe (metadata
+  StripeStatistics) and per-file (footer) ColumnStatistics with
+  type-specific min/max/sum, so other engines get predicate pushdown
+  from our files.
+* **Types**: the full nested set — struct/map/list/union plus all
+  scalars (boolean, byte..long, float/double, string/char/varchar,
+  binary, decimal, date, timestamp).  Output is readable by any ORC
+  reader; round-trip proof uses our own orcfile.ORCFile, pyarrow's C++
+  reader, and Spark's JVM reader (union: our reader — Spark/Arrow do
+  not implement ORC union reads).
+
+Compression: NONE or ZLIB (the reference writer's own gate,
+writer.go:70-87).
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import stripe as stripe_mod
 from ..codecs import byterle, compression, rle2
@@ -29,11 +57,33 @@ from ..codecs.bits import write_vulong
 from .orcfile import KINDS, STREAM_KINDS, ENCODINGS, TIMESTAMP_BASE_SECONDS
 
 MAGIC = b"ORC"
+DEFAULT_ROW_INDEX_STRIDE = 10_000  # reference writer.go:21 / spec default
+WRITER_VERSION = 6  # ORC-101 era: readers trust string min/max stats
+
+_KIND_CODE = {k: i for i, k in enumerate(KINDS)}
+_STREAM_CODE = {k: i for i, k in enumerate(STREAM_KINDS)}
+_ENC_CODE = {k: i for i, k in enumerate(ENCODINGS)}
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire-format emitters
+# ---------------------------------------------------------------------------
 
 
 def _varint_field(out: bytearray, fno: int, value: int) -> None:
     write_vulong(out, (fno << 3) | 0)
     write_vulong(out, value)
+
+
+def _sint_field(out: bytearray, fno: int, value: int) -> None:
+    write_vulong(out, (fno << 3) | 0)
+    write_vulong(out, (value << 1) ^ (value >> 63) if value >= 0
+                 else ((-value) << 1) - 1)
+
+
+def _double_field(out: bytearray, fno: int, value: float) -> None:
+    write_vulong(out, (fno << 3) | 1)
+    out.extend(struct.pack("<d", value))
 
 
 def _bytes_field(out: bytearray, fno: int, blob: bytes) -> None:
@@ -42,8 +92,15 @@ def _bytes_field(out: bytearray, fno: int, blob: bytes) -> None:
     out.extend(blob)
 
 
+def _packed_field(out: bytearray, fno: int, values) -> None:
+    packed = bytearray()
+    for v in values:
+        write_vulong(packed, int(v))
+    _bytes_field(out, fno, bytes(packed))
+
+
 def _message(fields: list[tuple[int, str, object]]) -> bytes:
-    """Encode (field_no, kind, value) tuples; kind in varint|bytes|msg."""
+    """Encode (field_no, kind, value) tuples; kind in varint|bytes."""
     out = bytearray()
     for fno, kind, value in fields:
         if kind == "varint":
@@ -53,235 +110,801 @@ def _message(fields: list[tuple[int, str, object]]) -> bytes:
     return bytes(out)
 
 
-class _Column:
-    """Per-column state: ORC type node + per-stripe stream encoder."""
-
-    def __init__(self, col_id: int, spec: stripe_mod.ColumnSpec):
-        self.col_id = col_id
-        self.spec = spec
+# ---------------------------------------------------------------------------
+# type tree (pre-order column ids, typedescription.go:506-516)
+# ---------------------------------------------------------------------------
 
 
-def _type_messages(specs: list[stripe_mod.ColumnSpec]) -> list[bytes]:
-    """Flatten the single-level struct schema into pre-order Type
-    protobufs (typedescription.go:506-516 id assignment)."""
-    kind_code = {k: i for i, k in enumerate(KINDS)}
-    # root struct: subtypes are the top-level column ids
+class _TypeNode:
+    __slots__ = ("kind", "col_id", "children", "field_names", "arrow_type",
+                 "precision", "scale", "max_length")
+
+    def __init__(self, kind: str, arrow_type=None):
+        self.kind = kind
+        self.col_id = -1
+        self.children: list[_TypeNode] = []
+        self.field_names: list[str] = []
+        self.arrow_type = arrow_type
+        self.precision = 0
+        self.scale = 0
+        self.max_length = 0
+
+
+def _node_from_arrow(typ: pa.DataType) -> _TypeNode:
+    if pa.types.is_boolean(typ):
+        return _TypeNode("boolean", typ)
+    if pa.types.is_int8(typ):
+        return _TypeNode("byte", typ)
+    if pa.types.is_int16(typ):
+        return _TypeNode("short", typ)
+    if pa.types.is_int32(typ):
+        return _TypeNode("int", typ)
+    if pa.types.is_int64(typ):
+        return _TypeNode("long", typ)
+    if pa.types.is_float32(typ):
+        return _TypeNode("float", typ)
+    if pa.types.is_float64(typ):
+        return _TypeNode("double", typ)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return _TypeNode("string", pa.string())
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return _TypeNode("binary", pa.binary())
+    if pa.types.is_date32(typ):
+        return _TypeNode("date", typ)
+    if pa.types.is_timestamp(typ):
+        return _TypeNode("timestamp", typ)
+    if pa.types.is_decimal(typ):
+        n = _TypeNode("decimal", typ)
+        n.precision, n.scale = typ.precision, typ.scale
+        return n
+    if pa.types.is_map(typ):
+        n = _TypeNode("map", typ)
+        n.children = [_node_from_arrow(typ.key_type),
+                      _node_from_arrow(typ.item_type)]
+        return n
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        n = _TypeNode("list", typ)
+        n.children = [_node_from_arrow(typ.value_type)]
+        return n
+    if pa.types.is_struct(typ):
+        n = _TypeNode("struct", typ)
+        for i in range(typ.num_fields):
+            f = typ.field(i)
+            n.children.append(_node_from_arrow(f.type))
+            n.field_names.append(f.name)
+        return n
+    if pa.types.is_union(typ):
+        n = _TypeNode("union", typ)
+        for i in range(typ.num_fields):
+            n.children.append(_node_from_arrow(typ.field(i).type))
+        return n
+    raise ValueError(f"unsupported arrow type for ORC writer: {typ}")
+
+
+def _build_tree(schema: pa.Schema) -> _TypeNode:
+    root = _TypeNode("struct")
+    for f in schema:
+        root.children.append(_node_from_arrow(f.type))
+        root.field_names.append(f.name)
+    next_id = [0]
+
+    def assign(node: _TypeNode) -> None:
+        node.col_id = next_id[0]
+        next_id[0] += 1
+        for c in node.children:
+            assign(c)
+
+    assign(root)
+    return root
+
+
+def _walk(node: _TypeNode):
+    yield node
+    for c in node.children:
+        yield from _walk(c)
+
+
+def _type_messages(root: _TypeNode) -> list[bytes]:
     msgs = []
-    child_ids = []
-    next_id = 1
-    col_ids = {}
-    for s in specs:
-        col_ids[s.name] = next_id
-        child_ids.append(next_id)
-        next_id += 2 if s.is_list else 1
-    root = bytearray()
-    _varint_field(root, 1, kind_code["struct"])
-    packed = bytearray()
-    for cid in child_ids:
-        write_vulong(packed, cid)
-    _bytes_field(root, 2, bytes(packed))
-    for s in specs:
-        _bytes_field(root, 3, s.name.encode())
-    msgs.append(bytes(root))
-    for s in specs:
-        if s.is_list:
-            lm = bytearray()
-            _varint_field(lm, 1, kind_code["list"])
-            pk = bytearray()
-            write_vulong(pk, col_ids[s.name] + 1)
-            _bytes_field(lm, 2, bytes(pk))
-            msgs.append(bytes(lm))
-            child_kind = {"int": "int", "bigint": "long"}.get(
-                s.child_typ, "long")
-            msgs.append(_message([(1, "varint", kind_code[child_kind])]))
-        else:
-            kind = {"bigint": "long", "smallint": "short",
-                    "tinyint": "byte"}.get(s.typ, s.typ)
-            msgs.append(_message([(1, "varint", kind_code[kind])]))
+    for node in _walk(root):
+        m = bytearray()
+        _varint_field(m, 1, _KIND_CODE[node.kind])
+        if node.children:
+            _packed_field(m, 2, [c.col_id for c in node.children])
+        for fn in node.field_names:
+            _bytes_field(m, 3, fn.encode())
+        if node.max_length:
+            _varint_field(m, 4, node.max_length)
+        if node.kind == "decimal":
+            _varint_field(m, 5, node.precision)
+            _varint_field(m, 6, node.scale)
+        msgs.append(bytes(m))
     return msgs
 
 
-def _n_columns(specs) -> int:
-    return 1 + sum(2 if s.is_list else 1 for s in specs)
+# ---------------------------------------------------------------------------
+# column statistics (columnstatistics.go:9-63; proto ColumnStatistics)
+# ---------------------------------------------------------------------------
+
+_STAT_GROUP = {
+    "byte": "int", "short": "int", "int": "int", "long": "int",
+    "float": "double", "double": "double",
+    "string": "string", "varchar": "string", "char": "string",
+    "boolean": "bucket", "date": "date", "binary": "binary",
+    "timestamp": "timestamp", "decimal": "decimal",
+    "struct": "none", "list": "none", "map": "none", "union": "none",
+}
 
 
-def _encode_column_streams(arr: pa.Array, spec, col_id: int):
-    """-> list of (col_id, kind_code, blob) + (col_id, encoding_code,
-    dict_size) list, using ORC-standard encodings only."""
-    streams = []
-    encodings = []
-    kc = {k: i for i, k in enumerate(STREAM_KINDS)}
-    ec = {k: i for i, k in enumerate(ENCODINGS)}
+def _new_stats(kind: str) -> dict:
+    return {"g": _STAT_GROUP[kind], "n": 0, "has_null": False}
+
+
+def _merge_stats(acc: dict, st: dict) -> None:
+    acc["n"] += st["n"]
+    acc["has_null"] = acc["has_null"] or st["has_null"]
+    for k in ("sum", "true_count"):
+        if k in st:
+            acc[k] = acc.get(k, 0) + st[k]
+    if "min" in st:
+        acc["min"] = st["min"] if "min" not in acc else min(acc["min"],
+                                                            st["min"])
+        acc["max"] = st["max"] if "max" not in acc else max(acc["max"],
+                                                            st["max"])
+
+
+def _stats_message(st: dict) -> bytes:
+    out = bytearray()
+    _varint_field(out, 1, st["n"])
+    g = st["g"]
+    sub = bytearray()
+    if g == "int" and "min" in st:
+        _sint_field(sub, 1, int(st["min"]))
+        _sint_field(sub, 2, int(st["max"]))
+        if "sum" in st:
+            _sint_field(sub, 3, int(st["sum"]))
+        _bytes_field(out, 2, bytes(sub))
+    elif g == "double" and "min" in st:
+        _double_field(sub, 1, float(st["min"]))
+        _double_field(sub, 2, float(st["max"]))
+        if "sum" in st:
+            _double_field(sub, 3, float(st["sum"]))
+        _bytes_field(out, 3, bytes(sub))
+    elif g == "string" and "min" in st:
+        _bytes_field(sub, 1, st["min"])
+        _bytes_field(sub, 2, st["max"])
+        _sint_field(sub, 3, int(st.get("sum", 0)))
+        _bytes_field(out, 4, bytes(sub))
+    elif g == "bucket":
+        _packed_field(sub, 1, [st.get("true_count", 0)])
+        _bytes_field(out, 5, bytes(sub))
+    elif g == "decimal" and "min" in st:
+        _bytes_field(sub, 1, str(st["min"]).encode())
+        _bytes_field(sub, 2, str(st["max"]).encode())
+        if "sum" in st:
+            _bytes_field(sub, 3, str(st["sum"]).encode())
+        _bytes_field(out, 6, bytes(sub))
+    elif g == "date" and "min" in st:
+        _sint_field(sub, 1, int(st["min"]))
+        _sint_field(sub, 2, int(st["max"]))
+        _bytes_field(out, 7, bytes(sub))
+    elif g == "binary":
+        _sint_field(sub, 1, int(st.get("sum", 0)))
+        _bytes_field(out, 8, bytes(sub))
+    elif g == "timestamp" and "min" in st:
+        _sint_field(sub, 1, int(st["min"]))
+        _sint_field(sub, 2, int(st["max"]))
+        _sint_field(sub, 3, int(st["min"]))  # minimumUtc (we write UTC)
+        _sint_field(sub, 4, int(st["max"]))  # maximumUtc
+        _bytes_field(out, 9, bytes(sub))
+    _varint_field(out, 10, 1 if st["has_null"] else 0)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# per-column stripe output collector
+# ---------------------------------------------------------------------------
+
+
+class _Stream:
+    """One output stream of one column in one stripe.
+
+    ``pieces`` are raw (uncompressed) byte blobs, one per stride when
+    the encoder restarts at stride boundaries, or a single blob for
+    stripe-global / unaligned-bit streams.  ``extra`` is the number of
+    trailing codec-state zeros a seek position carries (RLE run
+    consume count).  ``bit_pos`` carries (byte, bit) consume positions
+    for single-run bit streams."""
+
+    __slots__ = ("kind", "pieces", "extra", "indexed", "bit_pos")
+
+    def __init__(self, kind: str, pieces: list, extra: int,
+                 indexed: bool, bit_pos=None):
+        self.kind = kind
+        self.pieces = pieces
+        self.extra = extra
+        self.indexed = indexed
+        self.bit_pos = bit_pos
+
+
+class _ColOut:
+    def __init__(self, node: _TypeNode):
+        self.node = node
+        self.encoding = "DIRECT"
+        self.dict_size = 0
+        self.streams: list[_Stream] = []
+        self.stride_stats: list[dict] = []
+        self.stripe_stats = _new_stats(node.kind)
+
+    def add_value_stream(self, kind: str, pieces: list[bytes],
+                         extra: int, indexed: bool = True) -> None:
+        self.streams.append(_Stream(kind, pieces, extra, indexed))
+
+    def add_bit_stream(self, kind: str, bits: np.ndarray,
+                       bounds: np.ndarray) -> None:
+        """Bit-granular stream (PRESENT / boolean DATA): per-stride
+        restart when every interior boundary is byte-aligned, else one
+        run with consume-from-start positions."""
+        interior = bounds[1:-1]
+        if len(interior) == 0 or not np.any(interior % 8):
+            pieces = [byterle.encode_bools(bits[bounds[i]:bounds[i + 1]])
+                      for i in range(len(bounds) - 1)]
+            self.streams.append(_Stream(kind, pieces, 2, True))
+        else:
+            bit_pos = [(int(b) // 8, int(b) % 8) for b in bounds[:-1]]
+            self.streams.append(_Stream(kind, [byterle.encode_bools(bits)],
+                                        2, True, bit_pos=bit_pos))
+
+
+# ---------------------------------------------------------------------------
+# per-type stride encoders
+# ---------------------------------------------------------------------------
+
+
+def _np_stride_stats(co, kind, vals, bounds, has_null_per_stride,
+                     sum_ok=True):
+    """Append per-stride min/max/sum stats for a numeric value array
+    (``bounds`` index the non-null value space; n = non-null count)."""
+    for t in range(len(bounds) - 1):
+        st = _new_stats(kind)
+        seg = vals[bounds[t]:bounds[t + 1]]
+        st["n"] = len(seg)
+        st["has_null"] = bool(has_null_per_stride[t]) \
+            if has_null_per_stride is not None else False
+        if len(seg):
+            st["min"] = seg.min().item()
+            st["max"] = seg.max().item()
+            if sum_ok:
+                st["sum"] = int(seg.sum()) if np.issubdtype(
+                    seg.dtype, np.integer) else float(seg.sum())
+        co.stride_stats.append(st)
+        _merge_stats(co.stripe_stats, st)
+
+
+def _slice_pieces(encode_fn, vals, bounds) -> list[bytes]:
+    return [encode_fn(vals[bounds[t]:bounds[t + 1]])
+            for t in range(len(bounds) - 1)]
+
+
+def _encode_node(node: _TypeNode, arr: pa.Array, bounds: np.ndarray,
+                 sink: dict, use_fsst: bool = False) -> None:
+    """Encode one column's stripe data, restarting codecs at the given
+    stride boundaries (``bounds``: row offsets in THIS node's row
+    space, len = n_strides+1)."""
+    co = _ColOut(node)
+    sink[node.col_id] = co
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
-    if arr.null_count:
-        valid = np.asarray(arr.is_valid())
-        streams.append((col_id, kc["PRESENT"], byterle.encode_bools(valid)))
+    n_strides = len(bounds) - 1
+
+    if node.kind != "union" and arr.null_count:
+        validity = np.asarray(arr.is_valid())
+        co.add_bit_stream("PRESENT", validity, bounds)
+        vc = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(validity, out=vc[1:])
+        data_bounds = vc[bounds]
+        null_per_stride = [bool(np.any(~validity[bounds[t]:bounds[t + 1]]))
+                           for t in range(n_strides)]
         data = arr.drop_null()
     else:
+        data_bounds = bounds.copy()
+        null_per_stride = [False] * n_strides
         data = arr
-    typ = spec.typ
+        validity = None
+    k = node.kind
 
-    if typ in stripe_mod.INT_TYPES:
+    if k in ("short", "int", "long"):
         vals = np.asarray(data).astype(np.int64)
-        streams.append((col_id, kc["DATA"], rle2.encode(vals, signed=True)))
-        encodings.append((col_id, ec["DIRECT_V2"], 0))
-    elif typ == "date":
-        vals = np.asarray(data).astype("datetime64[D]").astype(np.int64)
-        streams.append((col_id, kc["DATA"], rle2.encode(vals, signed=True)))
-        encodings.append((col_id, ec["DIRECT_V2"], 0))
-    elif typ in ("float", "double"):
-        dt = "<f4" if typ == "float" else "<f8"
-        streams.append((col_id, kc["DATA"],
-                        np.asarray(data).astype(dt).tobytes()))
-        encodings.append((col_id, ec["DIRECT"], 0))
-    elif typ == "boolean":
-        streams.append((col_id, kc["DATA"],
-                        byterle.encode_bools(np.asarray(data))))
-        encodings.append((col_id, ec["DIRECT"], 0))
-    elif typ == "timestamp":
-        us = np.asarray(data.cast(pa.int64()))
+        co.add_value_stream("DATA", _slice_pieces(
+            lambda v: rle2.encode(v, signed=True), vals, data_bounds), 1)
+        co.encoding = "DIRECT_V2"
+        _np_stride_stats(co, k, vals, data_bounds, null_per_stride)
+    elif k == "byte":
+        vals = np.asarray(data).astype(np.int8)
+        co.add_value_stream("DATA", _slice_pieces(
+            lambda v: byterle.encode(v.view(np.uint8)), vals, data_bounds), 1)
+        _np_stride_stats(co, k, vals, data_bounds, null_per_stride)
+    elif k == "date":
+        vals = np.asarray(data.cast(pa.int32())).astype(np.int64)
+        co.add_value_stream("DATA", _slice_pieces(
+            lambda v: rle2.encode(v, signed=True), vals, data_bounds), 1)
+        co.encoding = "DIRECT_V2"
+        _np_stride_stats(co, k, vals, data_bounds, null_per_stride,
+                         sum_ok=False)
+    elif k in ("float", "double"):
+        dt = "<f4" if k == "float" else "<f8"
+        vals = np.asarray(data).astype(np.float64)
+        raw = vals.astype(dt)
+        co.add_value_stream("DATA", _slice_pieces(
+            lambda v: v.tobytes(), raw, data_bounds), 0)
+        _np_stride_stats(co, k, vals, data_bounds, null_per_stride)
+    elif k == "boolean":
+        vals = np.asarray(data)
+        co.add_bit_stream("DATA", vals, data_bounds)
+        for t in range(n_strides):
+            seg = vals[data_bounds[t]:data_bounds[t + 1]]
+            st = _new_stats(k)
+            st["n"] = int(data_bounds[t + 1] - data_bounds[t])
+            st["has_null"] = null_per_stride[t]
+            st["true_count"] = int(seg.sum())
+            co.stride_stats.append(st)
+            _merge_stats(co.stripe_stats, st)
+    elif k == "timestamp":
+        us = np.asarray(data.cast(pa.timestamp("us")).cast(pa.int64()))
         secs = np.floor_divide(us, 1_000_000)
         nanos = (us - secs * 1_000_000) * 1000
-        streams.append((col_id, kc["DATA"], rle2.encode(
-            secs - TIMESTAMP_BASE_SECONDS, signed=True)))
-        streams.append((col_id, kc["SECONDARY"], rle2.encode(
-            stripe_mod._format_nanos(nanos), signed=False)))
-        encodings.append((col_id, ec["DIRECT_V2"], 0))
-    elif typ in ("string", "binary"):
-        enc, s, _stats = stripe_mod._encode_string_like(data, use_fsst=False)
-        if enc == "DICTIONARY_V2":
-            streams.append((col_id, kc["DATA"], s["DATA"]))
-            streams.append((col_id, kc["DICTIONARY_DATA"],
-                            s["DICTIONARY_DATA"]))
-            streams.append((col_id, kc["LENGTH"], s["LENGTH"]))
-            # dict size = number of keys
-            n_keys = _stats.get("dict_size", 0)
-            encodings.append((col_id, ec["DICTIONARY_V2"], n_keys))
-        else:
-            streams.append((col_id, kc["DATA"], s["DATA"]))
-            streams.append((col_id, kc["LENGTH"], s["LENGTH"]))
-            encodings.append((col_id, ec["DIRECT_V2"], 0))
-    elif spec.is_list:
+        rel = secs - TIMESTAMP_BASE_SECONDS
+        fmt = stripe_mod._format_nanos(nanos)
+        co.add_value_stream("DATA", _slice_pieces(
+            lambda v: rle2.encode(v, signed=True), rel, data_bounds), 1)
+        co.add_value_stream("SECONDARY", _slice_pieces(
+            lambda v: rle2.encode(v, signed=False), fmt, data_bounds), 1)
+        co.encoding = "DIRECT_V2"
+        millis = np.floor_divide(us, 1000)
+        _np_stride_stats(co, k, millis, data_bounds, null_per_stride,
+                         sum_ok=False)
+    elif k in ("string", "varchar", "char", "binary"):
+        _encode_string_node(co, k, data, data_bounds, bounds,
+                            null_per_stride)
+    elif k == "decimal":
+        _encode_decimal_node(co, node, data, data_bounds, bounds,
+                             null_per_stride)
+    elif k == "struct":
+        for t in range(n_strides):
+            st = _new_stats(k)
+            st["n"] = int(data_bounds[t + 1] - data_bounds[t])
+            st["has_null"] = null_per_stride[t]
+            co.stride_stats.append(st)
+            _merge_stats(co.stripe_stats, st)
+        for i, child in enumerate(node.children):
+            carr = arr.field(i)
+            if validity is not None:
+                carr = carr.filter(pa.array(validity))
+            _encode_node(child, carr, data_bounds, sink, use_fsst)
+    elif k in ("list", "map"):
         nn = len(data)
-        offsets = np.frombuffer(data.buffers()[1], dtype=np.int32,
-                                count=nn + 1, offset=data.offset * 4)
+        off_buf = data.offsets if hasattr(data, "offsets") else None
+        offsets = np.asarray(data.offsets)[: nn + 1] if off_buf is not None \
+            else np.zeros(nn + 1, dtype=np.int64)
         lengths = np.diff(offsets).astype(np.int64)
-        child = np.asarray(
-            data.values[offsets[0]:offsets[-1]]).astype(np.int64)
-        streams.append((col_id, kc["LENGTH"],
-                        rle2.encode(lengths, signed=False)))
-        encodings.append((col_id, ec["DIRECT_V2"], 0))
-        streams.append((col_id + 1, kc["DATA"],
-                        rle2.encode(child, signed=True)))
-        encodings.append((col_id + 1, ec["DIRECT_V2"], 0))
+        co.add_value_stream("LENGTH", _slice_pieces(
+            lambda v: rle2.encode(v, signed=False), lengths, data_bounds), 1)
+        co.encoding = "DIRECT_V2"
+        for t in range(n_strides):
+            st = _new_stats(k)
+            st["n"] = int(data_bounds[t + 1] - data_bounds[t])
+            st["has_null"] = null_per_stride[t]
+            co.stride_stats.append(st)
+            _merge_stats(co.stripe_stats, st)
+        # child boundaries: element offsets at stride starts
+        ec = np.zeros(nn + 1, dtype=np.int64)
+        np.cumsum(lengths, out=ec[1:])
+        child_bounds = ec[data_bounds]
+        first = int(offsets[0]) if nn else 0
+        last = int(offsets[-1]) if nn else 0
+        if k == "list":
+            child_vals = data.values.slice(first, last - first)
+            _encode_node(node.children[0], child_vals, child_bounds, sink,
+                         use_fsst)
+        else:
+            keys = data.keys.slice(first, last - first)
+            items = data.items.slice(first, last - first)
+            _encode_node(node.children[0], keys, child_bounds, sink,
+                         use_fsst)
+            _encode_node(node.children[1], items, child_bounds, sink,
+                         use_fsst)
+    elif k == "union":
+        buffers = arr.buffers()
+        tags = np.frombuffer(buffers[1], dtype=np.int8, count=n,
+                             offset=arr.offset).astype(np.uint8)
+        co.add_value_stream("DATA", _slice_pieces(
+            lambda v: byterle.encode(v), tags, bounds), 1)
+        for t in range(n_strides):
+            st = _new_stats(k)
+            st["n"] = int(bounds[t + 1] - bounds[t])
+            co.stride_stats.append(st)
+            _merge_stats(co.stripe_stats, st)
+        dense = pa.types.is_union(arr.type) and arr.type.mode == "dense"
+        for vi, child in enumerate(node.children):
+            mask = tags == vi
+            cnt = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(mask, out=cnt[1:])
+            child_bounds = cnt[bounds]
+            if dense:
+                value_offsets = np.frombuffer(
+                    buffers[2], dtype=np.int32, count=n,
+                    offset=arr.offset * 4)
+                take_idx = value_offsets[mask]
+                cvals = arr.field(vi).take(pa.array(take_idx))
+            else:
+                cvals = arr.field(vi).filter(pa.array(mask))
+            _encode_node(child, cvals, child_bounds, sink, use_fsst)
     else:
-        raise ValueError(f"unsupported type for ORC writer: {typ}")
-    return streams, encodings
+        raise ValueError(f"unsupported ORC column kind: {k}")
+
+
+def _encode_string_node(co, kind, data, data_bounds, bounds,
+                        null_per_stride) -> None:
+    nn = len(data)
+    n_strides = len(bounds) - 1
+    if nn and data.type not in (pa.string(), pa.binary()):
+        data = data.cast(pa.string() if kind != "binary" else pa.binary())
+    if nn == 0:
+        co.add_value_stream("DATA", [b""] * n_strides, 0)
+        co.add_value_stream("LENGTH", [b""] * n_strides, 1)
+        co.encoding = "DIRECT_V2"
+        for t in range(n_strides):
+            st = _new_stats(kind)
+            st["has_null"] = null_per_stride[t]
+            co.stride_stats.append(st)
+            _merge_stats(co.stripe_stats, st)
+        return
+    bufs = data.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=nn + 1,
+                            offset=data.offset * 4).astype(np.int64)
+    lengths = np.diff(offsets)
+    blob = bufs[2]
+    blob_view = memoryview(blob)[offsets[0]:offsets[-1]]
+    base = int(offsets[0])
+
+    # per-stride stats (min/max bytes + total length)
+    for t in range(n_strides):
+        st = _new_stats(kind)
+        lo, hi = int(data_bounds[t]), int(data_bounds[t + 1])
+        st["n"] = hi - lo
+        st["has_null"] = null_per_stride[t]
+        if hi > lo:
+            seg = data.slice(lo, hi - lo)
+            mm = pc.min_max(seg)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            st["min"] = mn.encode() if isinstance(mn, str) else mn
+            st["max"] = mx.encode() if isinstance(mx, str) else mx
+            st["sum"] = int(lengths[lo:hi].sum())
+        if kind == "binary":
+            st.pop("min", None)
+            st.pop("max", None)
+        co.stride_stats.append(st)
+        _merge_stats(co.stripe_stats, st)
+
+    if kind != "binary":
+        enc = pc.dictionary_encode(data)
+        n_distinct = len(enc.dictionary)
+        if n_distinct / nn <= 0.49:  # treewriter.go:694-707 threshold
+            keys = enc.dictionary
+            key_bytes = [kv.as_py().encode() if isinstance(kv.as_py(), str)
+                         else kv.as_py() for kv in keys]
+            order = np.argsort(np.array(key_bytes, dtype=object))
+            remap = np.empty(n_distinct, dtype=np.int64)
+            remap[order] = np.arange(n_distinct)
+            indices = remap[np.asarray(enc.indices).astype(np.int64)]
+            co.add_value_stream("DATA", _slice_pieces(
+                lambda v: rle2.encode(v, signed=False), indices,
+                data_bounds), 1)
+            dict_blob = b"".join(key_bytes[int(i)] for i in order)
+            key_lengths = np.array(
+                [len(key_bytes[int(i)]) for i in order], dtype=np.int64)
+            co.add_value_stream("DICTIONARY_DATA", [dict_blob], 0,
+                                indexed=False)
+            co.add_value_stream("LENGTH",
+                                [rle2.encode(key_lengths, signed=False)],
+                                1, indexed=False)
+            co.encoding = "DICTIONARY_V2"
+            co.dict_size = n_distinct
+            return
+    # direct: raw bytes restart trivially at any boundary
+    byte_bounds = offsets[data_bounds] - base
+    co.add_value_stream("DATA", [
+        bytes(blob_view[byte_bounds[t]:byte_bounds[t + 1]])
+        for t in range(n_strides)], 0)
+    co.add_value_stream("LENGTH", _slice_pieces(
+        lambda v: rle2.encode(v, signed=False), lengths, data_bounds), 1)
+    co.encoding = "DIRECT_V2"
+
+
+def _encode_decimal_node(co, node, data, data_bounds, bounds,
+                         null_per_stride) -> None:
+    from ..codecs import decimal as dec_codec
+    scale = node.scale
+    vals = data.to_pylist()
+    mants = [int(v.scaleb(scale)) for v in vals]
+    n_strides = len(bounds) - 1
+    data_pieces, sec_pieces = [], []
+    for t in range(n_strides):
+        lo, hi = int(data_bounds[t]), int(data_bounds[t + 1])
+        s = dec_codec.encode_decimals(mants[lo:hi], [scale] * (hi - lo))
+        data_pieces.append(s["DATA"])
+        sec_pieces.append(s["SECONDARY"])
+        st = _new_stats("decimal")
+        st["n"] = hi - lo
+        st["has_null"] = null_per_stride[t]
+        if hi > lo:
+            st["min"] = min(vals[lo:hi])
+            st["max"] = max(vals[lo:hi])
+            st["sum"] = sum(vals[lo:hi])
+        co.stride_stats.append(st)
+        _merge_stats(co.stripe_stats, st)
+    co.add_value_stream("DATA", data_pieces, 0)
+    co.add_value_stream("SECONDARY", sec_pieces, 1)
+    co.encoding = "DIRECT_V2"
+
+
+# ---------------------------------------------------------------------------
+# incremental file writer
+# ---------------------------------------------------------------------------
+
+
+class ORCFileWriter:
+    """Streaming ORC file writer: feed Arrow batches, stripes flush to
+    disk as ``stripe_rows`` accumulate; ``close()`` writes metadata
+    (stripe statistics), footer (file statistics) and postscript.
+    Per-call memory is bounded by one stripe, never the input size."""
+
+    def __init__(self, path: str, codec: str = "zlib",
+                 stripe_rows: int = 1 << 20,
+                 row_index_stride: int = DEFAULT_ROW_INDEX_STRIDE,
+                 use_fsst: bool = False):
+        if row_index_stride % 8:
+            raise ValueError("row_index_stride must be a multiple of 8")
+        self.codec = codec
+        self.comp_code = {"none": 0, "zlib": 1}[codec]
+        self.stripe_rows = stripe_rows
+        self.stride = row_index_stride
+        self.use_fsst = use_fsst
+        self.f = open(path, "wb")
+        self.f.write(MAGIC)
+        self.offset = len(MAGIC)
+        self.tree: _TypeNode | None = None
+        self.n_cols = 0
+        self.stripe_infos: list[tuple] = []
+        self.stripe_stats_msgs: list[list[bytes]] = []
+        self.file_stats: list[dict] | None = None
+        self.n_total = 0
+        self._buf: list[pa.RecordBatch] = []
+        self._buf_rows = 0
+
+    # -- public API --------------------------------------------------------
+
+    def write_table(self, table: pa.Table) -> None:
+        for b in table.to_batches():
+            self.write_batch(b)
+
+    def write_batch(self, batch: pa.RecordBatch) -> None:
+        if self.tree is None:
+            self.tree = _build_tree(batch.schema)
+            self.n_cols = sum(1 for _ in _walk(self.tree))
+        self._buf.append(batch)
+        self._buf_rows += batch.num_rows
+        while self._buf_rows >= self.stripe_rows:
+            table = pa.Table.from_batches(self._buf)
+            self._flush_stripe(table.slice(0, self.stripe_rows))
+            rest = table.slice(self.stripe_rows)
+            self._buf = rest.to_batches() if rest.num_rows else []
+            self._buf_rows = rest.num_rows
+
+    def close(self) -> dict:
+        if self._buf_rows:
+            self._flush_stripe(pa.Table.from_batches(self._buf))
+            self._buf = []
+            self._buf_rows = 0
+        if self.tree is None:
+            raise ValueError("no data written")
+        self._write_tail()
+        self.f.close()
+        return {"bytes": self.offset, "rows": self.n_total,
+                "stripes": len(self.stripe_infos)}
+
+    # -- internals ---------------------------------------------------------
+
+    def _frame(self, blob: bytes) -> bytes:
+        return compression.compress(blob, self.codec) \
+            if self.codec != "none" else bytes(blob)
+
+    def _flush_stripe(self, table: pa.Table) -> None:
+        n_rows = table.num_rows
+        if n_rows == 0:
+            return
+        self.n_total += n_rows
+        bounds = np.arange(0, n_rows, self.stride, dtype=np.int64)
+        bounds = np.append(bounds, n_rows)
+        n_strides = len(bounds) - 1
+        sink: dict[int, _ColOut] = {}
+
+        # root struct column
+        root_co = _ColOut(self.tree)
+        sink[0] = root_co
+        for t in range(n_strides):
+            st = _new_stats("struct")
+            st["n"] = int(bounds[t + 1] - bounds[t])
+            root_co.stride_stats.append(st)
+            _merge_stats(root_co.stripe_stats, st)
+        for i, child in enumerate(self.tree.children):
+            arr = table.column(i)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            _encode_node(child, arr, bounds, sink, self.use_fsst)
+
+        # compress stream pieces, compute positions
+        framed: dict[tuple[int, int], bytes] = {}
+        positions: dict[int, list[list[int]]] = {}
+        n_codec_pos = 1 if self.codec == "none" else 2
+        for cid in range(self.n_cols):
+            co = sink[cid]
+            col_pos = [[] for _ in range(n_strides)]
+            for s in co.streams:
+                fp = [self._frame(p) for p in s.pieces]
+                blob = b"".join(fp)
+                kc = _STREAM_CODE[s.kind]
+                if blob:
+                    framed[(cid, kc)] = blob
+                if not s.indexed:
+                    continue
+                if s.bit_pos is not None:
+                    for t in range(n_strides):
+                        byte_i, bit_i = s.bit_pos[t]
+                        col_pos[t].extend([0] * n_codec_pos +
+                                          [byte_i, bit_i])
+                elif len(s.pieces) == n_strides:
+                    off = 0
+                    for t in range(n_strides):
+                        pos = [off] + [0] * (n_codec_pos - 1) + \
+                            [0] * s.extra
+                        col_pos[t].extend(pos)
+                        off += len(fp[t])
+                else:  # single piece, value-granular: consume from start
+                    for t in range(n_strides):
+                        col_pos[t].extend([0] * n_codec_pos + [0] * s.extra)
+            positions[cid] = col_pos
+
+        # ROW_INDEX stream per column
+        index_blobs: list[bytes] = []
+        for cid in range(self.n_cols):
+            co = sink[cid]
+            ri = bytearray()
+            for t in range(n_strides):
+                entry = bytearray()
+                _packed_field(entry, 1, positions[cid][t])
+                _bytes_field(entry, 2, _stats_message(co.stride_stats[t]))
+                _bytes_field(ri, 1, bytes(entry))
+            index_blobs.append(self._frame(bytes(ri)))
+
+        # write index region, then data region
+        stripe_offset = self.offset
+        directory: list[tuple[int, int, int]] = []  # (kind, col, len)
+        for cid, blob in enumerate(index_blobs):
+            self.f.write(blob)
+            directory.append((_STREAM_CODE["ROW_INDEX"], cid, len(blob)))
+        index_len = sum(len(b) for b in index_blobs)
+        data_len = 0
+        for (cid, kc) in sorted(framed):
+            blob = framed[(cid, kc)]
+            self.f.write(blob)
+            directory.append((kc, cid, len(blob)))
+            data_len += len(blob)
+
+        # stripe footer
+        sf = bytearray()
+        for kc, cid, ln in directory:
+            body = _message([(1, "varint", kc), (2, "varint", cid),
+                             (3, "varint", ln)])
+            _bytes_field(sf, 1, body)
+        for cid in range(self.n_cols):
+            co = sink[cid]
+            fields = [(1, "varint", _ENC_CODE[co.encoding])]
+            if co.dict_size:
+                fields.append((2, "varint", co.dict_size))
+            _bytes_field(sf, 2, _message(fields))
+        _bytes_field(sf, 3, b"UTC")  # writerTimezone
+        sf_framed = self._frame(bytes(sf))
+        self.f.write(sf_framed)
+        self.f.flush()
+        self.offset = stripe_offset + index_len + data_len + len(sf_framed)
+        self.stripe_infos.append(
+            (stripe_offset, index_len, data_len, len(sf_framed), n_rows))
+
+        # stripe + file statistics
+        self.stripe_stats_msgs.append(
+            [_stats_message(sink[c].stripe_stats)
+             for c in range(self.n_cols)])
+        if self.file_stats is None:
+            self.file_stats = [sink[c].stripe_stats
+                               for c in range(self.n_cols)]
+        else:
+            for c in range(self.n_cols):
+                _merge_stats(self.file_stats[c], sink[c].stripe_stats)
+
+    def _write_tail(self) -> None:
+        content_len = self.offset
+
+        # metadata: per-stripe column statistics (writer.go:228-318)
+        meta = bytearray()
+        for msgs in self.stripe_stats_msgs:
+            ss = bytearray()
+            for m in msgs:
+                _bytes_field(ss, 1, m)
+            _bytes_field(meta, 1, bytes(ss))
+        meta_framed = self._frame(bytes(meta))
+        self.f.write(meta_framed)
+
+        footer = bytearray()
+        _varint_field(footer, 1, len(MAGIC))  # headerLength
+        _varint_field(footer, 2, content_len)  # contentLength
+        for info in self.stripe_infos:
+            body = _message([(i + 1, "varint", v)
+                             for i, v in enumerate(info) if v or i + 1 == 5])
+            _bytes_field(footer, 3, body)
+        for tm in _type_messages(self.tree):
+            _bytes_field(footer, 4, tm)
+        _varint_field(footer, 6, self.n_total)
+        _varint_field(footer, 8, self.stride)  # rowIndexStride
+        for st in self.file_stats or []:
+            _bytes_field(footer, 7, _stats_message(st))
+        footer_framed = self._frame(bytes(footer))
+        self.f.write(footer_framed)
+
+        ps = bytearray()
+        _varint_field(ps, 1, len(footer_framed))
+        _varint_field(ps, 2, self.comp_code)
+        _varint_field(ps, 3, compression.DEFAULT_CHUNK_SIZE)
+        packed = bytearray()
+        write_vulong(packed, 0)
+        write_vulong(packed, 12)
+        _bytes_field(ps, 4, bytes(packed))  # version [0,12]
+        _varint_field(ps, 5, len(meta_framed))  # metadataLength
+        _varint_field(ps, 6, WRITER_VERSION)
+        _bytes_field(ps, 8000, MAGIC)
+        self.f.write(ps)
+        self.f.write(bytes([len(ps)]))
+        self.offset += len(meta_framed) + len(footer_framed) + len(ps) + 1
 
 
 def write_orc(table: pa.Table, path: str,
-              specs: list[stripe_mod.ColumnSpec] | None = None,
+              specs: list | None = None,
               codec: str = "zlib",
-              stripe_rows: int = 1 << 20) -> dict:
-    """Write an Arrow table as a real ORC file. Returns size stats."""
-    if specs is None:
-        specs = stripe_mod.TOKEN_SCHEMA
-    comp_code = {"none": 0, "zlib": 1}[codec]
-
-    def frame(blob: bytes) -> bytes:
-        return compression.compress(blob, codec) if codec != "none" else blob
-
-    out = bytearray()
-    out.extend(MAGIC)
-    stripe_infos = []
-    n_total = 0
-
-    for start in range(0, table.num_rows, stripe_rows):
-        batch = table.slice(start, stripe_rows)
-        n_rows = batch.num_rows
-        n_total += n_rows
-        streams: list = []
-        encodings: list = [(0, 0, 0)]  # root struct: DIRECT
-        col_id = 1
-        for spec in specs:
-            s, e = _encode_column_streams(
-                batch.column(spec.name), spec, col_id)
-            streams.extend(s)
-            encodings.extend(e)
-            col_id += 2 if spec.is_list else 1
-        # order streams: PRESENT first per column id then others, in
-        # (col, kind) order — any consistent directory order is valid
-        streams.sort(key=lambda t: (t[0], t[1]))
-        offset = len(out)
-        directory = []
-        for col, kindc, blob in streams:
-            framed = frame(blob)
-            directory.append((col, kindc, len(framed)))
-            out.extend(framed)
-        data_len = len(out) - offset
-        sf = bytearray()
-        for col, kindc, ln in directory:
-            sf.extend(b"\x0a")  # field 1, wire 2
-            body = _message([(1, "varint", kindc), (2, "varint", col),
-                             (3, "varint", ln)])
-            write_vulong(sf, len(body))
-            sf.extend(body)
-        for col, encc, dsize in sorted(encodings):
-            sf.extend(b"\x12")  # field 2, wire 2
-            body = _message([(1, "varint", encc)] +
-                            ([(2, "varint", dsize)] if dsize else []))
-            write_vulong(sf, len(body))
-            sf.extend(body)
-        sf_framed = frame(bytes(sf))
-        out.extend(sf_framed)
-        stripe_infos.append((offset, 0, data_len, len(sf_framed), n_rows))
-
-    # footer
-    footer = bytearray()
-    _varint_field(footer, 1, 3)  # headerLength = len(MAGIC)
-    _varint_field(footer, 2, len(out))  # contentLength
-    for info in stripe_infos:
-        body = _message([(i + 1, "varint", v) for i, v in enumerate(info)])
-        _bytes_field(footer, 3, body)
-    for tm in _type_messages(specs):
-        _bytes_field(footer, 4, tm)
-    _varint_field(footer, 6, n_total)
-    _varint_field(footer, 8, 0)  # rowIndexStride 0 = no row index
-    footer_framed = frame(bytes(footer))
-    out.extend(footer_framed)
-
-    ps = bytearray()
-    _varint_field(ps, 1, len(footer_framed))
-    _varint_field(ps, 2, comp_code)
-    _varint_field(ps, 3, compression.DEFAULT_CHUNK_SIZE)
-    packed = bytearray()
-    write_vulong(packed, 0)
-    write_vulong(packed, 12)
-    _bytes_field(ps, 4, bytes(packed))  # version [0,12]
-    _varint_field(ps, 5, 0)  # metadataLength
-    _bytes_field(ps, 8000, MAGIC)  # magic (field 8000)
-    out.extend(ps)
-    out.append(len(ps))
-
-    with open(path, "wb") as f:
-        f.write(out)
-    return {"bytes": len(out), "rows": n_total,
-            "stripes": len(stripe_infos)}
+              stripe_rows: int = 1 << 20,
+              row_index_stride: int = DEFAULT_ROW_INDEX_STRIDE) -> dict:
+    """Write an Arrow table as a real ORC file (statistics + row index
+    included). Returns size stats. ``specs`` optionally restricts /
+    reorders columns (legacy flat-schema API)."""
+    if specs is not None:
+        table = table.select([s.name for s in specs])
+    w = ORCFileWriter(path, codec=codec, stripe_rows=stripe_rows,
+                      row_index_stride=row_index_stride)
+    w.write_table(table)
+    return w.close()
 
 
 def dataframe_to_orc_dir(df, out_dir: str,
                          specs=None, codec: str = "zlib",
                          stripe_rows: int = 1 << 20) -> None:
-    """Distributed ORC sink: each Spark partition writes one real .orc
-    file into ``out_dir`` via our kernels (mapInArrow; no JVM ORC
-    writer involved). The directory is readable by ``spark.read.orc``.
+    """Distributed ORC sink: each Spark partition streams its batches
+    through one ``ORCFileWriter`` into a real .orc file in ``out_dir``
+    (mapInArrow; no JVM ORC writer involved).  Batches flush to disk
+    stripe-by-stripe as they arrive — per-task memory is one stripe,
+    not the partition.  The directory is readable by ``spark.read.orc``.
     Local/shared filesystem paths only."""
     import os
-    import pyarrow as pa
     from pyspark.sql import types as T
-    from .. import stripe as stripe_mod
 
     if specs is None:
         specs = stripe_mod.TOKEN_SCHEMA
@@ -294,14 +917,19 @@ def dataframe_to_orc_dir(df, out_dir: str,
         tune_worker()
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        collected = list(batches)
+        writer = None
         n = 0
-        if collected:
-            table = pa.Table.from_batches(collected)
-            n = table.num_rows
-            if n:
-                write_orc(table, os.path.join(out_dir, f"part-{pid:05d}.orc"),
-                          specs=specs, codec=codec, stripe_rows=stripe_rows)
+        path = os.path.join(out_dir, f"part-{pid:05d}.orc")
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if writer is None:
+                writer = ORCFileWriter(path, codec=codec,
+                                       stripe_rows=stripe_rows)
+            writer.write_batch(b)
+            n += b.num_rows
+        if writer is not None:
+            writer.close()
         yield pa.RecordBatch.from_arrays(
             [pa.array([n], pa.int64())],
             schema=pa.schema([("n_rows", pa.int64())]))
