@@ -126,8 +126,13 @@ def _q_enc_footer(spark, sf_dir):
 
 
 def _q_enc_codec_histogram(spark, sf_dir):
+    """Codec auto-selection audit: encode the whole table as ONE stripe
+    so the DICT-vs-DIRECT decision is a function of global column stats
+    that the DuckDB oracle re-derives from the spec rule (0.49 distinct
+    ratio; int-dict gate at 4096 values — stripe.py:156-196,
+    treewriter.go:694-707)."""
     tok = token_src.token_table(spark, sf_dir)
-    enc = enc_ops.encode(tok.repartition(4))
+    enc = enc_ops.encode(tok.coalesce(1))
     cols = ["doc_id", "tokens", "n_tok", "source"]
     pairs = F.array(*[
         F.struct(F.lit(c).alias("column"),
@@ -160,9 +165,12 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
+    """Near-dup pairs with exact shingle-Jaccard >= 0.4 — the verified
+    output is implementation-independent, so the oracle brute-forces
+    all-pairs Jaccard in DuckDB; any LSH recall loss fails the match."""
     docs = _docs(spark, sf_dir)
     # seed deterministic near-dups so the operator has work to do
-    dups = docs.limit(20).select(
+    dups = docs.where(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
         "lang", "source", "n_chars")
@@ -172,13 +180,19 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
+    """SimHash recall check: every seeded near-dup (text + ' zzz') must
+    be recovered through the banded hamming<=6 search — the seeded
+    pair set is the implementation-independent oracle (simhash values
+    themselves are xxhash64-specific)."""
     docs = _docs(spark, sf_dir)
-    dups = docs.limit(20).select(
+    dups = docs.where(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
         "lang", "source", "n_chars")
-    return dedup.simhash_near_pairs(docs.unionByName(dups)) \
+    pairs = dedup.simhash_near_pairs(docs.unionByName(dups)) \
         .where(F.col("hamming") <= 6)
+    return pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000) \
+        .select("doc_a", "doc_b")
 
 
 def _q_sim_cosine_topk(spark, sf_dir):
@@ -189,18 +203,56 @@ def _q_sim_cosine_topk(spark, sf_dir):
         emb.where(F.col("vec_id") != 0), list(query), k=10)
 
 
+def _mix_emb(a_col: str, b_col: str, wa: float, wb: float):
+    """float32-quantized linear mix of two embeddings — quantization is
+    mirrored in the DuckDB oracle so cosines match bit-for-bit."""
+    return F.transform(
+        F.zip_with(a_col, b_col,
+                   lambda x, y: F.lit(wa) * x.cast("double")
+                   + F.lit(wb) * y.cast("double")),
+        lambda v: v.cast("float"))
+
+
 def _q_sim_ann_lsh(spark, sf_dir):
+    """ANN recall oracle: plant 10 deterministic near-neighbors of
+    vector 0 (0.8*v0 + 0.2*v_j mixes); ANN top-10 must equal the exact
+    top-10 (= the planted set), which DuckDB computes independently."""
     emb = _emb(spark, sf_dir)
     query = emb.where(F.col("vec_id") == 0) \
         .select("embedding").first()["embedding"]
-    return similarity.lsh_ann_topk(
-        emb.where(F.col("vec_id") != 0), list(query), k=10)
+    e0 = emb.where(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("e0"))
+    planted = (emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 10))
+               .crossJoin(F.broadcast(e0))
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       _mix_emb("e0", "embedding", 0.8, 0.2)
+                       .alias("embedding"),
+                       F.lit(0).alias("label")))
+    table = emb.where(F.col("vec_id") != 0).unionByName(planted)
+    return similarity.lsh_ann_topk(table, list(query), k=10)
 
 
 def _q_sim_knn_join(spark, sf_dir):
+    """kNN-join recall oracle: each probe p in 0..4 gets 3 planted
+    near-neighbors (0.85*v_p + 0.15*v_{100+3p+j}); the banded LSH join
+    must recover them as the exact top-3, verified against DuckDB's
+    exact window ranking."""
     emb = _emb(spark, sf_dir)
+    src = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 115)) \
+        .select(F.col("vec_id").alias("sid"),
+                F.col("embedding").alias("esrc"),
+                F.floor((F.col("vec_id") - 100) / 3).alias("pid"))
+    pr = emb.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("pid"),
+                F.col("embedding").alias("ep"))
+    planted = src.join(F.broadcast(pr), "pid").select(
+        (F.col("sid") - 100 + 1_000_000).alias("vec_id"),
+        _mix_emb("ep", "esrc", 0.85, 0.15).alias("embedding"),
+        F.lit(0).alias("label"))
+    table = emb.unionByName(planted)
     probes = emb.where(F.col("vec_id") < 5)
-    return similarity.knn_join(emb, probes, k=3)
+    return similarity.knn_join(table, probes, k=3) \
+        .select("probe_id", "nn_id", "cosine", "rank")
 
 
 def _q_orc_file_roundtrip(spark, sf_dir):
@@ -374,7 +426,145 @@ def oracle_sql() -> dict[str, str]:
                         WHERE vec_id = 0)), 6) AS cosine
             FROM embeddings e WHERE e.vec_id <> 0
             ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
-        # enc_footer / enc_codec_histogram / dedup_minhash / dedup_simhash /
-        # sim_ann_lsh / sim_knn_join / mm_features are engine-/hash-specific
-        # (xxhash64, LSH planes, stripe layout) => rows-only checks.
+        "enc_footer": (
+            f"SELECT count(*) AS n_rows, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS n_tokens FROM documents"),
+        # codec auto-selection re-derived from the spec rule: DICT when
+        # distinct/total <= 0.49 (strings) resp. n >= 4096 AND ratio <=
+        # 0.49 (int streams; the bit-width-gain conditions of
+        # stripe.py:176-184 hold whenever the ratio gate passes at this
+        # vocabulary).  One stripe => decision is a global-stats function.
+        "enc_codec_histogram": f"""
+            WITH w AS (SELECT doc_id, source,
+                              regexp_split_to_array(trim(text), '\\s+') AS ws
+                       FROM documents),
+            tok AS (SELECT count(*) AS n, count(DISTINCT wd) AS nd
+                    FROM (SELECT unnest(ws) AS wd FROM w)),
+            d AS (SELECT count(*) AS n,
+                         count(DISTINCT doc_id) AS nd_id,
+                         count(DISTINCT source) AS nd_src,
+                         count(DISTINCT len(ws)) AS nd_ntok
+                  FROM w)
+            SELECT col AS "column", encoding, CAST(1 AS BIGINT) AS n_stripes
+            FROM (
+              SELECT 'doc_id' AS col,
+                     CASE WHEN (SELECT CAST(nd_id AS DOUBLE)/n FROM d)
+                          <= 0.49 THEN 'DICTIONARY_V2'
+                          ELSE 'DIRECT_V2' END AS encoding
+              UNION ALL
+              SELECT 'source',
+                     CASE WHEN (SELECT CAST(nd_src AS DOUBLE)/n FROM d)
+                          <= 0.49 THEN 'DICTIONARY_V2'
+                          ELSE 'DIRECT_V2' END
+              UNION ALL
+              SELECT 'n_tok',
+                     CASE WHEN (SELECT n FROM d) >= 4096
+                          AND (SELECT CAST(nd_ntok AS DOUBLE)/n FROM d)
+                          <= 0.49 THEN 'DICTIONARY_INT_V2'
+                          ELSE 'DIRECT_V2' END
+              UNION ALL
+              SELECT 'tokens',
+                     CASE WHEN (SELECT n FROM tok) >= 4096
+                          AND (SELECT CAST(nd AS DOUBLE)/n FROM tok)
+                          <= 0.49 THEN 'DICTIONARY_INT_V2'
+                          ELSE 'DIRECT_V2' END)""",
+        # brute-force all-pairs exact shingle Jaccard over the seeded
+        # corpus: implementation-independent; any LSH recall miss fails
+        "dedup_minhash": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' extra token'
+              FROM documents WHERE doc_id < 20),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(regexp_split_to_array(
+                      trim(text), '\\s+')) - 2, 1) + 1),
+                  k -> array_to_string(regexp_split_to_array(
+                      trim(text), '\\s+')[k:k+2], ' ')))) AS s
+              FROM corpus),
+            sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / (sa.c + sb.c - i), 6)
+                   AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.4""",
+        # recall oracle: the 20 seeded near-dups must all be recovered
+        "dedup_simhash": (
+            "SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b "
+            "FROM documents WHERE doc_id < 20"),
+        # exact top-10 over the table + 10 planted near-neighbors of
+        # v0; the ANN result must equal it (recall-1 oracle)
+        "sim_ann_lsh": """
+            WITH q AS (SELECT embedding AS e FROM embeddings
+                       WHERE vec_id = 0),
+            planted AS (
+              SELECT e.vec_id + 1000000 AS vec_id,
+                     list_transform(list_zip(q.e, e.embedding),
+                       p -> CAST(0.8::DOUBLE * p[1]::DOUBLE
+                                 + 0.2::DOUBLE * p[2]::DOUBLE AS REAL))
+                     AS embedding
+              FROM embeddings e, q WHERE e.vec_id BETWEEN 1 AND 10),
+            tbl AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+              UNION ALL SELECT vec_id, embedding FROM planted)
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(e AS DOUBLE[]) FROM q)), 6) AS cosine
+            FROM tbl ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        # exact per-probe top-3 over table + planted neighbors
+        "sim_knn_join": """
+            WITH probes AS (SELECT vec_id AS probe_id, embedding AS ep
+                            FROM embeddings WHERE vec_id < 5),
+            src AS (SELECT vec_id AS sid, embedding AS esrc,
+                           CAST(floor((vec_id - 100) / 3) AS BIGINT) AS pid
+                    FROM embeddings
+                    WHERE vec_id >= 100 AND vec_id < 115),
+            planted AS (
+              SELECT s.sid - 100 + 1000000 AS vec_id,
+                     list_transform(list_zip(p.ep, s.esrc),
+                       x -> CAST(0.85::DOUBLE * x[1]::DOUBLE
+                                 + 0.15::DOUBLE * x[2]::DOUBLE AS REAL))
+                     AS embedding
+              FROM src s JOIN probes p ON p.probe_id = s.pid),
+            tbl AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL SELECT vec_id, embedding FROM planted),
+            scored AS (
+              SELECT p.probe_id, t.vec_id AS nn_id,
+                     round(list_cosine_similarity(
+                         CAST(t.embedding AS DOUBLE[]),
+                         CAST(p.ep AS DOUBLE[])), 6) AS cosine
+              FROM probes p JOIN tbl t ON t.vec_id <> p.probe_id),
+            ranked AS (SELECT *, row_number() OVER (
+                           PARTITION BY probe_id
+                           ORDER BY cosine DESC, nn_id ASC) AS rank
+                       FROM scored)
+            SELECT probe_id, nn_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3""",
+        # fake-decode features are deterministic byte math over the
+        # utf-8 payload (ASCII corpus): numpy array_split chunk means,
+        # float32-quantized — re-derived exactly in SQL
+        "mm_features": """
+            WITH b AS (
+              SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id,
+                     list_transform(range(1, strlen(text) + 1),
+                       i -> ascii(substring(text, i, 1))) AS bl,
+                     strlen(text) AS L
+              FROM documents)
+            SELECT media_id, CAST(16 AS BIGINT) AS dim,
+                   round(CAST(list_sum(list_transform(range(0, 16), c ->
+                       CAST(list_avg(bl[
+                           (c*(L//16) + least(c, L%16) + 1):
+                           ((c+1)*(L//16) + least(c+1, L%16))])
+                       AS REAL)::DOUBLE)) AS DOUBLE), 3) AS feat_sum
+            FROM b""",
+        # stream_encode / rt_* already covered above; no oracle rows
+        # remain for hash-internal outputs.
     }

@@ -58,7 +58,9 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     h = np.frombuffer(payload, dtype=np.uint8)
     if len(h) == 0:
         return np.zeros(dim, dtype=np.float32)
-    chunks = np.array_split(h.astype(np.float32), dim)
+    # means in float64, quantized to float32 at the end — exactly
+    # mirrorable by an independent oracle (double mean -> REAL cast)
+    chunks = np.array_split(h.astype(np.float64), dim)
     return np.array([c.mean() if len(c) else 0.0 for c in chunks],
                     dtype=np.float32)
 
