@@ -119,6 +119,50 @@ def _q_rt_pruned_decode(spark, sf_dir):
                    F.sum("n_tok").cast("long").alias("sum_ntok"))
 
 
+def _q_rt_stride_pruned(spark, sf_dir):
+    """Row-group (stride) skipping INSIDE a stripe: one stripe with a
+    96-row stride index, sorted by n_tok — only strides whose recorded
+    [min,max] can match are decompressed, the reference's 10k-row
+    ROW_INDEX consumed for real (writer.go:162-172)."""
+    tok = token_src.token_table(spark, sf_dir)
+    enc = enc_ops.encode(tok.coalesce(1).sortWithinPartitions("n_tok"),
+                         stride_rows=96)
+    dec = enc_ops.decode(enc, stride_filter=("n_tok", 60, None))
+    return dec.where(F.col("n_tok") >= 60).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_ntok"))
+
+
+def _q_rt_mixed_types(spark, sf_dir):
+    """Mixed-type round-trip (bool/double/date/timestamp/decimal —
+    T3/T4/T10/T11/T12): derive typed columns from documents, encode
+    into the stripe table, decode, aggregate; the oracle recomputes
+    the aggregates from the raw table."""
+    from orc_spark import stripe as stripe_mod
+    docs = _docs(spark, sf_dir)
+    specs = stripe_mod.parse_schema([
+        ("id", "bigint"), ("flag", "boolean"), ("w", "double"),
+        ("d", "date"), ("ts", "timestamp"), ("dec", "decimal(10,2)")])
+    m = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 2 == 0).alias("flag"),
+        (F.col("n_chars") * 0.5).alias("w"),
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   (F.col("doc_id") % 365).cast("int")).alias("d"),
+        F.timestamp_seconds(F.col("doc_id") * 3600).alias("ts"),
+        (F.col("n_chars") / 100).cast("decimal(10,2)").alias("dec"))
+    enc = enc_ops.encode(m.repartition(2), specs=specs)
+    dec = enc_ops.decode(enc, specs=specs)
+    return dec.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("flag").cast("int")).cast("long").alias("n_true"),
+        F.round(F.sum("w"), 3).alias("sum_w"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("min_d"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("max_d"),
+        F.max("ts").cast("long").alias("max_ts_epoch"),
+        F.sum("dec").cast("double").alias("sum_dec"))
+
+
 def _q_enc_footer(spark, sf_dir):
     tok = token_src.token_table(spark, sf_dir)
     return enc_ops.footer(enc_ops.encode(tok.repartition(4))).select(
@@ -313,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_roundtrip_fsst": _q_rt_roundtrip_fsst,
         "rt_projection": _q_rt_projection,
         "rt_pruned_decode": _q_rt_pruned_decode,
+        "rt_stride_pruned": _q_rt_stride_pruned,
+        "rt_mixed_types": _q_rt_mixed_types,
         "enc_token_profile": _q_enc_token_profile,
         "enc_column_stats": _q_enc_column_stats,
         "enc_footer": _q_enc_footer,
@@ -386,6 +432,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok FROM documents "
             f"WHERE {n_tok} >= 60"),
+        "rt_stride_pruned": (
+            f"SELECT count(*) AS n_docs, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok FROM documents "
+            f"WHERE {n_tok} >= 60"),
+        "rt_mixed_types": ("""
+            SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_true,
+                   round(sum(n_chars * 0.5), 3) AS sum_w,
+                   strftime(min(DATE '2020-01-01'
+                       + CAST(doc_id % 365 AS INT)), '%Y-%m-%d') AS min_d,
+                   strftime(max(DATE '2020-01-01'
+                       + CAST(doc_id % 365 AS INT)), '%Y-%m-%d') AS max_d,
+                   CAST(max(doc_id * 3600) AS BIGINT) AS max_ts_epoch,
+                   CAST(sum(CAST(n_chars / 100.0 AS DECIMAL(10,2)))
+                        AS DOUBLE) AS sum_dec
+            FROM documents"""),
         "enc_token_profile": (
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "

@@ -70,6 +70,9 @@ def _spark_type(spec: ColumnSpec) -> T.DataType:
          "timestamp": T.TimestampType()}
     if spec.is_list:
         return T.ArrayType(m[spec.child_typ])
+    if spec.is_decimal:
+        p, s = spec.decimal_params()
+        return T.DecimalType(p, s)
     return m[spec.typ]
 
 
@@ -110,12 +113,18 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
            stripe_tokens: int = DEFAULT_STRIPE_TOKENS,
            codec: str = DEFAULT_CODEC, use_fsst: bool = False,
            token_col: str = "tokens",
-           group_col: str | None = None) -> DataFrame:
+           group_col: str | None = None,
+           stride_rows: int | None = None) -> DataFrame:
     """Encode a DataFrame into the stripe table (one row per stripe).
 
     With ``group_col`` set, input must be sorted by that column within
     partitions; stripes never span group boundaries and carry the group
     value as their ``part_id`` (stable lineage for checkpoint/resume).
+
+    With ``stride_rows`` set, every stripe carries a row-group stride
+    index (per-stride stats + stream byte offsets, the reference's
+    10k-row ROW_INDEX analog) and ``decode(stride_filter=...)`` skips
+    non-qualifying strides without decompressing them.
     """
     arrow_schema = encoded_arrow_schema(specs)
     names = [s.name for s in specs]
@@ -136,7 +145,8 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
                 return None
             table = pa.Table.from_batches(state["buf"])
             row = stripe_mod.encode_stripe(table, specs, codec=codec,
-                                           use_fsst=use_fsst)
+                                           use_fsst=use_fsst,
+                                           stride_rows=stride_rows)
             pid = task_part if state["group"] is None else state["group"]
             row["part_id"] = pid
             row["stripe_id"] = pid * 1_000_000 + state["stripe_id"]
@@ -209,21 +219,32 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
 
 def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
            columns: list[str] | None = None,
-           codec: str = DEFAULT_CODEC) -> DataFrame:
+           codec: str = DEFAULT_CODEC,
+           stride_filter: tuple | None = None) -> DataFrame:
     """Decode a stripe table back to original rows.
 
     ``columns`` prunes the decode to a subset: only those columns'
-    stream binaries are selected (and therefore read from Parquet)."""
+    stream binaries are selected (and therefore read from Parquet).
+
+    ``stride_filter=(col, lo, hi)`` skips row-group strides whose
+    recorded [min,max] cannot match — only qualifying strides' byte
+    ranges are decompressed (requires encode(stride_rows=...); combine
+    with a row filter for exact results)."""
     if columns is not None:
         specs = [s for s in specs if s.name in columns]
-    needed = ["n_rows", "encodings"] + stream_columns(specs)
+    needed = ["n_rows", "encodings", "stats"] + stream_columns(specs)
     out_schema = decoded_spark_schema(specs)
-    arrow_out = pa.schema([
-        pa.field(f.name, pa.list_(
-            pa.int32() if f.dataType.elementType == T.IntegerType()
-            else pa.int64()) if isinstance(f.dataType, T.ArrayType)
-            else _ARROW_TYPES[type(f.dataType)])
-        for f in out_schema.fields])
+    def _arrow_field(f):
+        if isinstance(f.dataType, T.ArrayType):
+            return pa.list_(pa.int32()
+                            if f.dataType.elementType == T.IntegerType()
+                            else pa.int64())
+        if isinstance(f.dataType, T.DecimalType):
+            return pa.decimal128(f.dataType.precision, f.dataType.scale)
+        return _ARROW_TYPES[type(f.dataType)]
+
+    arrow_out = pa.schema([pa.field(f.name, _arrow_field(f))
+                           for f in out_schema.fields])
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from orc_spark._alloc import tune_worker
@@ -246,7 +267,22 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
                         row[name] = memoryview(s.as_buffer())
                     else:
                         row[name] = s.as_py()
-                table = stripe_mod.decode_stripe(row, specs, codec=codec)
+                strided = row.get("stats") is not None and \
+                    '"_strides"' in row["stats"]
+                if strided:
+                    keep = None
+                    if stride_filter is not None:
+                        col, lo, hi = stride_filter
+                        keep = stripe_mod.select_strides(row, col, lo, hi)
+                        if not keep:
+                            continue
+                    table = stripe_mod.decode_stripe_strides(
+                        row, specs, codec=codec, keep=keep)
+                else:
+                    table = stripe_mod.decode_stripe(row, specs,
+                                                     codec=codec)
+                if table.num_rows == 0:
+                    continue
                 table = table.cast(arrow_out)
                 for out in table.to_batches():
                     yield out

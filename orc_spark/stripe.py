@@ -520,11 +520,42 @@ def _expand_nulls_generic(vals: pa.Array, valid, n_rows, out_type):
 # ---------------------------------------------------------------------------
 
 
+def _merge_col_stats(acc: dict, st: dict) -> dict:
+    """Merge per-stride column stats into stripe-level stats
+    (columnstatistics.go Merge semantics)."""
+    if not acc:
+        out = dict(st)
+        out.pop("dict_size", None)
+        return out
+    for k in ("count", "sum", "true_count", "total_elems", "sum_len"):
+        if k in st:
+            acc[k] = acc.get(k, 0) + st[k]
+    if "min" in st:
+        acc["min"] = st["min"] if "min" not in acc else min(acc["min"],
+                                                            st["min"])
+        acc["max"] = st["max"] if "max" not in acc else max(acc["max"],
+                                                            st["max"])
+    return acc
+
+
 def encode_stripe(batch: pa.Table | pa.RecordBatch, specs: list[ColumnSpec],
-                  codec: str = "zlib", use_fsst: bool = False) -> dict:
+                  codec: str = "zlib", use_fsst: bool = False,
+                  stride_rows: int | None = None) -> dict:
     """Encode one stripe (an Arrow batch) into a flat row dict:
     stream binaries keyed ``{col}__{KIND}`` + encodings/stats JSON +
-    size accounting."""
+    size accounting.
+
+    With ``stride_rows`` set (multiple of 8), the stripe is encoded as
+    independent row-group strides — every codec and compression chunk
+    restarts at stride boundaries and the stats JSON carries a
+    ``_strides`` index (per-stride row counts, encodings, stream byte
+    offsets, per-column min/max), the analog of the reference's
+    10k-row ROW_INDEX (writer.go:162-172, treewriter.go:69-92).
+    ``decode(..., stride_filter=...)`` then decompresses ONLY the
+    byte ranges of qualifying strides."""
+    if stride_rows is not None and batch.num_rows > stride_rows:
+        return _encode_stripe_strided(batch, specs, codec, use_fsst,
+                                      stride_rows)
     n_rows = batch.num_rows
     row: dict = {"n_rows": n_rows}
     encodings: dict[str, str] = {}
@@ -554,6 +585,127 @@ def encode_stripe(batch: pa.Table | pa.RecordBatch, specs: list[ColumnSpec],
     row["stats"] = json.dumps(stats)
     row["enc_bytes"] = enc_bytes
     return row
+
+
+def _encode_stripe_strided(batch, specs, codec, use_fsst,
+                           stride_rows: int) -> dict:
+    if stride_rows % 8:
+        raise ValueError("stride_rows must be a multiple of 8")
+    if isinstance(batch, pa.RecordBatch):
+        batch = pa.Table.from_batches([batch])
+    n_rows = batch.num_rows
+    starts = list(range(0, n_rows, stride_rows))
+    rows_per = [min(stride_rows, n_rows - s) for s in starts]
+    pieces: dict[str, list[bytes]] = {
+        f"{s.name}__{k}": [] for s in specs for k in s.stream_kinds()}
+    stride_encodings: list[dict] = []
+    stride_stats: list[dict] = []
+    merged: dict[str, dict] = {s.name: {} for s in specs}
+    for s0, nr in zip(starts, rows_per):
+        sub = batch.slice(s0, nr)
+        encs: dict[str, str] = {}
+        sts: dict[str, dict] = {}
+        for spec in specs:
+            arr = sub.column(spec.name)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            encoding, streams, cstats = encode_column(arr, spec, use_fsst)
+            encs[spec.name] = encoding
+            sts[spec.name] = {k: v for k, v in cstats.items()
+                              if k in ("count", "min", "max", "sum",
+                                       "true_count", "total_elems",
+                                       "sum_len")}
+            merged[spec.name] = _merge_col_stats(merged[spec.name], cstats)
+            for kind in spec.stream_kinds():
+                data = streams.get(kind)
+                if data is None or (len(data) == 0 and kind != "DATA"):
+                    pieces[f"{spec.name}__{kind}"].append(b"")
+                else:
+                    pieces[f"{spec.name}__{kind}"].append(
+                        compression.compress(data, codec))
+        stride_encodings.append(encs)
+        stride_stats.append(sts)
+    row: dict = {"n_rows": n_rows}
+    enc_bytes = 0
+    offsets: dict[str, list[int]] = {}
+    for key, ps in pieces.items():
+        if not any(len(p) for p in ps):
+            row[key] = None
+            continue
+        offs = [0]
+        for p in ps:
+            offs.append(offs[-1] + len(p))
+        blob = b"".join(ps)
+        row[key] = blob
+        offsets[key] = offs
+        enc_bytes += len(blob)
+    for name, st in merged.items():
+        st["stream_bytes"] = {}
+    stats = dict(merged)
+    stats["_strides"] = {"rows": rows_per,
+                         "encodings": stride_encodings,
+                         "offsets": offsets,
+                         "stats": stride_stats}
+    row["encodings"] = json.dumps(stride_encodings[0])
+    row["stats"] = json.dumps(stats)
+    row["enc_bytes"] = enc_bytes
+    return row
+
+
+def stride_index(row: dict) -> dict | None:
+    """Parse the ``_strides`` index from a stripe row's stats JSON
+    (None when the stripe was written without strides)."""
+    stats = row.get("stats")
+    if not stats:
+        return None
+    return json.loads(stats).get("_strides")
+
+
+def decode_stripe_strides(row: dict, specs: list[ColumnSpec],
+                          codec: str = "zlib",
+                          keep=None) -> pa.Table:
+    """Decode a stride-indexed stripe, optionally restricted to the
+    stride ids in ``keep`` — only those byte ranges are sliced from
+    the stream blobs and decompressed (row-group skipping)."""
+    idx = stride_index(row)
+    rows_per = idx["rows"]
+    offsets = idx["offsets"]
+    encs = idx["encodings"]
+    tables = []
+    for t in range(len(rows_per)):
+        if keep is not None and t not in keep:
+            continue
+        mini = {"n_rows": rows_per[t], "encodings": json.dumps(encs[t])}
+        for key, offs in offsets.items():
+            blob = row.get(key)
+            if blob is None:
+                mini[key] = None
+                continue
+            lo, hi = offs[t], offs[t + 1]
+            mini[key] = blob[lo:hi] if hi > lo else None
+        tables.append(decode_stripe(mini, specs, codec))
+    if not tables:
+        names = [s.name for s in specs]
+        return pa.table({n: [] for n in names})
+    return pa.concat_tables(tables)
+
+
+def select_strides(row: dict, column: str, lo=None, hi=None) -> list[int]:
+    """Stride ids whose recorded [min,max] for ``column`` can contain
+    values in [lo, hi] — the row-group skip predicate."""
+    idx = stride_index(row)
+    keep = []
+    for t, sts in enumerate(idx["stats"]):
+        st = sts.get(column, {})
+        if "min" not in st:
+            keep.append(t)
+            continue
+        if lo is not None and st["max"] < lo:
+            continue
+        if hi is not None and st["min"] > hi:
+            continue
+        keep.append(t)
+    return keep
 
 
 def decode_stripe(row: dict, specs: list[ColumnSpec],

@@ -145,3 +145,56 @@ def test_stripe_pruning_by_stats(spark, token_df):
     want = token_df.where(F.col("n_tok") >= hi_thresh).count()
     assert got == want
     enc.unpersist()
+
+
+def test_stride_index_roundtrip_and_pruning(spark, token_df):
+    """Row-group stride index: per-stride stats + byte offsets inside
+    a stripe; filtered decode touches only qualifying strides and
+    matches an unfiltered decode + row filter exactly."""
+    from orc_spark import stripe as stripe_mod
+    sorted_df = token_df.coalesce(1).sortWithinPartitions("n_tok")
+    enc = enc_ops.encode(sorted_df, stride_rows=64)
+    rows = enc.collect()
+    assert len(rows) == 1
+    row = rows[0].asDict()
+    idx = stripe_mod.stride_index(row)
+    assert idx is not None and len(idx["rows"]) > 3
+    # per-stride n_tok min/max are sorted (input was sorted)
+    mins = [s["n_tok"]["min"] for s in idx["stats"]]
+    assert mins == sorted(mins)
+    # full strided decode == original
+    full = enc_ops.decode(enc)
+    assert full.count() == token_df.count()
+    assert full.agg(F.sum("n_tok")).collect()[0][0] == \
+        token_df.agg(F.sum("n_tok")).collect()[0][0]
+    # pruned decode: only qualifying strides are decoded
+    lo = int(token_df.approxQuantile("n_tok", [0.8], 0.01)[0])
+    pruned = enc_ops.decode(enc, stride_filter=("n_tok", lo, None)) \
+        .where(F.col("n_tok") >= lo)
+    want = token_df.where(F.col("n_tok") >= lo)
+    assert pruned.count() == want.count()
+    assert pruned.agg(F.sum("n_tok")).collect()[0][0] == \
+        want.agg(F.sum("n_tok")).collect()[0][0]
+    # measured reduction: the kept strides cover < half the stream bytes
+    keep = stripe_mod.select_strides(row, "n_tok", lo, None)
+    offs = idx["offsets"]["tokens__DATA"]
+    kept_bytes = sum(offs[t + 1] - offs[t] for t in keep)
+    assert 0 < kept_bytes < 0.5 * offs[-1], (kept_bytes, offs[-1])
+
+
+def test_stride_decode_bytes_skipped(spark, token_df):
+    """decode_stripe_strides only slices the selected byte ranges —
+    cross-check the reconstructed rows of a middle stride."""
+    from orc_spark import stripe as stripe_mod
+    sorted_df = token_df.coalesce(1).sortWithinPartitions("doc_id")
+    enc = enc_ops.encode(sorted_df, stride_rows=128)
+    row = enc.collect()[0].asDict()
+    idx = stripe_mod.stride_index(row)
+    specs = stripe_mod.TOKEN_SCHEMA
+    t = 1
+    part = stripe_mod.decode_stripe_strides(row, specs, keep=[t])
+    assert part.num_rows == idx["rows"][t]
+    all_rows = stripe_mod.decode_stripe_strides(row, specs)
+    lo = sum(idx["rows"][:t])
+    assert part.column("doc_id").to_pylist() == \
+        all_rows.column("doc_id").to_pylist()[lo:lo + idx["rows"][t]]
