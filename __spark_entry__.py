@@ -340,6 +340,66 @@ def _q_stream_encode(spark, sf_dir):
                    F.countDistinct("doc_id").alias("n_ids"))
 
 
+def _q_sim_ann_index(spark, sf_dir):
+    """Materialized ANN index path: build the (band, bucket)-partitioned
+    signature index once, query with partition pruning — same planted
+    near-neighbor oracle as sim_ann_lsh (results must equal exact)."""
+    import tempfile
+    emb = _emb(spark, sf_dir)
+    query = emb.where(F.col("vec_id") == 0) \
+        .select("embedding").first()["embedding"]
+    e0 = emb.where(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("e0"))
+    planted = (emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 10))
+               .crossJoin(F.broadcast(e0))
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       _mix_emb("e0", "embedding", 0.8, 0.2)
+                       .alias("embedding"),
+                       F.lit(0).alias("label")))
+    table = emb.where(F.col("vec_id") != 0).unionByName(planted)
+    path = tempfile.mkdtemp(prefix="annidx_")
+    similarity.build_ann_index(table, path, dim=len(query))
+    return similarity.ann_index_topk(spark, path, list(query), k=10)
+
+
+def _q_orc_stats_roundtrip(spark, sf_dir):
+    """Statistics pipeline proof: write a real .orc file with our
+    kernels, parse the FILE FOOTER statistics back with our reader
+    (never touching row data), and report them — the oracle recomputes
+    the same aggregates from the raw documents."""
+    import os
+    import tempfile
+    from orc_spark.sources import orcwriter, orcfile
+    tok = token_src.token_table(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="orcstats_")
+    orcwriter.dataframe_to_orc_dir(tok.coalesce(1), out, codec="zlib")
+    files = [f for f in os.listdir(out) if f.endswith(".orc")]
+    f = orcfile.ORCFile(os.path.join(out, files[0]))
+    # col ids: 0 root, 1 doc_id, 2 tokens(list), 3 child ints, 4 n_tok
+    ntok = f.file_statistics[4]
+    child = f.file_statistics[3]
+    return spark.createDataFrame(
+        [(int(f.n_rows), int(ntok["min"]), int(ntok["max"]),
+          int(ntok["sum"]), int(child["n"]))],
+        "n_rows long, min_ntok long, max_ntok long, sum_ntok long, "
+        "n_token_values long")
+
+
+def _q_mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan over metadata (decode itself is the
+    declared stub): one row per sampled timestamp."""
+    docs = _docs(spark, sf_dir)
+    media = multimodal.synthesize_media(spark, docs) \
+        .withColumn("kind", F.lit("video")) \
+        .join(docs.select(
+            F.concat(F.lit("img-"), F.col("doc_id").cast("string"))
+            .alias("media_id"),
+            (F.col("n_chars") * 10).cast("int").alias("dur")), "media_id") \
+        .drop("duration_ms") \
+        .withColumnRenamed("dur", "duration_ms")
+    return multimodal.frame_sample_stub(media, every_ms=1000)
+
+
 def _q_mm_features(spark, sf_dir):
     media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
@@ -374,8 +434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_encode": _q_stream_encode,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ann_lsh": _q_sim_ann_lsh,
+        "sim_ann_index": _q_sim_ann_index,
         "sim_knn_join": _q_sim_knn_join,
+        "orc_stats_roundtrip": _q_orc_stats_roundtrip,
         "mm_features": _q_mm_features,
+        "mm_frame_sample": _q_mm_frame_sample,
     }
 
 
@@ -628,6 +691,36 @@ def oracle_sql() -> dict[str, str]:
                            ((c+1)*(L//16) + least(c+1, L%16))])
                        AS REAL)::DOUBLE)) AS DOUBLE), 3) AS feat_sum
             FROM b""",
-        # stream_encode / rt_* already covered above; no oracle rows
-        # remain for hash-internal outputs.
+        # same planted-neighbor exact-top-10 as sim_ann_lsh: the
+        # materialized index must return identical results
+        "sim_ann_index": """
+            WITH q AS (SELECT embedding AS e FROM embeddings
+                       WHERE vec_id = 0),
+            planted AS (
+              SELECT e.vec_id + 1000000 AS vec_id,
+                     list_transform(list_zip(q.e, e.embedding),
+                       p -> CAST(0.8::DOUBLE * p[1]::DOUBLE
+                                 + 0.2::DOUBLE * p[2]::DOUBLE AS REAL))
+                     AS embedding
+              FROM embeddings e, q WHERE e.vec_id BETWEEN 1 AND 10),
+            tbl AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+              UNION ALL SELECT vec_id, embedding FROM planted)
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(e AS DOUBLE[]) FROM q)), 6) AS cosine
+            FROM tbl ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        "orc_stats_roundtrip": (
+            f"SELECT count(*) AS n_rows, "
+            f"CAST(min({n_tok}) AS BIGINT) AS min_ntok, "
+            f"CAST(max({n_tok}) AS BIGINT) AS max_ntok, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS n_token_values "
+            f"FROM documents"),
+        "mm_frame_sample": """
+            SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(unnest(generate_series(0, n_chars * 10, 1000))
+                        AS BIGINT) AS frame_ts_ms
+            FROM documents""",
     }

@@ -82,11 +82,14 @@ def _shingles(n: int = 3):
 
 def minhash_signatures(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
                        shingle_n: int = 3) -> DataFrame:
-    """doc_id -> K minhash values.  Permutation k is min over shingles
-    of xxhash64(shingle, salt=k) — explode + groupBy, map-side combine
-    keeps the shuffle tiny (K longs per doc)."""
-    sh = docs.select("doc_id", F.explode(_shingles(shingle_n)).alias("sh"))
-    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(k))).alias(f"h{k}")
+    """doc_id -> K minhash values.  The O(len) string hash runs ONCE
+    per shingle; permutation k re-hashes that 64-bit value with salt k
+    (constant-time per perm, so 32 perms cost ~1 string hash + 32
+    long-hash rounds, not 32 string hashes).  explode + groupBy with
+    map-side combine keeps the shuffle tiny (K longs per doc)."""
+    sh = docs.select("doc_id", F.explode(_shingles(shingle_n)).alias("sh")) \
+        .select("doc_id", F.xxhash64("sh").alias("h0"))
+    aggs = [F.min(F.xxhash64(F.col("h0"), F.lit(k))).alias(f"h{k}")
             for k in range(n_perms)]
     return sh.groupBy("doc_id").agg(*aggs)
 

@@ -658,14 +658,21 @@ class ORCFileWriter:
     """Streaming ORC file writer: feed Arrow batches, stripes flush to
     disk as ``stripe_rows`` accumulate; ``close()`` writes metadata
     (stripe statistics), footer (file statistics) and postscript.
-    Per-call memory is bounded by one stripe, never the input size."""
+    Per-call memory is bounded by one stripe, never the input size.
+
+    ``orc_types`` optionally overrides a top-level string column's ORC
+    type to char/varchar (treewriter.go:543-720), e.g.
+    ``{"name": ("varchar", 120)}`` — stream layout is identical to
+    string; the type tree carries maximumLength."""
 
     def __init__(self, path: str, codec: str = "zlib",
                  stripe_rows: int = 1 << 20,
                  row_index_stride: int = DEFAULT_ROW_INDEX_STRIDE,
-                 use_fsst: bool = False):
+                 use_fsst: bool = False,
+                 orc_types: dict | None = None):
         if row_index_stride % 8:
             raise ValueError("row_index_stride must be a multiple of 8")
+        self.orc_types = orc_types or {}
         self.codec = codec
         self.comp_code = {"none": 0, "zlib": 1}[codec]
         self.stripe_rows = stripe_rows
@@ -692,6 +699,15 @@ class ORCFileWriter:
     def write_batch(self, batch: pa.RecordBatch) -> None:
         if self.tree is None:
             self.tree = _build_tree(batch.schema)
+            for name, (kind, maxlen) in self.orc_types.items():
+                i = self.tree.field_names.index(name)
+                node = self.tree.children[i]
+                if node.kind != "string" or kind not in ("char", "varchar"):
+                    raise ValueError(
+                        f"orc_types override {name}: {kind} requires a "
+                        f"string column")
+                node.kind = kind
+                node.max_length = maxlen
             self.n_cols = sum(1 for _ in _walk(self.tree))
         self._buf.append(batch)
         self._buf_rows += batch.num_rows

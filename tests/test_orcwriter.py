@@ -243,3 +243,23 @@ def test_streaming_writer_bounded_memory(tmp_path):
     f = orcfile.ORCFile(path)
     vals = [r["v"] for r in f.read_all()]
     assert vals == list(range(5000))
+
+
+def test_varchar_char_write(tmp_path):
+    """T12 extension: char/varchar typed string columns
+    (treewriter.go:543-720) — maximumLength in the type tree, stream
+    layout identical to string."""
+    from pyarrow import orc as pa_orc
+    t = pa.table({"v": pa.array(["alpha", "beta", "gamma", "del"]),
+                  "c": pa.array(["ab", "cd", "ef", "gh"])})
+    path = str(tmp_path / "vc.orc")
+    w = orcwriter.ORCFileWriter(path, codec="zlib",
+                                orc_types={"v": ("varchar", 16),
+                                           "c": ("char", 2)})
+    w.write_table(t)
+    w.close()
+    got = pa_orc.read_table(path)
+    assert got.column("v").to_pylist() == t.column("v").to_pylist()
+    assert got.column("c").to_pylist() == t.column("c").to_pylist()
+    f = orcfile.ORCFile(path)
+    assert [tn.kind for tn in f.types] == ["struct", "varchar", "char"]
