@@ -340,6 +340,23 @@ def _q_stream_encode(spark, sf_dir):
                    F.countDistinct("doc_id").alias("n_ids"))
 
 
+def _q_csv_export(spark, sf_dir):
+    """orc2csv analog (reference tools/orc2csv/main.go): encode, export
+    selected columns to CSV via the decode cursor, read the CSV back
+    and aggregate — verified against the raw documents."""
+    import tempfile
+    from orc_spark.operators import export
+    tok = token_src.token_table(spark, sf_dir)
+    enc = enc_ops.encode(tok.repartition(2))
+    path = tempfile.mkdtemp(prefix="orccsv_") + "/out"
+    export.encoded_to_csv(enc, path, columns=["doc_id", "n_tok"])
+    back = spark.read.option("header", True).csv(path)
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("sum_ntok"),
+        F.countDistinct("doc_id").alias("n_ids"))
+
+
 def _q_sim_ann_index(spark, sf_dir):
     """Materialized ANN index path: build the (band, bucket)-partitioned
     signature index once, query with partition pruning — same planted
@@ -437,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_index": _q_sim_ann_index,
         "sim_knn_join": _q_sim_knn_join,
         "orc_stats_roundtrip": _q_orc_stats_roundtrip,
+        "csv_export": _q_csv_export,
         "mm_features": _q_mm_features,
         "mm_frame_sample": _q_mm_frame_sample,
     }
@@ -711,6 +729,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]),
                        (SELECT CAST(e AS DOUBLE[]) FROM q)), 6) AS cosine
             FROM tbl ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        "csv_export": (
+            f"SELECT count(*) AS n_docs, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok, "
+            f"count(DISTINCT doc_id) AS n_ids FROM documents"),
         "orc_stats_roundtrip": (
             f"SELECT count(*) AS n_rows, "
             f"CAST(min({n_tok}) AS BIGINT) AS min_ntok, "

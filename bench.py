@@ -45,6 +45,10 @@ def make_spark(cpus: int):
             .config("spark.sql.shuffle.partitions", str(cpus))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.driver.memory", "16g")
+            # NOTE: -Xms/AlwaysPreTouch was tried here and made encode
+            # 8x worse — the pre-touched 12 GB heap competes with the
+            # python workers' fault traffic.  The JVM warm-up happens in
+            # warm_workers() (untimed first-of-a-kind stages) instead.
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
             # the encode input is a few hundred MB of dense parquet; the
             # default 128m maxPartitionBytes packs it into ~2 splits and
@@ -82,6 +86,18 @@ def warm_workers(spark, input_path: str | None = None):
     (spark.range(n).repartition(n)
      .mapInArrow(grow_heap, T.StructType([T.StructField("x", T.LongType())]))
      .count())
+    # JVM-side warmers: first-of-a-kind shuffle / window / string-expr
+    # stages each stall ~7s on this sandbox's page-fault path when they
+    # grow fresh JVM regions mid-query — pay it here, untimed
+    from pyspark.sql.window import Window
+    dummy = spark.range(200_000).select(
+        "id", (F.col("id") % 7).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("s"))
+    dummy.groupBy("k").agg(F.count("*"), F.min("s")).collect()
+    dummy.withColumn("rn", F.row_number().over(
+        Window.partitionBy("k").orderBy("id"))).where("rn <= 2").collect()
+    dummy.select(F.explode(F.split("s", "a")).alias("w")) \
+        .groupBy("w").count().orderBy(F.desc("count")).limit(5).collect()
     if input_path:
         spark.read.parquet(input_path).agg(F.sum("n_tok")).collect()
 

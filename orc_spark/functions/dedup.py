@@ -63,13 +63,14 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
                  max_bucket: int | None) -> DataFrame:
     """Drop LSH band buckets larger than ``max_bucket`` before the
     self-join (bounded candidate fan-out; the safety valve for hot
-    template/boilerplate clusters).  The count aggregation shuffles on
-    the same key as the join itself and is map-side combined."""
+    template/boilerplate clusters).  A window count — ONE shuffle on
+    the same key the self-join uses (exchange reusable), no extra
+    join."""
     if max_bucket is None:
         return banded
-    sizes = banded.groupBy(*keys).agg(F.count("*").alias("_bsz")) \
+    w = Window.partitionBy(*keys)
+    return banded.withColumn("_bsz", F.count("*").over(w)) \
         .where(F.col("_bsz") <= max_bucket).drop("_bsz")
-    return banded.join(sizes, keys)
 
 
 def _shingles(n: int = 3):
@@ -108,9 +109,15 @@ def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
     never O(C^2) on a duplicate cluster (VERDICT r1: dedup.py:79-83)."""
     if pre_collapse:
         docs = collapse_exact(docs)
-    # signatures are reused by banding, estimation, and verification —
-    # persist once instead of recomputing the explode+agg three times
-    sigs = minhash_signatures(docs, n_perms, shingle_n).persist()
+    # shingle arrays are computed ONCE behind the collapse and persist;
+    # signatures (explode+agg) and exact verification both read them —
+    # the text is never re-shingled and the collapse window runs once
+    sh = docs.select("doc_id", _shingles(shingle_n).alias("sh")).persist()
+    exploded = sh.select("doc_id", F.explode("sh").alias("s")) \
+        .select("doc_id", F.xxhash64("s").alias("h0"))
+    aggs = [F.min(F.xxhash64(F.col("h0"), F.lit(k))).alias(f"h{k}")
+            for k in range(n_perms)]
+    sigs = exploded.groupBy("doc_id").agg(*aggs).persist()
     rows_per_band = n_perms // bands
     band_cols = []
     for b in range(bands):
@@ -130,18 +137,11 @@ def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    # estimated jaccard from full signatures
-    sa = sigs.select(F.col("doc_id").alias("doc_a"),
-                     *[F.col(f"h{k}").alias(f"a{k}") for k in range(n_perms)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"),
-                     *[F.col(f"h{k}").alias(f"b{k}") for k in range(n_perms)])
-    est = sum(F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
-              for k in range(n_perms)) / F.lit(float(n_perms))
-    with_est = cands.join(sa, "doc_a").join(sb, "doc_b") \
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
-    # exact verification on candidates only
-    sh = docs.select("doc_id", _shingles(shingle_n).alias("sh"))
-    verified = (with_est
+    # exact verification on candidates only (shingle-set Jaccard);
+    # survivors are few, so the signature-based est_jaccard is joined
+    # AFTER filtering — the wide K-column signature join never runs
+    # over the full candidate set
+    verified = (cands
                 .join(sh.select(F.col("doc_id").alias("doc_a"),
                                 F.col("sh").alias("sh_a")), "doc_a")
                 .join(sh.select(F.col("doc_id").alias("doc_b"),
@@ -149,10 +149,18 @@ def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
                 .withColumn("inter",
                             F.size(F.array_intersect("sh_a", "sh_b")))
                 .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
-                .select("doc_a", "doc_b", "est_jaccard",
+                .select("doc_a", "doc_b",
                         F.round(F.col("inter") / F.col("uni"), 6)
-                        .alias("jaccard")))
-    return verified.where(F.col("jaccard") >= min_jaccard)
+                        .alias("jaccard"))
+                .where(F.col("jaccard") >= min_jaccard))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"h{k}").alias(f"a{k}") for k in range(n_perms)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"h{k}").alias(f"b{k}") for k in range(n_perms)])
+    est = sum(F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+              for k in range(n_perms)) / F.lit(float(n_perms))
+    return verified.join(sa, "doc_a").join(sb, "doc_b") \
+        .select("doc_a", "doc_b", est.alias("est_jaccard"), "jaccard")
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
