@@ -382,6 +382,169 @@ class ORCFile:
             off += ln
         return out
 
+    def _position_layout(self, col: int, has_present: bool) -> list:
+        """Seek-position layout for a column: [(stream kind, n_numbers)]
+        in recorded order (mirrors the writer's recordPosition rules).
+        n_numbers = codec seek (1 uncompressed / 2 compressed) + RLE
+        state entries."""
+        base = 1 if self.compression == "none" else 2
+        k = self.types[col].kind
+        enc = self.encodings[col]
+        out = []
+        if has_present:
+            out.append(("PRESENT", base + 2))
+        if k == "boolean":
+            out.append(("DATA", base + 2))
+        elif k == "byte":
+            out.append(("DATA", base + 1))
+        elif k in ("short", "int", "long", "date"):
+            out.append(("DATA", base + 1))
+        elif k in ("float", "double"):
+            out.append(("DATA", base))
+        elif k in ("string", "varchar", "char"):
+            if enc.startswith("DICTIONARY"):
+                out.append(("DATA", base + 1))
+            else:
+                out.append(("DATA", base))
+                out.append(("LENGTH", base + 1))
+        elif k == "binary":
+            out.append(("DATA", base))
+            out.append(("LENGTH", base + 1))
+        elif k == "timestamp":
+            out.append(("DATA", base + 1))
+            out.append(("SECONDARY", base + 1))
+        elif k == "decimal":
+            out.append(("DATA", base))
+            out.append(("SECONDARY", base + 1))
+        elif k in ("list", "map"):
+            out.append(("LENGTH", base + 1))
+        elif k == "union":
+            out.append(("DATA", base + 1))
+        return out
+
+    def read_stripe_strides(self, si: int, keep: list[int]) -> list:
+        """Row-group seek INSIDE a stripe: decode only the given stride
+        ids by slicing each stream at its ROW_INDEX positions.  Valid
+        for stride-restart files (our writer: every position's RLE
+        state is 0); raises ValueError when positions carry codec
+        state (e.g. Java-written files with runs spanning strides) —
+        callers fall back to read_stripe."""
+        if not self.row_index_stride:
+            raise ValueError("file has no row index")
+        n_rows_total = self.stripes[si].get(5, [0])[0]
+        self._load_stripe_streams(si)
+        stride = self.row_index_stride
+        n_strides = (n_rows_total + stride - 1) // stride
+        # per-column positions
+        indexes = {c: self.row_index(si, c) for c in range(len(self.types))}
+        whole_streams = dict(self._streams)
+        out_rows = []
+        for t in sorted(keep):
+            if t >= n_strides:
+                continue
+            n_t = min(stride, n_rows_total - t * stride)
+            sliced = {}
+            for col in range(len(self.types)):
+                has_present = (col, "PRESENT") in whole_streams
+                layout = self._position_layout(col, has_present)
+                entries = indexes[col]
+                if not entries and layout:
+                    raise ValueError("column has no row index entries")
+                pos_t = entries[t]["positions"] if entries else []
+                pos_next = entries[t + 1]["positions"] \
+                    if entries and t + 1 < len(entries) else None
+                off = 0
+                for kind, n_nums in layout:
+                    seg = pos_t[off:off + n_nums]
+                    nxt = pos_next[off:off + n_nums] \
+                        if pos_next is not None else None
+                    if any(seg[1:]) or (nxt is not None and any(nxt[1:])):
+                        raise ValueError(
+                            "positions carry codec state; stride slice "
+                            "not possible — use read_stripe")
+                    lo = seg[0]
+                    hi = nxt[0] if nxt is not None else None
+                    raw = whole_streams.get((col, kind))
+                    if raw is not None:
+                        sliced[(col, kind)] = raw[lo:hi] if hi is not None \
+                            else raw[lo:]
+                    off += n_nums
+                # stripe-global streams (dictionary blob + key lengths)
+                for kind in ("DICTIONARY_DATA",):
+                    if (col, kind) in whole_streams:
+                        sliced[(col, kind)] = whole_streams[(col, kind)]
+                if self.encodings[col].startswith("DICTIONARY") and \
+                        (col, "LENGTH") in whole_streams:
+                    sliced[(col, "LENGTH")] = whole_streams[(col, "LENGTH")]
+            self._streams = sliced
+            out_rows.extend(self._read_column(0, n_t))
+        self._streams = whole_streams
+        return out_rows
+
+    def _load_stripe_streams(self, si: int) -> None:
+        """Populate self._streams/encodings for stripe si without
+        decoding any rows (the stream-directory part of read_stripe)."""
+        info = self.stripes[si]
+        offset = info.get(1, [0])[0]
+        footer_len = info.get(4, [0])[0]
+        index_len = info.get(2, [0])[0]
+        data_len = info.get(3, [0])[0]
+        sf_start = offset + index_len + data_len
+        sfooter = parse_message(self._decomp(
+            self.data[sf_start:sf_start + footer_len]))
+        self.encodings = [
+            ENCODINGS[parse_message(c).get(1, [0])[0]]
+            for c in sfooter.get(2, [])]
+        self.dict_sizes = [
+            parse_message(c).get(2, [0])[0] for c in sfooter.get(2, [])]
+        wtz = sfooter.get(3, [b""])[0]
+        self.writer_tz = wtz.decode() if wtz else ""
+        streams = {}
+        pos = offset
+        for s in sfooter.get(1, []):
+            sm = parse_message(s)
+            kind = STREAM_KINDS[sm.get(1, [0])[0]]
+            c = sm.get(2, [0])[0]
+            ln = sm.get(3, [0])[0]
+            if kind not in ("ROW_INDEX", "BLOOM_FILTER",
+                            "BLOOM_FILTER_UTF8"):
+                streams[(c, kind)] = self.data[pos:pos + ln]
+            pos += ln
+        self._streams = streams
+
+    def read_rows(self, start: int, count: int) -> list:
+        """Cursor seek (SelectStripe + RowIndex consumed): returns rows
+        [start, start+count) touching only covering stripes, and — for
+        stride-restart files — only covering row-group strides within
+        them."""
+        out = []
+        row0 = 0
+        for si, info in enumerate(self.stripes):
+            n = info.get(5, [0])[0]
+            if row0 + n <= start:
+                row0 += n
+                continue
+            if row0 >= start + count:
+                break
+            lo = max(0, start - row0)
+            hi = min(n, start + count - row0)
+            stride = self.row_index_stride
+            if stride:
+                t0, t1 = lo // stride, (hi - 1) // stride
+                try:
+                    rows = self.read_stripe_strides(
+                        si, list(range(t0, t1 + 1)))
+                    base = t0 * stride
+                    out.extend(rows[lo - base:hi - base])
+                    row0 += n
+                    continue
+                except ValueError:
+                    pass
+            rows = self.read_stripe(si)
+            out.extend(rows[lo:hi])
+            row0 += n
+        return out
+
     def row_index(self, si: int, col: int) -> list[dict]:
         """Parse stripe si's ROW_INDEX stream for a column: one entry
         per row-group with {"positions": [...], "stats": {...}}."""

@@ -100,3 +100,42 @@ def test_column_projection_select():
     assert len(rows) == 25000
     assert set(rows[0].keys()) == {"userid", "string1"}
     assert rows[0]["userid"] == 2 and rows[0]["string1"] == "foo"
+
+
+def test_golden_statistics_parse_and_cross_check():
+    """Statistics parity with the Java writer: file/stripe/row-index
+    ColumnStatistics parsed from a reference-corpus file agree with
+    the actually-decoded data (proves our stats semantics match the
+    writers other engines use)."""
+    f = orcfile.ORCFile(os.path.join(EXAMPLES, "demo-11-zlib.orc"))
+    assert f.row_index_stride == 10000
+    assert len(f.stripe_statistics) == len(f.stripes) == 385
+    # col 1 (_col0) is 1..1,920,800 sequential
+    fs = f.file_statistics[1]
+    assert fs["n"] == 1920800
+    assert fs["min"] == 1 and fs["max"] == 1920800
+    # stripe 0: decode and compare against its stripe statistics
+    rows = f.read_stripe(0)
+    vals = [r["_col0"] for r in rows]
+    ss = f.stripe_statistics[0][1]
+    assert ss["n"] == len(vals)
+    assert ss["min"] == min(vals) and ss["max"] == max(vals)
+    assert ss["sum"] == sum(vals)
+    # row-index entry 0 of stripe 0 covers the first stride
+    ri = f.row_index(0, 1)
+    assert ri[0]["stats"]["min"] == vals[0]
+    assert ri[0]["stats"]["n"] == min(10000, len(vals))
+
+
+def test_golden_statistics_strings():
+    """String min/max/sum(length) stats from the Java writer parse
+    correctly and agree with decoded values (test1.orc)."""
+    f = orcfile.ORCFile(os.path.join(EXAMPLES, "TestOrcFile.test1.orc"))
+    rows = list(f.read_all())
+    # locate the string column 'string1' in the type tree
+    root = f.types[0]
+    col = root.children[root.field_names.index("string1")]
+    st = f.file_statistics[col]
+    got = [r["string1"] for r in rows]
+    assert st["n"] == len([g for g in got if g is not None])
+    assert st["min"] == min(got) and st["max"] == max(got)

@@ -263,3 +263,43 @@ def test_varchar_char_write(tmp_path):
     assert got.column("c").to_pylist() == t.column("c").to_pylist()
     f = orcfile.ORCFile(path)
     assert [tn.kind for tn in f.types] == ["struct", "varchar", "char"]
+
+
+def test_read_rows_seek_with_row_index(tmp_path):
+    """Cursor seek parity (cursor.go:179-198 + SelectStripe): read_rows
+    touches only covering stripes, and only covering strides within
+    them on our stride-restart files — including dictionary-encoded
+    strings (global dict, per-stride index slices)."""
+    n = 60000
+    t = pa.table({
+        "a": pa.array(np.arange(n, dtype=np.int64)),
+        "d": pa.array([f"cat{i % 40:02d}" for i in range(n)]),  # dict
+        "f": pa.array([float(x) if x % 7 else None for x in range(n)]),
+        "lst": pa.array([[int(i), int(i) + 1] for i in range(n)],
+                        pa.list_(pa.int64())),
+    })
+    path = str(tmp_path / "seek.orc")
+    orcwriter.write_orc(t, path, codec="zlib", stripe_rows=25000)
+    f = orcfile.ORCFile(path)
+    rows = f.read_rows(34990, 25)
+    assert [r["a"] for r in rows] == list(range(34990, 35015))
+    assert rows[0]["d"] == f"cat{34990 % 40:02d}"
+    assert rows[0]["lst"] == [34990, 34991]
+    # stripe and stride boundary crossings
+    assert [r["a"] for r in f.read_rows(24995, 10)] == \
+        list(range(24995, 25005))
+    assert [r["a"] for r in f.read_rows(9995, 10)] == \
+        list(range(9995, 10005))
+    # nullable column survives the stride slice
+    got_f = [r["f"] for r in f.read_rows(6999, 3)]
+    assert got_f == [6999.0, None, 7001.0]  # 7000 % 7 == 0 -> null
+
+
+def test_read_rows_golden_fallback():
+    """Java-written files (positions may carry RLE run state) fall back
+    to whole-stripe decode transparently."""
+    import os
+    g = orcfile.ORCFile(
+        "/root/reference/examples/demo-11-zlib.orc")
+    rows = g.read_rows(12345, 3)
+    assert [r["_col0"] for r in rows] == [12346, 12347, 12348]
