@@ -417,6 +417,28 @@ def _q_mm_frame_sample(spark, sf_dir):
     return multimodal.frame_sample_stub(media, every_ms=1000)
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-fingerprint duplicate state maintained across micro-batches;
+    after the stream drains, the latest state per fp must equal the
+    batch dedup answer (the oracle's GROUP BY)."""
+    import os
+    import tempfile
+    from orc_spark.streaming import dedup_stream
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = docs.unionByName(dups)
+    base = tempfile.mkdtemp(prefix="dedupstream_")
+    inp = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    corpus.repartition(3).write.parquet(inp)
+    q = dedup_stream.dedup_stream(spark, inp, out, corpus.schema,
+                                  max_files_per_trigger=1)
+    q.awaitTermination(300)
+    return dedup_stream.latest_state(spark, out)
+
+
 def _q_mm_features(spark, sf_dir):
     media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
@@ -449,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "stream_encode": _q_stream_encode,
+        "stream_dedup": _q_stream_dedup,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ann_lsh": _q_sim_ann_lsh,
         "sim_ann_index": _q_sim_ann_index,
@@ -562,6 +585,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
             " AS fp, count(*) AS dup_count, min(doc_id) AS keep_doc_id "
             "FROM documents GROUP BY 1"),
+        "stream_dedup": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id < 20)
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp, count(*) AS dup_count,
+                   min(doc_id) AS keep_doc_id
+            FROM corpus GROUP BY 1""",
         "sim_cosine_topk": ("""
             SELECT e.vec_id,
                    round(list_cosine_similarity(

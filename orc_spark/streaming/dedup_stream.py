@@ -1,0 +1,91 @@
+"""Custom STATEFUL streaming operator: exact-duplicate tracking across
+micro-batches with ``applyInPandasWithState``.
+
+Batch dedup (functions/dedup.exact_duplicates) sees the whole corpus at
+once; a streaming ingest pipeline sees it file-by-file.  This operator
+keeps per-fingerprint GroupState (dup_count, keep_doc_id) that merges
+every micro-batch's arrivals, so after the stream drains the latest
+emitted row per fingerprint equals the batch answer EXACTLY — which is
+what the driver oracle checks (same SQL as dedup_exact).
+
+Shape at 100 TB: state is partitioned by fingerprint (hash shuffle per
+micro-batch on the md5 key — the same single-shuffle shape as batch
+exact dedup), state size is O(#distinct docs) spread over executors via
+the state store, and the checkpoint gives exactly-once across restarts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+OUT_SCHEMA = T.StructType([
+    T.StructField("fp", T.StringType()),
+    T.StructField("dup_count", T.LongType()),
+    T.StructField("keep_doc_id", T.LongType()),
+])
+STATE_SCHEMA = T.StructType([
+    T.StructField("dup_count", T.LongType()),
+    T.StructField("keep_doc_id", T.LongType()),
+])
+
+
+def _update(key, pdfs, state):
+    cnt, keep = state.get if state.exists else (0, None)
+    for pdf in pdfs:
+        cnt += len(pdf)
+        m = int(pdf["doc_id"].min())
+        keep = m if keep is None else min(keep, m)
+    state.update((cnt, keep))
+    yield pd.DataFrame({"fp": [key[0]], "dup_count": [cnt],
+                        "keep_doc_id": [keep]})
+
+
+def with_fingerprint(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "fp", F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")))
+
+
+def dedup_stream(spark: SparkSession, input_path: str, out_dir: str,
+                 schema: T.StructType,
+                 max_files_per_trigger: int = 2):
+    """Start (and return) a streaming query that maintains per-
+    fingerprint duplicate state over arriving parquet files and appends
+    every state update (tagged with batch_id) to ``out_dir``/updates;
+    ``latest_state`` reduces that log to the final answer."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_path))
+    updates = with_fingerprint(stream) \
+        .groupBy("fp") \
+        .applyInPandasWithState(
+            _update, OUT_SCHEMA, STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout)
+    upd_path = os.path.join(out_dir, "updates")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)) \
+            .write.mode("append").parquet(upd_path)
+
+    return (updates.writeStream
+            .outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start())
+
+
+def latest_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The final per-fingerprint state = the last update emitted for
+    each fp (update output mode re-emits a row whenever state
+    changes)."""
+    from pyspark.sql.window import Window
+    upd = spark.read.parquet(os.path.join(out_dir, "updates"))
+    w = Window.partitionBy("fp").orderBy(F.desc("batch_id"))
+    return (upd.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("fp", "dup_count", "keep_doc_id"))

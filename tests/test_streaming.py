@@ -41,3 +41,32 @@ def test_token_rate_metrics_batch_semantics(spark):
     rows = m.collect()
     assert sum(r["n_events"] for r in rows) == events.count()
     assert all(r["window_end"] > r["window_start"] for r in rows)
+
+
+def test_stateful_dedup_stream_cross_batch(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates arriving in DIFFERENT
+    micro-batches merge into one fingerprint state; the drained
+    stream's latest state equals the batch dedup answer."""
+    from orc_spark.streaming import dedup_stream
+    rows = [(i, f"text number {i % 30}") for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    # 6 files; copies of each text land in different files
+    docs.repartition(6).write.parquet(inp)
+    q = dedup_stream.dedup_stream(spark, inp, out, docs.schema,
+                                  max_files_per_trigger=1)
+    q.awaitTermination(300)
+    got = {r["fp"]: (r["dup_count"], r["keep_doc_id"])
+           for r in dedup_stream.latest_state(spark, out).collect()}
+    from orc_spark.streaming.dedup_stream import with_fingerprint
+    want = {r["fp"]: (r["dup_count"], r["keep_doc_id"])
+            for r in with_fingerprint(docs).groupBy("fp")
+            .agg(F.count("*").alias("dup_count"),
+                 F.min("doc_id").alias("keep_doc_id")).collect()}
+    assert got == want
+    assert len(got) == 30 and all(c == 3 for c, _ in got.values())
+    # state genuinely crossed batches: some fp was updated in >1 batch
+    upd = spark.read.parquet(str(tmp_path / "out" / "updates"))
+    multi = upd.groupBy("fp").agg(
+        F.countDistinct("batch_id").alias("nb")).where("nb > 1").count()
+    assert multi > 0
