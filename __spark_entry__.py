@@ -239,6 +239,26 @@ def _q_dedup_simhash(spark, sf_dir):
         .select("doc_a", "doc_b")
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: plant 10 deterministic near-copies
+    (0.9*v_i + 0.1*v_{200+i}); the LSH-bucketed self-join must find
+    every pair with cosine >= 0.9 — the oracle brute-forces ALL pairs
+    in DuckDB, so a recall miss fails the match."""
+    emb = _emb(spark, sf_dir)
+    src = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 210)) \
+        .select((F.col("vec_id") - 200).alias("pid"),
+                F.col("embedding").alias("esrc"))
+    base = emb.where(F.col("vec_id") < 10) \
+        .select(F.col("vec_id").alias("pid"),
+                F.col("embedding").alias("eb"))
+    planted = base.join(F.broadcast(src), "pid").select(
+        (F.col("pid") + 2_000_000).alias("vec_id"),
+        _mix_emb("eb", "esrc", 0.9, 0.1).alias("embedding"),
+        F.lit(0).alias("label"))
+    corpus = emb.unionByName(planted)
+    return dedup.embedding_near_dups(corpus, min_cosine=0.9)
+
+
 def _q_sim_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     query = emb.where(F.col("vec_id") == 0) \
@@ -469,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "stream_encode": _q_stream_encode,
         "stream_dedup": _q_stream_dedup,
@@ -676,6 +697,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": (
             "SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b "
             "FROM documents WHERE doc_id < 20"),
+        # brute-force ALL-pairs cosine >= 0.9 over the planted corpus
+        "dedup_embedding": """
+            WITH planted AS (
+              SELECT b.vec_id + 2000000 AS vec_id,
+                     list_transform(list_zip(b.embedding, s.embedding),
+                       p -> CAST(0.9::DOUBLE * p[1]::DOUBLE
+                                 + 0.1::DOUBLE * p[2]::DOUBLE AS REAL))
+                     AS embedding
+              FROM embeddings b JOIN embeddings s
+                ON s.vec_id = b.vec_id + 200
+              WHERE b.vec_id < 10),
+            corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM planted)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) >= 0.9""",
         # exact top-10 over the table + 10 planted near-neighbors of
         # v0; the ANN result must equal it (recall-1 oracle)
         "sim_ann_lsh": """

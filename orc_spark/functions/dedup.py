@@ -163,6 +163,48 @@ def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
         .select("doc_a", "doc_b", est.alias("est_jaccard"), "jaccard")
 
 
+def embedding_near_dups(emb: DataFrame, min_cosine: float = 0.9,
+                        n_planes: int = 32, bands: int = 8,
+                        seed: int = 42,
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                        emb_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicates: pairs with cosine >=
+    ``min_cosine``, found via banded hyperplane-LSH self-join (shuffle
+    keys are (band, sub-signature), never all pairs; buckets above
+    ``max_bucket`` dropped) and verified with the exact cosine —
+    precision is exact, recall is the LSH band guarantee
+    (1-(1-p^(planes/bands))^bands, p = 1 - angle/pi)."""
+    from . import similarity
+    dim = emb.select(F.size(emb_col).alias("d")).first()["d"]
+    banded = similarity.band_explode(
+        similarity.add_lsh_signature(emb, dim, n_planes, seed, emb_col),
+        n_planes, bands).select(F.col(id_col).alias("id"), "band", "bsig")
+    banded = _cap_buckets(banded, ["band", "bsig"], max_bucket)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, ["band", "bsig"])
+             .where(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    ea = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(emb_col).alias("emb_a"))
+    eb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(emb_col).alias("emb_b"))
+    joined = cands.join(ea, "id_a").join(eb, "id_b")
+    x = F.transform(F.col("emb_a"), lambda v: v.cast("double"))
+    y = F.transform(F.col("emb_b"), lambda v: v.cast("double"))
+    dot = F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nx = F.sqrt(F.aggregate(F.zip_with(x, x, lambda p, q: p * q),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    ny = F.sqrt(F.aggregate(F.zip_with(y, y, lambda p, q: p * q),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return (joined.select("id_a", "id_b",
+                          F.round(dot / (nx * ny), 6).alias("cosine"))
+            .where(F.col("cosine") >= min_cosine))
+
+
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash over word hashes, fully JVM-side: explode words,
     per-bit +/-1 contributions, sign of each bit sum."""

@@ -232,3 +232,26 @@ def test_ann_index_partition_pruning(spark, emb, tmp_path):
     fly = similarity.lsh_ann_topk(emb.where("vec_id != 0"), list(q), k=10)
     assert [r["vec_id"] for r in res.collect()] == \
         [r["vec_id"] for r in fly.collect()]
+
+
+def test_embedding_near_dups_planted(spark, emb):
+    """Embedding-cosine near-dup finds every planted near-copy pair
+    (cosine ~0.99) and nothing below the threshold."""
+    src = emb.where("vec_id >= 200 and vec_id < 205").select(
+        (F.col("vec_id") - 200).alias("pid"),
+        F.col("embedding").alias("esrc"))
+    base = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("eb"))
+    planted = base.join(src, "pid").select(
+        (F.col("pid") + 900_000).alias("vec_id"),
+        F.transform(
+            F.zip_with("eb", "esrc",
+                       lambda x, y: F.lit(0.9) * x.cast("double")
+                       + F.lit(0.1) * y.cast("double")),
+            lambda v: v.cast("float")).alias("embedding"),
+        F.lit(0).alias("label"))
+    corpus = emb.unionByName(planted)
+    pairs = dedup.embedding_near_dups(corpus, min_cosine=0.9).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(i, i + 900_000) for i in range(5)} <= found
+    assert all(r["cosine"] >= 0.9 for r in pairs)
