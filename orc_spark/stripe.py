@@ -666,8 +666,11 @@ def decode_stripe_strides(row: dict, specs: list[ColumnSpec],
                           keep=None) -> pa.Table:
     """Decode a stride-indexed stripe, optionally restricted to the
     stride ids in ``keep`` — only those byte ranges are sliced from
-    the stream blobs and decompressed (row-group skipping)."""
+    the stream blobs and decompressed (row-group skipping).  A stripe
+    written without strides (n_rows <= stride_rows) decodes whole."""
     idx = stride_index(row)
+    if idx is None:
+        return decode_stripe(row, specs, codec)
     rows_per = idx["rows"]
     offsets = idx["offsets"]
     encs = idx["encodings"]

@@ -80,3 +80,65 @@ def test_extreme_token_values():
     row = stripe.encode_stripe(batch, stripe.TOKEN_SCHEMA)
     out = stripe.decode_stripe(row, stripe.TOKEN_SCHEMA)
     assert out.column("tokens").to_pylist() == vals
+
+
+# ---------------------------------------------------------------------------
+# stride index + seek: equivalence properties on randomized inputs
+# ---------------------------------------------------------------------------
+
+
+def test_strided_stripe_equals_unstrided_random():
+    """Property: decode(encode_strided(x)) == x for random token
+    batches across stride sizes, including nulls and empty lists."""
+    import numpy as np
+    import pyarrow as pa
+    from orc_spark import stripe as stripe_mod
+    rng = np.random.default_rng(123)
+    specs = stripe_mod.TOKEN_SCHEMA
+    for trial, stride in [(0, 8), (1, 64), (2, 96), (3, 256)]:
+        n = int(rng.integers(1, 700))
+        toks = [None if rng.random() < 0.05 else
+                rng.integers(0, 50257, rng.integers(0, 50)).tolist()
+                for _ in range(n)]
+        batch = pa.table({
+            "doc_id": pa.array(
+                [None if rng.random() < 0.03 else f"d{i}"
+                 for i in range(n)]),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array(
+                [len(t) if t is not None else None for t in toks],
+                pa.int32()),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        })
+        row = stripe_mod.encode_stripe(batch, specs, stride_rows=stride)
+        back = stripe_mod.decode_stripe_strides(row, specs)
+        assert back.num_rows == n, (trial, stride)
+        assert back.column("tokens").to_pylist() == toks
+        assert back.column("doc_id").to_pylist() == \
+            batch.column("doc_id").to_pylist()
+
+
+def test_read_rows_equals_read_all_random(tmp_path):
+    """Property: ORCFile.read_rows(s, c) == read_all()[s:s+c] for
+    random windows over a multi-stripe multi-stride file."""
+    import numpy as np
+    import pyarrow as pa
+    from orc_spark.sources import orcwriter, orcfile
+    rng = np.random.default_rng(7)
+    n = 30000
+    t = pa.table({
+        "a": pa.array(rng.integers(-10**9, 10**9, n)),
+        "s": pa.array([f"v{int(x)}" for x in rng.integers(0, 30, n)]),
+        "f": pa.array([None if x % 11 == 0 else float(x)
+                       for x in range(n)]),
+    })
+    path = str(tmp_path / "rr.orc")
+    orcwriter.write_orc(t, path, codec="zlib", stripe_rows=9000,
+                        row_index_stride=2000)
+    f = orcfile.ORCFile(path)
+    allr = list(f.read_all())
+    for _ in range(8):
+        s = int(rng.integers(0, n - 1))
+        c = int(rng.integers(1, 500))
+        got = f.read_rows(s, c)
+        assert got == allr[s:s + c], (s, c)
