@@ -296,6 +296,29 @@ def _q_sim_ann_lsh(spark, sf_dir):
     return similarity.lsh_ann_topk(table, list(query), k=10)
 
 
+def _q_sim_ivf_topk(spark, sf_dir):
+    """IVF (KMeans inverted-file) ANN path: build the list-partitioned
+    index over the planted corpus, probe the nearest lists only — the
+    result must equal the exact top-10 (same planted oracle as
+    sim_ann_lsh)."""
+    import tempfile
+    emb = _emb(spark, sf_dir)
+    query = emb.where(F.col("vec_id") == 0) \
+        .select("embedding").first()["embedding"]
+    e0 = emb.where(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("e0"))
+    planted = (emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 10))
+               .crossJoin(F.broadcast(e0))
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       _mix_emb("e0", "embedding", 0.8, 0.2)
+                       .alias("embedding"),
+                       F.lit(0).alias("label")))
+    table = emb.where(F.col("vec_id") != 0).unionByName(planted)
+    path = tempfile.mkdtemp(prefix="ivfidx_") + "/idx"
+    similarity.build_ivf_index(table, path, n_lists=16)
+    return similarity.ivf_topk(spark, path, list(query), k=10, nprobe=8)
+
+
 def _q_sim_knn_join(spark, sf_dir):
     """kNN-join recall oracle: each probe p in 0..4 gets 3 planted
     near-neighbors (0.85*v_p + 0.15*v_{100+3p+j}); the banded LSH join
@@ -496,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ann_lsh": _q_sim_ann_lsh,
         "sim_ann_index": _q_sim_ann_index,
+        "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_knn_join": _q_sim_knn_join,
         "orc_stats_roundtrip": _q_orc_stats_roundtrip,
         "csv_export": _q_csv_export,
@@ -722,6 +746,25 @@ def oracle_sql() -> dict[str, str]:
         # exact top-10 over the table + 10 planted near-neighbors of
         # v0; the ANN result must equal it (recall-1 oracle)
         "sim_ann_lsh": """
+            WITH q AS (SELECT embedding AS e FROM embeddings
+                       WHERE vec_id = 0),
+            planted AS (
+              SELECT e.vec_id + 1000000 AS vec_id,
+                     list_transform(list_zip(q.e, e.embedding),
+                       p -> CAST(0.8::DOUBLE * p[1]::DOUBLE
+                                 + 0.2::DOUBLE * p[2]::DOUBLE AS REAL))
+                     AS embedding
+              FROM embeddings e, q WHERE e.vec_id BETWEEN 1 AND 10),
+            tbl AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+              UNION ALL SELECT vec_id, embedding FROM planted)
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(e AS DOUBLE[]) FROM q)), 6) AS cosine
+            FROM tbl ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        # same planted exact-top-10 oracle for the IVF path
+        "sim_ivf_topk": """
             WITH q AS (SELECT embedding AS e FROM embeddings
                        WHERE vec_id = 0),
             planted AS (

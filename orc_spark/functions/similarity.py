@@ -191,6 +191,51 @@ def ann_index_topk(spark, path: str, query: list[float], k: int = 10,
             .limit(k))
 
 
+def build_ivf_index(df: DataFrame, path: str, n_lists: int = 16,
+                    seed: int = 42, emb_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """IVF (inverted-file) index: KMeans coarse quantizer assigns every
+    vector to its nearest centroid; rows are materialized partitioned
+    by list id and the centroids ride along at ``path``/_centroids.
+    The classic ANN scale path alongside LSH: a query probes only the
+    ``nprobe`` lists whose centroids are closest, i.e. reads
+    nprobe/n_lists of the table via partition pruning."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    feat = df.withColumn("_features", array_to_vector(
+        F.transform(F.col(emb_col), lambda x: x.cast("double"))))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_features",
+                predictionCol="ivf_list").fit(feat)
+    assigned = km.transform(feat).drop("_features")
+    assigned.select(id_col, emb_col, "ivf_list") \
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    spark = df.sparkSession
+    cents = [(i, [float(x) for x in c])
+             for i, c in enumerate(km.clusterCenters())]
+    spark.createDataFrame(cents, ["ivf_list", "centroid"]) \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+
+
+def ivf_topk(spark, path: str, query: list[float], k: int = 10,
+             nprobe: int = 4, emb_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k against an IVF index: rank centroids by
+    distance to the query driver-side (n_lists rows), scan ONLY the
+    nprobe nearest lists (partition pruning), exact cosine within."""
+    cents = spark.read.parquet(path + "/_centroids").collect()
+    q = np.asarray(query, dtype=np.float64)
+    scored = sorted(
+        cents, key=lambda r: float(np.linalg.norm(
+            np.asarray(r["centroid"]) - q)))
+    probe = [r["ivf_list"] for r in scored[:nprobe]]
+    idx = spark.read.parquet(path)
+    cands = idx.where(F.col("ivf_list").isin(probe))
+    return (with_cosine(cands, query, emb_col)
+            .select(id_col, "cosine")
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
 def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
              n_planes: int = DEFAULT_PLANES, bands: int = DEFAULT_BANDS,
              seed: int = 42, max_bucket: int | None = 100_000,

@@ -255,3 +255,27 @@ def test_embedding_near_dups_planted(spark, emb):
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert {(i, i + 900_000) for i in range(5)} <= found
     assert all(r["cosine"] >= 0.9 for r in pairs)
+
+
+def test_ivf_index_recall(spark, emb, tmp_path):
+    """IVF index: planted near-copies of the query vector are recovered
+    as the exact top-5 while probing only nprobe of n_lists lists."""
+    q = emb.where("vec_id = 0").first()["embedding"]
+    e0 = emb.where("vec_id = 0").select(F.col("embedding").alias("e0"))
+    planted = (emb.where("vec_id >= 1 and vec_id <= 5")
+               .crossJoin(e0)
+               .select((F.col("vec_id") + 800_000).alias("vec_id"),
+                       F.transform(
+                           F.zip_with("e0", "embedding",
+                                      lambda x, y: F.lit(0.8)
+                                      * x.cast("double")
+                                      + F.lit(0.2) * y.cast("double")),
+                           lambda v: v.cast("float")).alias("embedding"),
+                       F.lit(0).alias("label")))
+    table = emb.where("vec_id != 0").unionByName(planted)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(table, path, n_lists=8)
+    got = [r["vec_id"] for r in
+           similarity.ivf_topk(spark, path, list(q), k=5, nprobe=4)
+           .collect()]
+    assert sorted(got) == [800_001 + i for i in range(5)]
