@@ -204,6 +204,25 @@ def _q_text_fingerprints(spark, sf_dir):
     return text.fingerprints(_docs(spark, sf_dir))
 
 
+def _q_pipeline_clean(spark, sf_dir):
+    """The composed training-data cleaning pipeline: language filter ->
+    quality gates (word count, mean word length) -> exact-dedup
+    keep-first -> corpus stats.  One declarative plan: Catalyst fuses
+    the text features into the scan project; dedup is the single
+    digest shuffle."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_scores(docs).select(
+        "doc_id", "n_words", "mean_word_len")
+    kept = (docs.join(q, "doc_id")
+            .where((F.col("lang") == "en") & (F.col("n_words") >= 20)
+                   & (F.col("mean_word_len") <= 12)))
+    deduped = dedup.collapse_exact(kept)
+    return deduped.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.min("doc_id").alias("first_doc"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -509,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprints": _q_text_fingerprints,
+        "pipeline_clean": _q_pipeline_clean,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -630,6 +650,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
             " AS fp, count(*) AS dup_count, min(doc_id) AS keep_doc_id "
             "FROM documents GROUP BY 1"),
+        "pipeline_clean": f"""
+            WITH q AS (
+              SELECT doc_id, text, lang,
+                     CAST({_WS_TOKENS} AS BIGINT) AS n_words,
+                     round(length(regexp_replace(text, '\\s+', '', 'g'))
+                           / {_WS_TOKENS}, 4) AS mwl
+              FROM documents),
+            kept AS (SELECT * FROM q
+                     WHERE lang = 'en' AND n_words >= 20 AND mwl <= 12),
+            dd AS (SELECT *, row_number() OVER (
+                       PARTITION BY md5(regexp_replace(
+                           lower(trim(text)), '\\s+', ' ', 'g'))
+                       ORDER BY doc_id) AS rn
+                   FROM kept)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS total_words,
+                   min(doc_id) AS first_doc
+            FROM dd WHERE rn = 1""",
         "stream_dedup": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents
