@@ -70,3 +70,35 @@ def test_stateful_dedup_stream_cross_batch(spark, tmp_path):
     multi = upd.groupBy("fp").agg(
         F.countDistinct("batch_id").alias("nb")).where("nb > 1").count()
     assert multi > 0
+
+
+def test_stateful_dedup_stream_restart_recovers_state(spark, tmp_path):
+    """State survives a full query RESTART: after the first stream
+    drains, more files (with more copies) arrive; a second
+    dedup_stream run on the same checkpoint resumes the per-fp state,
+    so final counts cover both runs."""
+    from orc_spark.streaming import dedup_stream
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    first = spark.createDataFrame(
+        [(i, f"doc body {i % 10}") for i in range(30)],
+        "doc_id long, text string")
+    first.repartition(2).write.parquet(inp)
+    q = dedup_stream.dedup_stream(spark, inp, out, first.schema,
+                                  max_files_per_trigger=1)
+    q.awaitTermination(300)
+    second = spark.createDataFrame(
+        [(100 + i, f"doc body {i % 10}") for i in range(20)],
+        "doc_id long, text string")
+    second.repartition(2).write.mode("append").parquet(inp)
+    q2 = dedup_stream.dedup_stream(spark, inp, out, first.schema,
+                                   max_files_per_trigger=1)
+    q2.awaitTermination(300)
+    got = {r["fp"]: (r["dup_count"], r["keep_doc_id"])
+           for r in dedup_stream.latest_state(spark, out).collect()}
+    both = first.unionByName(second)
+    want = {r["fp"]: (r["dup_count"], r["keep_doc_id"])
+            for r in dedup_stream.with_fingerprint(both).groupBy("fp")
+            .agg(F.count("*").alias("dup_count"),
+                 F.min("doc_id").alias("keep_doc_id")).collect()}
+    assert got == want  # counts span BOTH runs -> state was recovered
+    assert all(c == 5 for c, _ in got.values())  # 3 + 2 copies per text
