@@ -192,20 +192,28 @@ def ann_index_topk(spark, path: str, query: list[float], k: int = 10,
 
 
 def build_ivf_index(df: DataFrame, path: str, n_lists: int = 16,
-                    seed: int = 42, emb_col: str = "embedding",
+                    seed: int = 42, train_fraction: float = 1.0,
+                    emb_col: str = "embedding",
                     id_col: str = "vec_id") -> None:
     """IVF (inverted-file) index: KMeans coarse quantizer assigns every
     vector to its nearest centroid; rows are materialized partitioned
     by list id and the centroids ride along at ``path``/_centroids.
     The classic ANN scale path alongside LSH: a query probes only the
     ``nprobe`` lists whose centroids are closest, i.e. reads
-    nprobe/n_lists of the table via partition pruning."""
+    nprobe/n_lists of the table via partition pruning.
+
+    At 100 TB, train the quantizer on a SAMPLE (``train_fraction`` —
+    centroid quality converges long before the full pass) and raise
+    ``n_lists`` toward sqrt(N); assignment remains a full single
+    map-side pass either way."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     feat = df.withColumn("_features", array_to_vector(
         F.transform(F.col(emb_col), lambda x: x.cast("double"))))
+    train = feat if train_fraction >= 1.0 else \
+        feat.sample(train_fraction, seed=seed)
     km = KMeans(k=n_lists, seed=seed, featuresCol="_features",
-                predictionCol="ivf_list").fit(feat)
+                predictionCol="ivf_list").fit(train)
     assigned = km.transform(feat).drop("_features")
     assigned.select(id_col, emb_col, "ivf_list") \
         .write.mode("overwrite").partitionBy("ivf_list").parquet(path)

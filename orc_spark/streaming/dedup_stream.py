@@ -12,6 +12,11 @@ Shape at 100 TB: state is partitioned by fingerprint (hash shuffle per
 micro-batch on the md5 key — the same single-shuffle shape as batch
 exact dedup), state size is O(#distinct docs) spread over executors via
 the state store, and the checkpoint gives exactly-once across restarts.
+Honest ceiling: at 10^12 DISTINCT documents the state store itself is
+tens of TB — production streams bound it with a state TTL
+(GroupStateTimeout) over a dedup horizon, or periodically compact the
+update log into the batch dedup table; both compose with this
+operator unchanged.
 """
 
 from __future__ import annotations
