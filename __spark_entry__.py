@@ -244,16 +244,19 @@ def _q_dedup_minhash(spark, sf_dir):
 
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash recall check: every seeded near-dup (text + ' zzz') must
-    be recovered through the banded hamming<=6 search — the seeded
-    pair set is the implementation-independent oracle (simhash values
-    themselves are xxhash64-specific)."""
+    be recovered through the banded near-pair search (guaranteed-recall
+    block banding) — the seeded pair set is the implementation-
+    independent oracle (simhash values themselves are
+    xxhash64-specific)."""
     docs = _docs(spark, sf_dir)
     dups = docs.where(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
         "lang", "source", "n_chars")
-    pairs = dedup.simhash_near_pairs(docs.unionByName(dups)) \
-        .where(F.col("hamming") <= 6)
+    # max_hamming=7: guaranteed recall via 8 single-block bands; the
+    # seeded perturbation measures h<=6 at sf0.01 and h<=7 at sf0.001
+    pairs = dedup.simhash_near_pairs(docs.unionByName(dups),
+                                     max_hamming=7)
     return pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000) \
         .select("doc_a", "doc_b")
 
