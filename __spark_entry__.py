@@ -261,6 +261,20 @@ def _q_dedup_simhash(spark, sf_dir):
         .select("doc_a", "doc_b")
 
 
+def _q_dedup_jaccard_exact(spark, sf_dir):
+    """EXACT set-similarity join (prefix filtering): guaranteed to find
+    every pair with shingle Jaccard >= 0.4 at ANY scale — the
+    brute-force oracle match is a hard guarantee here, not an LSH
+    S-curve outcome."""
+    docs = _docs(spark, sf_dir)
+    dups = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        "lang", "source", "n_chars")
+    return dedup.jaccard_join_exact(docs.unionByName(dups),
+                                    min_jaccard=0.4)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: plant 10 deterministic near-copies
     (0.9*v_i + 0.1*v_{200+i}); the LSH-bucketed self-join must find
@@ -535,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard_exact": _q_dedup_jaccard_exact,
         "dedup_embedding": _q_dedup_embedding,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "stream_encode": _q_stream_encode,
@@ -739,13 +754,58 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + 1000000, text || ' extra token'
               FROM documents WHERE doc_id < 20),
+            -- mirror the operator's exact-dup pre-collapse: one
+            -- representative (min doc_id) per normalized fingerprint
+            reps AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, row_number() OVER (
+                    PARTITION BY md5(regexp_replace(
+                        lower(trim(text)), '\\s+', ' ', 'g'))
+                    ORDER BY doc_id) AS rn
+                FROM corpus) WHERE rn = 1),
             sh AS (
               SELECT doc_id, unnest(list_distinct(list_transform(
                   range(1, greatest(len(regexp_split_to_array(
                       trim(text), '\\s+')) - 2, 1) + 1),
                   k -> array_to_string(regexp_split_to_array(
                       trim(text), '\\s+')[k:k+2], ' ')))) AS s
-              FROM corpus),
+              FROM reps),
+            sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / (sa.c + sb.c - i), 6)
+                   AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.4""",
+        # exact prefix-filtered join: same brute-force oracle as
+        # dedup_minhash, but here the match is a hard guarantee
+        "dedup_jaccard_exact": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' extra token'
+              FROM documents WHERE doc_id < 20),
+            -- mirror the operator's exact-dup pre-collapse: one
+            -- representative (min doc_id) per normalized fingerprint
+            reps AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, row_number() OVER (
+                    PARTITION BY md5(regexp_replace(
+                        lower(trim(text)), '\\s+', ' ', 'g'))
+                    ORDER BY doc_id) AS rn
+                FROM corpus) WHERE rn = 1),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(regexp_split_to_array(
+                      trim(text), '\\s+')) - 2, 1) + 1),
+                  k -> array_to_string(regexp_split_to_array(
+                      trim(text), '\\s+')[k:k+2], ' ')))) AS s
+              FROM reps),
             sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

@@ -163,6 +163,53 @@ def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
         .select("doc_a", "doc_b", est.alias("est_jaccard"), "jaccard")
 
 
+def jaccard_join_exact(docs: DataFrame, min_jaccard: float = 0.5,
+                       shingle_n: int = 3,
+                       pre_collapse: bool = True) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family): returns every pair with shingle Jaccard
+    >= ``min_jaccard`` — guaranteed complete at any scale, the
+    deterministic counterpart to minhash LSH's probabilistic S-curve.
+
+    Guarantee: order the shingle universe globally by (frequency,
+    shingle); if J(A,B) >= t then |A∩B| >= ceil(t*|A|), so A's prefix
+    of length |A| - ceil(t*|A|) + 1 must contain an overlap element —
+    joining PREFIX tokens against FULL tokens on the shingle therefore
+    surfaces every qualifying pair.  Prefixes are dominated by
+    globally-RARE shingles, so join buckets stay small; candidate
+    volume grows with (1-t), which is the scale dial (use t >= 0.7 at
+    100 TB, or fall back to minhash LSH below that)."""
+    if pre_collapse:
+        docs = collapse_exact(docs)
+    sh = docs.select("doc_id", _shingles(shingle_n).alias("sh")).persist()
+    toks = sh.select("doc_id", F.explode("sh").alias("s"))
+    freq = toks.groupBy("s").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "s")
+    ranked = toks.join(freq, "s") \
+        .withColumn("_rnk", F.row_number().over(w)) \
+        .withColumn("_sz", F.count("*").over(Window.partitionBy("doc_id")))
+    plen = F.col("_sz") - F.ceil(F.lit(min_jaccard) * F.col("_sz")) + 1
+    pref = ranked.where(F.col("_rnk") <= plen).select("doc_id", "s")
+    cands = (pref.alias("a")
+             .join(toks.alias("b"), "s")
+             .where(F.col("a.doc_id") != F.col("b.doc_id"))
+             .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                     F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+             .distinct())
+    verified = (cands
+                .join(sh.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sh").alias("sh_a")), "doc_a")
+                .join(sh.select(F.col("doc_id").alias("doc_b"),
+                                F.col("sh").alias("sh_b")), "doc_b")
+                .withColumn("inter",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+                .select("doc_a", "doc_b",
+                        F.round(F.col("inter") / F.col("uni"), 6)
+                        .alias("jaccard")))
+    return verified.where(F.col("jaccard") >= min_jaccard)
+
+
 def embedding_near_dups(emb: DataFrame, min_cosine: float = 0.9,
                         n_planes: int = 32, bands: int = 8,
                         seed: int = 42,

@@ -279,3 +279,22 @@ def test_ivf_index_recall(spark, emb, tmp_path):
            similarity.ivf_topk(spark, path, list(q), k=5, nprobe=4)
            .collect()]
     assert sorted(got) == [800_001 + i for i in range(5)]
+
+
+def test_jaccard_join_exact_matches_bruteforce(spark, docs):
+    """Prefix-filtered exact join == brute-force all-pairs Jaccard on
+    representatives (hard guarantee, unlike LSH's S-curve)."""
+    import itertools
+    sub = dedup.collapse_exact(docs.limit(80)).cache()
+    rows = sub.select("doc_id", dedup._shingles(3).alias("sh")).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if uni and inter / uni >= 0.35:
+            want.add((a, b))
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           dedup.jaccard_join_exact(docs.limit(80),
+                                    min_jaccard=0.35).collect()}
+    assert got == want
