@@ -771,8 +771,11 @@ class ORCFileWriter:
                 fp = [self._frame(p) for p in s.pieces]
                 blob = b"".join(fp)
                 kc = _STREAM_CODE[s.kind]
-                if blob:
-                    framed[(cid, kc)] = blob
+                # declared streams get a directory entry even when the
+                # stripe holds zero values for this column (e.g. all
+                # maps empty): the C++ reader requires the stream to
+                # EXIST for the encoding, zero-length is fine
+                framed[(cid, kc)] = blob
                 if not s.indexed:
                     continue
                 if s.bit_pos is not None:

@@ -303,3 +303,85 @@ def test_read_rows_golden_fallback():
         "/root/reference/examples/demo-11-zlib.orc")
     rows = g.read_rows(12345, 3)
     assert [r["_col0"] for r in rows] == [12346, 12347, 12348]
+
+
+def test_writer_fuzz_random_schemas(tmp_path):
+    """Seeded fuzz over the writer's type space: random nested schemas
+    (struct/list/map over all scalars), random nulls, empty containers
+    — every file must round-trip content-identical through pyarrow's
+    C++ ORC reader."""
+    from pyarrow import orc as pa_orc
+    rng = np.random.default_rng(2024)
+
+    def rand_scalar(n, depth):
+        kind = rng.integers(0, 8)
+        nulls = rng.random() < 0.5
+        def mask(v):
+            return None if nulls and rng.random() < 0.15 else v
+        if kind == 0:
+            return pa.array([mask(int(rng.integers(-2**40, 2**40)))
+                             for _ in range(n)], pa.int64())
+        if kind == 1:
+            return pa.array([mask(int(rng.integers(-2**20, 2**20)))
+                             for _ in range(n)], pa.int32())
+        if kind == 2:
+            return pa.array([mask(float(rng.normal()))
+                             for _ in range(n)], pa.float64())
+        if kind == 3:
+            return pa.array([mask(bool(rng.random() < 0.5))
+                             for _ in range(n)], pa.bool_())
+        if kind == 4:
+            return pa.array(
+                [mask(f"s{int(rng.integers(0, 40 if rng.random() < .5 else 10**6))}")
+                 for _ in range(n)], pa.string())
+        if kind == 5:
+            return pa.array([mask(bytes(rng.integers(0, 256,
+                                                     rng.integers(0, 9),
+                                                     ).astype('u1')))
+                             for _ in range(n)], pa.binary())
+        if kind == 6:
+            return pa.array([mask(int(rng.integers(0, 20000)))
+                             for _ in range(n)], pa.date32())
+        return pa.array([mask(int(rng.integers(0, 2**48)))
+                         for _ in range(n)], pa.timestamp("us"))
+
+    def rand_array(n, depth=0):
+        k = rng.integers(0, 3) if depth < 2 else 3
+        if k == 0 and depth < 2:  # list
+            lens = [None if rng.random() < 0.1 else int(rng.integers(0, 5))
+                    for _ in range(n)]
+            total = sum(x for x in lens if x)
+            child = rand_array(total, depth + 1)
+            out, off = [], 0
+            for ln in lens:
+                if ln is None:
+                    out.append(None)
+                else:
+                    out.append(child[off:off + ln].to_pylist())
+                    off += ln
+            return pa.array(out, pa.list_(child.type))
+        if k == 1 and depth < 2:  # struct
+            a = rand_array(n, depth + 1)
+            b = rand_array(n, depth + 1)
+            return pa.StructArray.from_arrays([a, b], ["x", "y"])
+        if k == 2 and depth < 2:  # map
+            lens = [int(rng.integers(0, 4)) for _ in range(n)]
+            out = []
+            for ln in lens:
+                out.append({f"k{j}": int(rng.integers(0, 100))
+                            for j in range(ln)})
+            return pa.array(out, pa.map_(pa.string(), pa.int64()))
+        return rand_scalar(n, depth)
+
+    for trial in range(6):
+        n = int(rng.integers(1, 4000))
+        cols = {f"c{i}": rand_array(n) for i in range(3)}
+        t = pa.table(cols)
+        path = str(tmp_path / f"fuzz{trial}.orc")
+        orcwriter.write_orc(t, path, codec="zlib",
+                            stripe_rows=max(8, n // 2),
+                            row_index_stride=512)
+        back = pa_orc.read_table(path)
+        for c in t.column_names:
+            assert back.column(c).to_pylist() == \
+                t.column(c).to_pylist(), (trial, c)
