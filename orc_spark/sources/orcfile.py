@@ -157,8 +157,16 @@ class TypeNode:
 
 class ORCFile:
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            self.data = f.read()
+        # mmap, not read(): tail/footer parsing touches only the last
+        # pages, and read_rows/read_stripe_strides seeks fault in only
+        # the stripes/strides they actually decode
+        import mmap
+        self._f = open(path, "rb")
+        try:
+            self.data = mmap.mmap(self._f.fileno(), 0,
+                                  access=mmap.ACCESS_READ)
+        except ValueError:  # zero-length file
+            self.data = b""
         psl = self.data[-1]
         ps = parse_message(self.data[-1 - psl:-1])
         self.compression = COMPRESSIONS[ps.get(2, [0])[0]]
