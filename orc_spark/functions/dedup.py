@@ -1,20 +1,27 @@
 """Deduplication operators for training-data pipelines at 100 TB scale.
 
-* exact: hash-groupBy on a content fingerprint — one shuffle on the
-  digest, combiner-friendly.
-* minhash_lsh: shingle -> K minhash permutations -> B bands; candidate
-  pairs come from an equi-join on (band, band-signature), so the only
-  shuffle keys are band signatures (never all-pairs). Verification is an
-  exact shingle-set Jaccard on the candidates only.
-* simhash: 64-bit sign-of-weighted-bit-sums over word hashes, computed
-  with JVM-side explode/agg (no Python); near-dups = equal simhash
-  bucket (or banded XOR refinement downstream).
-* ngram_jaccard: exact n-gram Jaccard for a candidate pair set.
-* embedding near-dup: cosine threshold within LSH buckets (see
-  similarity.py).
+* exact_duplicates / collapse_exact: hash-groupBy on a normalized
+  content fingerprint — one shuffle on the digest, combiner-friendly;
+  collapse keeps one representative per group (the skew guard every
+  near-dup operator below builds on).
+* minhash_lsh_pairs: shingle -> K minhash permutations -> B bands;
+  candidate pairs come from an equi-join on (band, band-signature), so
+  the only shuffle keys are band signatures (never all-pairs);
+  verification is an exact shingle-set Jaccard on candidates only.
+  Probabilistic recall per the LSH S-curve (high at J >= ~0.7 with the
+  32/8 defaults).
+* jaccard_join_exact: AllPairs/PPJoin prefix filtering — EXACT
+  set-similarity self-join with guaranteed completeness at any scale
+  (the deterministic counterpart to minhash LSH).
+* simhash / simhash_near_pairs: 64-bit sign-of-weighted-bit-sums over
+  word hashes, fully JVM-side; block-combination banding gives
+  GUARANTEED recall for hamming <= k (Manku/Jain/Sarma, WWW'07).
+* embedding_near_dups: cosine threshold via banded hyperplane-LSH
+  self-join + exact-cosine verification (see also similarity.py).
 
-All operators broadcast nothing unexpectedly and scale by bucketing —
-the all-pairs comparison never materializes.
+Shared scale guards: exact-dup pre-collapse and per-bucket caps bound
+every self-join's fan-out — the all-pairs comparison never
+materializes and no hot bucket becomes a straggler task.
 """
 
 from __future__ import annotations
