@@ -253,10 +253,10 @@ def _q_dedup_simhash(spark, sf_dir):
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
         "lang", "source", "n_chars")
-    # max_hamming=7: guaranteed recall via 8 single-block bands; the
-    # seeded perturbation measures h<=6 at sf0.01 and h<=7 at sf0.001
+    # max_hamming=8: guaranteed recall via 1-bit multiprobe banding
+    # (the seeded perturbation measures h<=8 across all test scales)
     pairs = dedup.simhash_near_pairs(docs.unionByName(dups),
-                                     max_hamming=7)
+                                     max_hamming=8)
     return pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000) \
         .select("doc_a", "doc_b")
 

@@ -292,39 +292,82 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6,
     on every (blocks-k)-subset of blocks catches every such pair by
     pigeonhole (no probabilistic misses, unlike fixed 16-bit bands).
 
-    Cost: C(blocks, blocks-k) bucket rows per doc (28 at the k=6
-    default) — the scale dial is k: k=3 with blocks=4 is 4 rows/doc.
-    Scale guards: exact-dup pre-collapse + per-bucket caps bound the
-    self-join fan-out (VERDICT r1: dedup.py:130-149)."""
+    For k above blocks-1 (up to 2*blocks-1), the same guarantee comes
+    from 1-bit MULTIPROBE on exact block keys instead: if every block
+    had >=2 flips then h >= 2*blocks, so some block has <=1 flip —
+    probing each single-bit flip of one side's block keys must hit the
+    other side's exact key.  Cost: blocks*(1+block_bits) probe rows per
+    doc on one side (72 at the defaults) vs C(blocks, blocks-k)
+    combination rows — the scale dial is k (k=3 with blocks=4 is 4
+    rows/doc).  Scale guards: exact-dup pre-collapse + per-bucket caps
+    bound the self-join fan-out (VERDICT r1: dedup.py:130-149)."""
     from itertools import combinations
+    if max_hamming > 2 * blocks - 1:
+        raise ValueError(f"max_hamming {max_hamming} > 2*blocks-1 "
+                         f"({2 * blocks - 1}): raise blocks")
     if pre_collapse:
         docs = collapse_exact(docs)
     bs = 64 // blocks
-    combo = max(1, blocks - max_hamming)
     sigs = simhash(docs).persist()
-    band_keys = []
-    for bi, cb in enumerate(combinations(range(blocks), combo)):
-        key = None
-        for pos, blk in enumerate(cb):
-            part = F.shiftright("simhash", blk * bs) \
-                .bitwiseAND(F.lit((1 << bs) - 1))
-            part = F.shiftleft(part, pos * bs)
-            key = part if key is None else key.bitwiseXOR(part)
-        band_keys.append(F.struct(F.lit(bi).alias("band"),
-                                  key.alias("key")))
-    bands = sigs.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*band_keys)).alias("bk")) \
-        .select("doc_id", "simhash", "bk.band", "bk.key")
-    bands = _cap_buckets(bands, ["band", "key"], max_bucket)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (a.join(b, ["band", "key"])
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.simhash").alias("sig_a"),
-                     F.col("b.simhash").alias("sig_b"))
-             .distinct())
+
+    def block_key(blk):
+        return F.shiftright("simhash", blk * bs) \
+            .bitwiseAND(F.lit((1 << bs) - 1))
+
+    if max_hamming <= blocks - 1:
+        # combination banding: exact match on (blocks-k)-subsets
+        combo = blocks - max_hamming
+        band_keys = []
+        for bi, cb in enumerate(combinations(range(blocks), combo)):
+            key = None
+            for pos, blk in enumerate(cb):
+                part = F.shiftleft(block_key(blk), pos * bs)
+                key = part if key is None else key.bitwiseXOR(part)
+            band_keys.append(F.struct(F.lit(bi).alias("band"),
+                                      key.alias("key")))
+        bands = sigs.select(
+            "doc_id", "simhash",
+            F.explode(F.array(*band_keys)).alias("bk")) \
+            .select("doc_id", "simhash", "bk.band", "bk.key")
+        bands = _cap_buckets(bands, ["band", "key"], max_bucket)
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (a.join(b, ["band", "key"])
+                 .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"),
+                         F.col("a.simhash").alias("sig_a"),
+                         F.col("b.simhash").alias("sig_b"))
+                 .distinct())
+    else:
+        # 1-bit multiprobe: base side = exact block keys, probe side =
+        # exact + every single-bit flip of each block key
+        exact_keys = [F.struct(F.lit(bi).alias("band"),
+                               block_key(bi).alias("key"))
+                      for bi in range(blocks)]
+        base = sigs.select(
+            "doc_id", "simhash",
+            F.explode(F.array(*exact_keys)).alias("bk")) \
+            .select("doc_id", "simhash", "bk.band", "bk.key")
+        base = _cap_buckets(base, ["band", "key"], max_bucket)
+        probe_keys = list(exact_keys)
+        for bi in range(blocks):
+            for j in range(bs):
+                probe_keys.append(F.struct(
+                    F.lit(bi).alias("band"),
+                    block_key(bi).bitwiseXOR(F.lit(1 << j)).alias("key")))
+        probe = sigs.select(
+            "doc_id", "simhash",
+            F.explode(F.array(*probe_keys)).alias("bk")) \
+            .select("doc_id", "simhash", "bk.band", "bk.key")
+        a, b = probe.alias("a"), base.alias("b")
+        pairs = (a.join(b, ["band", "key"])
+                 .where(F.col("a.doc_id") != F.col("b.doc_id"))
+                 .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                         F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                         F.least("a.simhash", "b.simhash").alias("sig_a"),
+                         F.greatest("a.simhash", "b.simhash")
+                         .alias("sig_b"))
+                 .distinct())
     return pairs.select(
         "doc_a", "doc_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

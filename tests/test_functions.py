@@ -298,3 +298,25 @@ def test_jaccard_join_exact_matches_bruteforce(spark, docs):
            dedup.jaccard_join_exact(docs.limit(80),
                                     min_jaccard=0.35).collect()}
     assert got == want
+
+
+def test_simhash_multiprobe_guaranteed_recall_hamming8(spark, docs):
+    """1-bit multiprobe banding (k > blocks-1 path) catches EVERY pair
+    within hamming 8 — brute-force cross-validated."""
+    import itertools
+    sub = docs.limit(50).cache()
+    near = sub.select((F.col("doc_id") + 10_000).alias("doc_id"),
+                      F.concat("text", F.lit(" zz qq rr")).alias("text"),
+                      "lang", "source", "n_chars")
+    corpus = sub.unionByName(near)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(corpus).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 8:
+            want.add((a, b))
+    got = {(r["doc_a"], r["doc_b"])
+           for r in dedup.simhash_near_pairs(
+               corpus, max_hamming=8).collect()}
+    assert got == want
+    assert len(want) >= 30
