@@ -204,6 +204,23 @@ def _q_text_fingerprints(spark, sf_dir):
     return text.fingerprints(_docs(spark, sf_dir))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing (pretraining prep): docs + EOS concatenated and
+    re-chunked into fixed 512-token sequences, deterministic via one
+    sorted partition — the oracle recomputes sequence/pad/doc counts
+    from first principles (token conservation)."""
+    from orc_spark.functions import packing
+    tok = token_src.token_table(spark, sf_dir) \
+        .coalesce(1).sortWithinPartitions("doc_id")
+    seqs = packing.pack_sequences(tok, seq_len=512)
+    return seqs.agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("n_docs").cast("long").alias("n_docs_total"),
+        F.sum("n_pad").cast("long").alias("n_pad_total"),
+        F.max(F.size("tokens")).alias("max_len"),
+        F.min(F.size("tokens")).alias("min_len"))
+
+
 def _q_pipeline_clean(spark, sf_dir):
     """The composed training-data cleaning pipeline: language filter ->
     quality gates (word count, mean word length) -> exact-dedup
@@ -545,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprints": _q_text_fingerprints,
+        "pack_sequences": _q_pack_sequences,
         "pipeline_clean": _q_pipeline_clean,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -668,6 +686,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
             " AS fp, count(*) AS dup_count, min(doc_id) AS keep_doc_id "
             "FROM documents GROUP BY 1"),
+        # token conservation: n_seqs = ceil((tokens + eos_per_doc)/512),
+        # pads fill the tail, every emitted row is exactly 512 wide
+        "pack_sequences": (
+            f"SELECT CAST(ceil((sum({n_tok}) + count(*)) / 512.0) "
+            f"AS BIGINT) AS n_seqs, "
+            f"count(*) AS n_docs_total, "
+            f"CAST(CAST(ceil((sum({n_tok}) + count(*)) / 512.0) AS BIGINT)"
+            f" * 512 - sum({n_tok}) - count(*) AS BIGINT) AS n_pad_total, "
+            f"CAST(512 AS INT) AS max_len, CAST(512 AS INT) AS min_len "
+            f"FROM documents"),
         "pipeline_clean": f"""
             WITH q AS (
               SELECT doc_id, text, lang,

@@ -320,3 +320,37 @@ def test_simhash_multiprobe_guaranteed_recall_hamming8(spark, docs):
                corpus, max_hamming=8).collect()}
     assert got == want
     assert len(want) >= 30
+
+
+def test_pack_sequences_exact_reconstruction(spark):
+    """Packed sequences reconstruct the original documents exactly:
+    split the concatenated stream on EOS and compare token-for-token;
+    every row is seq_len wide; pads only in the final row."""
+    from orc_spark.functions import packing
+    rng = np.random.RandomState(3)
+    docs = [(f"d{i:04d}", rng.randint(0, 50257, rng.randint(1, 90))
+             .tolist()) for i in range(200)]
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs], "doc_id string, tokens array<int>") \
+        .coalesce(1).sortWithinPartitions("doc_id")
+    seqs = packing.pack_sequences(df, seq_len=256, eos_id=50257,
+                                  pad_id=-1)
+    rows = sorted(seqs.collect(), key=lambda r: r["seq_id"])
+    assert all(len(r["tokens"]) == 256 for r in rows)
+    assert all(r["n_pad"] == 0 for r in rows[:-1])
+    stream = [t for r in rows for t in r["tokens"]]
+    if rows[-1]["n_pad"]:
+        assert stream[-rows[-1]["n_pad"]:] == [-1] * rows[-1]["n_pad"]
+        stream = stream[:-rows[-1]["n_pad"]]
+    # split on EOS -> original docs in sorted order
+    out, cur = [], []
+    for t in stream:
+        if t == 50257:
+            out.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    assert cur == []
+    want = [t for _, t in sorted(docs)]
+    assert out == want
+    assert sum(r["n_docs"] for r in rows) == len(docs)
