@@ -161,12 +161,13 @@ class ORCFile:
         # pages, and read_rows/read_stripe_strides seeks fault in only
         # the stripes/strides they actually decode
         import mmap
-        self._f = open(path, "rb")
-        try:
-            self.data = mmap.mmap(self._f.fileno(), 0,
-                                  access=mmap.ACCESS_READ)
-        except ValueError:  # zero-length file
-            self.data = b""
+        with open(path, "rb") as f:
+            try:
+                # the mapping outlives the fd (POSIX) — close eagerly
+                self.data = mmap.mmap(f.fileno(), 0,
+                                      access=mmap.ACCESS_READ)
+            except ValueError:  # zero-length file
+                self.data = b""
         psl = self.data[-1]
         ps = parse_message(self.data[-1 - psl:-1])
         self.compression = COMPRESSIONS[ps.get(2, [0])[0]]
