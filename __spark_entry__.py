@@ -204,6 +204,10 @@ def _q_text_fingerprints(spark, sf_dir):
     return text.fingerprints(_docs(spark, sf_dir))
 
 
+def _q_text_vocab(spark, sf_dir):
+    return text.vocab_histogram(_docs(spark, sf_dir), k=50)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Sequence packing (pretraining prep): docs + EOS concatenated and
     re-chunked into fixed 512-token sequences, deterministic via one
@@ -562,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprints": _q_text_fingerprints,
+        "text_vocab": _q_text_vocab,
         "pack_sequences": _q_pack_sequences,
         "pipeline_clean": _q_pipeline_clean,
         "dedup_exact": _q_dedup_exact,
@@ -669,6 +674,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_ws_tokens, "
             f"CAST(length(text) AS BIGINT) AS n_chars FROM documents"),
         "text_quality": quality,
+        "text_vocab": (
+            "SELECT w AS word, count(*) AS n FROM ("
+            "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w"
+            " FROM documents) GROUP BY 1 "
+            "ORDER BY n DESC, word ASC LIMIT 50"),
         "text_langid": langid,
         "text_fingerprints": (
             "SELECT doc_id, md5(text) AS fp, "

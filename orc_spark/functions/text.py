@@ -82,3 +82,14 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("fp"),
         F.md5(norm).alias("fp_norm"),
     )
+
+
+def vocab_histogram(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus vocabulary stats: top-k words by frequency (whitespace
+    tokenization, the same word stream the minhash/simhash operators
+    consume).  One explode + map-side-combined groupBy; the top-k is a
+    TakeOrdered, never a full sort."""
+    w = docs.select(F.explode(
+        F.split(F.trim("text"), r"\s+")).alias("word"))
+    return (w.groupBy("word").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("word")).limit(k))
