@@ -113,8 +113,8 @@ def _q_rt_pruned_decode(spark, sf_dir):
     tok = token_src.token_table(spark, sf_dir)
     enc = enc_ops.encode(
         tok.coalesce(2).sortWithinPartitions("n_tok"), stripe_rows=100)
-    pruned = enc_ops.prune_stripes(enc, "n_tok", lo=60)
-    dec = enc_ops.decode(pruned).where(F.col("n_tok") >= 60)
+    # one-call pruning path: stripe-stats skip + residual filter
+    dec = enc_ops.decode(enc, predicate=("n_tok", ">=", 60))
     return dec.agg(F.count("*").alias("n_docs"),
                    F.sum("n_tok").cast("long").alias("sum_ntok"))
 
@@ -127,8 +127,9 @@ def _q_rt_stride_pruned(spark, sf_dir):
     tok = token_src.token_table(spark, sf_dir)
     enc = enc_ops.encode(tok.coalesce(1).sortWithinPartitions("n_tok"),
                          stride_rows=96)
-    dec = enc_ops.decode(enc, stride_filter=("n_tok", 60, None))
-    return dec.where(F.col("n_tok") >= 60).agg(
+    # one-call pruning path: stride skip + residual filter together
+    dec = enc_ops.decode(enc, predicate=("n_tok", ">=", 60))
+    return dec.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("sum_ntok"))
 
@@ -161,6 +162,77 @@ def _q_rt_mixed_types(spark, sf_dir):
         F.date_format(F.max("d"), "yyyy-MM-dd").alias("max_d"),
         F.max("ts").cast("long").alias("max_ts_epoch"),
         F.sum("dec").cast("double").alias("sum_dec"))
+
+
+def _q_rt_nested(spark, sf_dir):
+    """Nested stripe-table round-trip (struct + map + list<string> —
+    r3: the treewriter.go:722-1132 tree encoder now lives in the
+    stripe table, not just the .orc sink): encode typed nested columns
+    derived from documents (struct null every 5th row, PRESENT
+    exercised), decode, aggregate; the oracle recomputes the
+    aggregates from the raw table."""
+    from orc_spark import stripe as stripe_mod
+    docs = _docs(spark, sf_dir)
+    specs = stripe_mod.parse_schema([
+        ("id", "bigint"),
+        ("meta", "struct<lang:string,chars:bigint>"),
+        ("attrs", "map<string,bigint>"),
+        ("head", "list<string>"),
+    ])
+    m = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 5 != 0,
+               F.struct(F.col("lang").alias("lang"),
+                        F.col("n_chars").cast("long").alias("chars")))
+        .alias("meta"),
+        F.create_map(F.lit("chars"),
+                     F.col("n_chars").cast("long")).alias("attrs"),
+        F.slice(F.split(F.trim("text"), r"\s+"), 1, 5).alias("head"))
+    enc = enc_ops.encode(m.repartition(2), specs=specs)
+    dec = enc_ops.decode(enc, specs=specs)
+    return dec.agg(
+        F.count("*").alias("n"),
+        F.count("meta").alias("n_meta"),
+        F.sum(F.col("meta.chars")).cast("long").alias("sum_chars"),
+        F.count_distinct(F.col("meta.lang")).cast("long").alias("n_langs"),
+        F.sum(F.element_at("attrs", F.lit("chars"))).cast("long")
+        .alias("sum_map"),
+        F.sum(F.size("head")).cast("long").alias("sum_head"))
+
+
+def _q_rt_nulls(spark, sf_dir):
+    """NULL-bearing mixed-type round-trip: null every 5th row across
+    bigint/string/double/boolean/list columns (the writer_test.go
+    null-pattern), so PRESENT streams are exercised end-to-end behind
+    a DuckDB oracle (VERDICT r2 next-round #6)."""
+    from orc_spark import stripe as stripe_mod
+    docs = _docs(spark, sf_dir)
+    specs = stripe_mod.parse_schema([
+        ("id", "bigint"), ("v", "bigint"), ("s", "string"),
+        ("w", "double"), ("flag", "boolean"), ("toks", "list<int>"),
+    ])
+
+    def nul(c):
+        return F.when(F.col("doc_id") % 5 != 0, c)
+
+    m = docs.select(
+        F.col("doc_id").alias("id"),
+        nul(F.col("n_chars").cast("long")).alias("v"),
+        nul(F.col("lang")).alias("s"),
+        nul(F.col("n_chars") * 0.25).alias("w"),
+        nul(F.col("doc_id") % 3 == 0).alias("flag"),
+        nul(F.array((F.col("doc_id") % 100).cast("int"),
+                    (F.col("n_chars") % 100).cast("int"))).alias("toks"))
+    enc = enc_ops.encode(m.repartition(2), specs=specs)
+    dec = enc_ops.decode(enc, specs=specs)
+    return dec.agg(
+        F.count("*").alias("n"),
+        F.count("v").alias("n_v"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.count_distinct("s").cast("long").alias("n_s"),
+        F.round(F.sum("w"), 3).alias("sum_w"),
+        F.sum(F.col("flag").cast("int")).cast("long").alias("n_true"),
+        F.sum(F.size("toks")).cast("long").alias("sum_toks"))
 
 
 def _q_enc_footer(spark, sf_dir):
@@ -539,6 +611,33 @@ def _q_stream_dedup(spark, sf_dir):
     return dedup_stream.latest_state(spark, out)
 
 
+def _q_stream_dedup_near(spark, sf_dir):
+    """Streaming NEAR-duplicate detection (VERDICT r2 next-round #5):
+    minhash band-bucket GroupState across micro-batches; after the
+    stream drains, the exact-verified distinct pair set equals the
+    batch minhash_lsh_pairs answer — the oracle is the same
+    brute-force all-pairs shingle Jaccard as dedup_minhash."""
+    import os
+    import tempfile
+    from orc_spark.streaming import dedup_stream
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"))
+    # exact dups are collapsed BEFORE ingest (a production stream
+    # fronts this with dedup_stream), matching the batch pre-collapse
+    corpus = dedup.collapse_exact(docs.unionByName(dups))
+    base = tempfile.mkdtemp(prefix="neardupstream_")
+    inp = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    corpus.repartition(3).write.parquet(inp)
+    q = dedup_stream.near_dedup_stream(spark, inp, out, corpus.schema,
+                                       max_files_per_trigger=1)
+    q.awaitTermination(300)
+    return dedup_stream.verified_near_pairs(spark, out, corpus,
+                                            min_jaccard=0.4)
+
+
 def _q_mm_features(spark, sf_dir):
     media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
@@ -558,6 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pruned_decode": _q_rt_pruned_decode,
         "rt_stride_pruned": _q_rt_stride_pruned,
         "rt_mixed_types": _q_rt_mixed_types,
+        "rt_nested": _q_rt_nested,
+        "rt_nulls": _q_rt_nulls,
         "enc_token_profile": _q_enc_token_profile,
         "enc_column_stats": _q_enc_column_stats,
         "enc_footer": _q_enc_footer,
@@ -577,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "stream_encode": _q_stream_encode,
         "stream_dedup": _q_stream_dedup,
+        "stream_dedup_near": _q_stream_dedup_near,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ann_lsh": _q_sim_ann_lsh,
         "sim_ann_index": _q_sim_ann_index,
@@ -591,6 +693,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WS_TOKENS = "length(regexp_split_to_array(trim(text), '\\s+'))"
 _STOP_LIST = "['the','a','of','and','to','in','is','it']"
+
+
+# brute-force all-pairs exact shingle Jaccard over the seeded corpus:
+# implementation-independent; any LSH recall miss fails the match.
+# Shared by dedup_minhash (batch) and stream_dedup_near (streaming).
+_BRUTE_JACCARD_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra token'
+      FROM documents WHERE doc_id < 20),
+    -- mirror the operator's exact-dup pre-collapse: one
+    -- representative (min doc_id) per normalized fingerprint
+    reps AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, row_number() OVER (
+            PARTITION BY md5(regexp_replace(
+                lower(trim(text)), '\\s+', ' ', 'g'))
+            ORDER BY doc_id) AS rn
+        FROM corpus) WHERE rn = 1),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(regexp_split_to_array(
+              trim(text), '\\s+')) - 2, 1) + 1),
+          k -> array_to_string(regexp_split_to_array(
+              trim(text), '\\s+')[k:k+2], ' ')))) AS s
+      FROM reps),
+    sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.c + sb.c - i), 6)
+           AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.4"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -659,6 +800,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(n_chars / 100.0 AS DECIMAL(10,2)))
                         AS DOUBLE) AS sum_dec
             FROM documents"""),
+        "rt_nested": ("""
+            SELECT count(*) AS n,
+                   count(*) FILTER (WHERE doc_id % 5 <> 0) AS n_meta,
+                   CAST(sum(n_chars) FILTER (WHERE doc_id % 5 <> 0)
+                        AS BIGINT) AS sum_chars,
+                   CAST(count(DISTINCT CASE WHEN doc_id % 5 <> 0
+                                            THEN lang END)
+                        AS BIGINT) AS n_langs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_map,
+                   CAST(sum(least(length(regexp_split_to_array(
+                        trim(text), '\\s+')), 5)) AS BIGINT) AS sum_head
+            FROM documents"""),
+        "rt_nulls": ("""
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 <> 0 THEN n_chars END AS v,
+                     CASE WHEN doc_id % 5 <> 0 THEN lang END AS s,
+                     CASE WHEN doc_id % 5 <> 0
+                          THEN n_chars * 0.25 END AS w,
+                     CASE WHEN doc_id % 5 <> 0
+                          THEN doc_id % 3 = 0 END AS flag
+              FROM documents)
+            SELECT count(*) AS n,
+                   count(v) AS n_v,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(count(DISTINCT s) AS BIGINT) AS n_s,
+                   round(sum(w), 3) AS sum_w,
+                   CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_true,
+                   CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 2 END)
+                        AS BIGINT) AS sum_toks
+            FROM m"""),
         "enc_token_profile": (
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
@@ -784,42 +957,8 @@ def oracle_sql() -> dict[str, str]:
                           AND (SELECT CAST(nd AS DOUBLE)/n FROM tok)
                           <= 0.49 THEN 'DICTIONARY_INT_V2'
                           ELSE 'DIRECT_V2' END)""",
-        # brute-force all-pairs exact shingle Jaccard over the seeded
-        # corpus: implementation-independent; any LSH recall miss fails
-        "dedup_minhash": """
-            WITH corpus AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL
-              SELECT doc_id + 1000000, text || ' extra token'
-              FROM documents WHERE doc_id < 20),
-            -- mirror the operator's exact-dup pre-collapse: one
-            -- representative (min doc_id) per normalized fingerprint
-            reps AS (
-              SELECT doc_id, text FROM (
-                SELECT doc_id, text, row_number() OVER (
-                    PARTITION BY md5(regexp_replace(
-                        lower(trim(text)), '\\s+', ' ', 'g'))
-                    ORDER BY doc_id) AS rn
-                FROM corpus) WHERE rn = 1),
-            sh AS (
-              SELECT doc_id, unnest(list_distinct(list_transform(
-                  range(1, greatest(len(regexp_split_to_array(
-                      trim(text), '\\s+')) - 2, 1) + 1),
-                  k -> array_to_string(regexp_split_to_array(
-                      trim(text), '\\s+')[k:k+2], ' ')))) AS s
-              FROM reps),
-            sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-              FROM sh a JOIN sh b USING (s)
-              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   round(CAST(i AS DOUBLE) / (sa.c + sb.c - i), 6)
-                   AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.4""",
+        "dedup_minhash": _BRUTE_JACCARD_SQL,
+        "stream_dedup_near": _BRUTE_JACCARD_SQL,
         # exact prefix-filtered join: same brute-force oracle as
         # dedup_minhash, but here the match is a hard guarantee
         "dedup_jaccard_exact": """

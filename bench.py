@@ -26,6 +26,20 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # sf0.1 documents is ~5k rows (~270k tokens); replicate to reach a
 # throughput-meaningful token count (~17M at the default)
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
+# each query is timed N_RUNS times and the MEDIAN is reported: this
+# sandbox's page-fault weather makes single-shot timings unreliable
+# (VERDICT r2 measured the same code 2x apart across sessions)
+N_RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
+
+
+def _median_time(fn) -> tuple[float, object]:
+    """Run ``fn`` N_RUNS times; return (median_seconds, last_result)."""
+    times, result = [], None
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        result = fn()
+        times.append(time.time() - t0)
+    return round(sorted(times)[len(times) // 2], 3), result
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -161,35 +175,38 @@ def main():
         warm_workers(spark, _materialize_input(spark, SF_DIR, REPLICATE))
 
         enc_path = os.path.join(tmp, "stripes")
-        tokens, enc_bytes, sec = run_encode_job(
-            spark, SF_DIR, REPLICATE, enc_path)
+        enc_secs = []
+        for _ in range(N_RUNS):
+            tokens, enc_bytes, s = run_encode_job(
+                spark, SF_DIR, REPLICATE, enc_path)
+            enc_secs.append(s)
+        sec = sorted(enc_secs)[len(enc_secs) // 2]
         results["encode_write"] = round(sec, 3)
 
         enc_df = spark.read.parquet(enc_path)
-        t0 = time.time()
-        _noop(enc_ops.decode(enc_df))
-        results["decode_full"] = round(time.time() - t0, 3)
+        results["decode_full"], _ = _median_time(
+            lambda: _noop(enc_ops.decode(enc_df)))
 
-        t0 = time.time()
-        _noop(enc_ops.decode(enc_df, columns=["n_tok"]))
-        results["decode_projected"] = round(time.time() - t0, 3)
+        results["decode_projected"], _ = _median_time(
+            lambda: _noop(enc_ops.decode(enc_df, columns=["n_tok"])))
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        t0 = time.time()
-        _noop(text.quality_scores(docs))
-        _noop(text.lang_id(docs))
-        results["text_analysis"] = round(time.time() - t0, 3)
 
-        t0 = time.time()
-        _noop(dedup.minhash_lsh_pairs(docs, min_jaccard=0.4))
-        results["dedup_minhash"] = round(time.time() - t0, 3)
+        def _text():
+            _noop(text.quality_scores(docs))
+            _noop(text.lang_id(docs))
+        results["text_analysis"], _ = _median_time(_text)
+
+        results["dedup_minhash"], _ = _median_time(
+            lambda: _noop(dedup.minhash_lsh_pairs(docs, min_jaccard=0.4)))
 
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         q = emb.limit(1).select("embedding").first()["embedding"]
-        t0 = time.time()
-        similarity.cosine_topk(emb, list(q), k=10).collect()
-        similarity.lsh_ann_topk(emb, list(q), k=10).collect()
-        results["similarity"] = round(time.time() - t0, 3)
+
+        def _sim():
+            similarity.cosine_topk(emb, list(q), k=10).collect()
+            similarity.lsh_ann_topk(emb, list(q), k=10).collect()
+        results["similarity"], _ = _median_time(_sim)
 
         out = {
             "metric": "headline_total_sec(encode+decode+pipeline)",

@@ -58,7 +58,28 @@ def pack_sequences(tok_df: DataFrame, seq_len: int = 2048,
         seq_base = pid * 1_000_000_000
         emitted = 0
         carry = np.empty(0, dtype=np.int32)
-        first_id: str | None = None
+        # per-sequence lineage: global stream offset at which each
+        # not-yet-passed document starts, parallel to its doc_id —
+        # pruned to the emitted frontier so memory stays O(docs in
+        # flight), never O(partition)
+        doc_starts = np.empty(0, dtype=np.int64)
+        doc_ids: list[str] = []
+        appended = 0  # tokens (incl. eos slots) ever appended
+
+        def owner_ids(seq_starts: np.ndarray) -> list[str]:
+            idx = np.searchsorted(doc_starts, seq_starts, side="right") - 1
+            return [doc_ids[i] if 0 <= i < len(doc_ids) else ""
+                    for i in idx]
+
+        def prune_docs():
+            nonlocal doc_starts, doc_ids
+            frontier = emitted * seq_len
+            keep_from = max(
+                int(np.searchsorted(doc_starts, frontier,
+                                    side="right")) - 1, 0)
+            if keep_from:
+                doc_starts = doc_starts[keep_from:]
+                doc_ids = doc_ids[keep_from:]
 
         def emit_full():
             nonlocal carry, emitted
@@ -71,25 +92,31 @@ def pack_sequences(tok_df: DataFrame, seq_len: int = 2048,
                                 dtype=np.int32)
             toks = pa.ListArray.from_arrays(
                 pa.array(offsets), pa.array(body.reshape(-1)))
+            seq_starts = (emitted + np.arange(n_full)) * seq_len
             out = pa.RecordBatch.from_arrays([
                 pa.array(seq_base + emitted + np.arange(n_full),
                          pa.int64()),
                 toks,
                 pa.array((body == eos_id).sum(axis=1).astype(np.int32)),
                 pa.array(np.zeros(n_full, np.int32)),
-                pa.array([first_id or ""] * n_full),
+                pa.array(owner_ids(seq_starts)),
             ], schema=ARROW_OUT)
             emitted += n_full
+            prune_docs()
             return out
 
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             toks = batch.column(token_col)
-            if first_id is None:
-                first_id = str(batch.column(id_col)[0].as_py())
             lens = toks.value_lengths().fill_null(0) \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = appended + np.concatenate(
+                [[0], np.cumsum(lens + 1)[:-1]])
+            doc_starts = np.concatenate([doc_starts, starts])
+            doc_ids.extend(str(v) for v in
+                           batch.column(id_col).to_pylist())
+            appended += int(lens.sum()) + len(lens)
             flat = np.asarray(toks.flatten()).astype(np.int32)
             # one vector fill: eos slot after every document
             with_eos = np.full(int(lens.sum()) + len(lens), eos_id,
@@ -114,7 +141,7 @@ def pack_sequences(tok_df: DataFrame, seq_len: int = 2048,
                     pa.array(row)),
                 pa.array([n_docs], pa.int32()),
                 pa.array([n_pad], pa.int32()),
-                pa.array([first_id or ""]),
+                pa.array(owner_ids(np.array([emitted * seq_len]))),
             ], schema=ARROW_OUT)
 
     return tok_df.select(id_col, token_col).mapInArrow(kernel, out_schema)

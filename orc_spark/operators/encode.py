@@ -61,19 +61,33 @@ def encoded_arrow_schema(specs: list[ColumnSpec]) -> pa.schema:
     return pa.schema(fields)
 
 
+_SPARK_SCALARS = {
+    "tinyint": T.ByteType(), "smallint": T.ShortType(),
+    "int": T.IntegerType(), "bigint": T.LongType(),
+    "float": T.FloatType(), "double": T.DoubleType(),
+    "boolean": T.BooleanType(), "string": T.StringType(),
+    "binary": T.BinaryType(), "date": T.DateType(),
+    "timestamp": T.TimestampType()}
+
+
+def _spark_type_of(node) -> T.DataType:
+    kind = node[0]
+    if kind == "scalar":
+        t = node[1]
+        if t.startswith("decimal"):
+            p, s = t[8:-1].split(",")
+            return T.DecimalType(int(p), int(s))
+        return _SPARK_SCALARS[t]
+    if kind == "list":
+        return T.ArrayType(_spark_type_of(node[1]))
+    if kind == "struct":
+        return T.StructType([T.StructField(n, _spark_type_of(c), True)
+                             for n, c in node[1]])
+    return T.MapType(_spark_type_of(node[1]), _spark_type_of(node[2]))
+
+
 def _spark_type(spec: ColumnSpec) -> T.DataType:
-    m = {"tinyint": T.ByteType(), "smallint": T.ShortType(),
-         "int": T.IntegerType(), "bigint": T.LongType(),
-         "float": T.FloatType(), "double": T.DoubleType(),
-         "boolean": T.BooleanType(), "string": T.StringType(),
-         "binary": T.BinaryType(), "date": T.DateType(),
-         "timestamp": T.TimestampType()}
-    if spec.is_list:
-        return T.ArrayType(m[spec.child_typ])
-    if spec.is_decimal:
-        p, s = spec.decimal_params()
-        return T.DecimalType(p, s)
-    return m[spec.typ]
+    return _spark_type_of(stripe_mod.parse_type(spec.typ))
 
 
 def decoded_spark_schema(specs: list[ColumnSpec]) -> T.StructType:
@@ -217,34 +231,70 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
     return df.select(sel).mapInArrow(kernel, encoded_spark_schema(specs))
 
 
+def _predicate_bounds(op: str, val) -> tuple:
+    """[lo, hi] stats window for a comparison predicate (conservative:
+    strict comparisons share the inclusive window; the residual row
+    filter restores exactness)."""
+    if op in (">=", ">"):
+        return val, None
+    if op in ("<=", "<"):
+        return None, val
+    if op in ("==", "="):
+        return val, val
+    if op == "between":
+        lo, hi = val
+        return lo, hi
+    raise ValueError(f"unsupported predicate op: {op!r} "
+                     "(use >=, >, <=, <, ==, between)")
+
+
+def _predicate_expr(col: str, op: str, val):
+    c = F.col(col)
+    return {">=": c >= val, ">": c > val, "<=": c <= val, "<": c < val,
+            "==": c == val, "=": c == val,
+            "between": c.between(*val) if op == "between" else None}[op]
+
+
 def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
            columns: list[str] | None = None,
            codec: str = DEFAULT_CODEC,
-           stride_filter: tuple | None = None) -> DataFrame:
+           stride_filter: tuple | None = None,
+           predicate: tuple | None = None) -> DataFrame:
     """Decode a stripe table back to original rows.
 
     ``columns`` prunes the decode to a subset: only those columns'
     stream binaries are selected (and therefore read from Parquet).
 
-    ``stride_filter=(col, lo, hi)`` skips row-group strides whose
-    recorded [min,max] cannot match — only qualifying strides' byte
-    ranges are decompressed (requires encode(stride_rows=...); combine
-    with a row filter for exact results)."""
+    ``predicate=(col, op, val)`` — op in {>=, >, <=, <, ==, between} —
+    is the one-call pruning path: stripes whose stats cannot match are
+    dropped (prune_stripes), qualifying stripes skip non-matching
+    row-group strides (stride_filter), and the residual row filter is
+    applied to the decoded rows, so the result is EXACT while only the
+    byte ranges that can match are decompressed.
+
+    ``stride_filter=(col, lo, hi)`` is the lower-level row-group-skip
+    control (requires encode(stride_rows=...); combine with a row
+    filter for exact results) — ``predicate`` supersedes it."""
+    residual = None
+    drop_after = None
+    if predicate is not None:
+        pcol, op, val = predicate
+        lo, hi = _predicate_bounds(op, val)
+        enc_df = prune_stripes(enc_df, pcol, lo, hi)
+        if stride_filter is None:
+            stride_filter = (pcol, lo, hi)
+        residual = _predicate_expr(pcol, op, val)
+        if columns is not None and pcol not in columns:
+            # the filter column must be decoded to evaluate the
+            # residual predicate; drop it from the final projection
+            columns = list(columns) + [pcol]
+            drop_after = pcol
     if columns is not None:
         specs = [s for s in specs if s.name in columns]
     needed = ["n_rows", "encodings", "stats"] + stream_columns(specs)
     out_schema = decoded_spark_schema(specs)
-    def _arrow_field(f):
-        if isinstance(f.dataType, T.ArrayType):
-            return pa.list_(pa.int32()
-                            if f.dataType.elementType == T.IntegerType()
-                            else pa.int64())
-        if isinstance(f.dataType, T.DecimalType):
-            return pa.decimal128(f.dataType.precision, f.dataType.scale)
-        return _ARROW_TYPES[type(f.dataType)]
-
-    arrow_out = pa.schema([pa.field(f.name, _arrow_field(f))
-                           for f in out_schema.fields])
+    arrow_out = pa.schema(
+        [pa.field(s.name, stripe_mod.arrow_type_of(s.typ)) for s in specs])
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from orc_spark._alloc import tune_worker
@@ -287,17 +337,12 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
                 for out in table.to_batches():
                     yield out
 
-    return enc_df.select(needed).mapInArrow(kernel, out_schema)
-
-
-_ARROW_TYPES = {
-    T.ByteType: pa.int8(), T.ShortType: pa.int16(),
-    T.IntegerType: pa.int32(), T.LongType: pa.int64(),
-    T.FloatType: pa.float32(), T.DoubleType: pa.float64(),
-    T.BooleanType: pa.bool_(), T.StringType: pa.string(),
-    T.BinaryType: pa.binary(), T.DateType: pa.date32(),
-    T.TimestampType: pa.timestamp("us"),
-}
+    out = enc_df.select(needed).mapInArrow(kernel, out_schema)
+    if residual is not None:
+        out = out.where(residual)
+    if drop_after is not None:
+        out = out.drop(drop_after)
+    return out
 
 
 def prune_stripes(enc_df: DataFrame, column: str,

@@ -45,6 +45,7 @@ writer.go:70-87).
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -267,7 +268,9 @@ def _stats_message(st: dict) -> bytes:
     elif g == "double" and "min" in st:
         _double_field(sub, 1, float(st["min"]))
         _double_field(sub, 2, float(st["max"]))
-        if "sum" in st:
+        # a NaN sum (some value was NaN) is omitted, not serialized —
+        # ORC-541: readers must not see NaN in statistics
+        if "sum" in st and not math.isnan(st["sum"]):
             _double_field(sub, 3, float(st["sum"]))
         _bytes_field(out, 3, bytes(sub))
     elif g == "string" and "min" in st:
@@ -372,11 +375,24 @@ def _np_stride_stats(co, kind, vals, bounds, has_null_per_stride,
         st["has_null"] = bool(has_null_per_stride[t]) \
             if has_null_per_stride is not None else False
         if len(seg):
-            st["min"] = seg.min().item()
-            st["max"] = seg.max().item()
-            if sum_ok:
-                st["sum"] = int(seg.sum()) if np.issubdtype(
-                    seg.dtype, np.integer) else float(seg.sum())
+            if np.issubdtype(seg.dtype, np.floating):
+                # NaN must not poison min/max (ORC-541 semantics: Java
+                # ORC excludes NaN from statistics) — an external
+                # reader doing stats-based pruning would evaluate
+                # `x > NaN` as false and silently skip matching strides
+                if not np.all(np.isnan(seg)):
+                    st["min"] = float(np.nanmin(seg))
+                    st["max"] = float(np.nanmax(seg))
+                if sum_ok:
+                    # a NaN sum is kept here and dropped at
+                    # serialization AND merge time (it would otherwise
+                    # poison the stripe/file rollup)
+                    st["sum"] = float(seg.sum())
+            else:
+                st["min"] = seg.min().item()
+                st["max"] = seg.max().item()
+                if sum_ok:
+                    st["sum"] = int(seg.sum())
         co.stride_stats.append(st)
         _merge_stats(co.stripe_stats, st)
 
@@ -678,9 +694,13 @@ class ORCFileWriter:
         self.stripe_rows = stripe_rows
         self.stride = row_index_stride
         self.use_fsst = use_fsst
-        self.f = open(path, "wb")
-        self.f.write(MAGIC)
-        self.offset = len(MAGIC)
+        # the file is created lazily at the first stripe flush: an
+        # encode error (or a no-data close) must not leave a truncated
+        # magic-only .orc in the output directory for spark.read.orc
+        # to choke on
+        self.path = path
+        self.f = None
+        self.offset = 0
         self.tree: _TypeNode | None = None
         self.n_cols = 0
         self.stripe_infos: list[tuple] = []
@@ -719,16 +739,50 @@ class ORCFileWriter:
             self._buf_rows = rest.num_rows
 
     def close(self) -> dict:
-        if self._buf_rows:
-            self._flush_stripe(pa.Table.from_batches(self._buf))
-            self._buf = []
-            self._buf_rows = 0
-        if self.tree is None:
-            raise ValueError("no data written")
-        self._write_tail()
+        try:
+            if self._buf_rows:
+                self._flush_stripe(pa.Table.from_batches(self._buf))
+                self._buf = []
+                self._buf_rows = 0
+            if self.tree is None:
+                raise ValueError("no data written")
+            self._write_tail()
+        except BaseException:
+            self.abort()
+            raise
         self.f.close()
+        self.f = None
         return {"bytes": self.offset, "rows": self.n_total,
                 "stripes": len(self.stripe_infos)}
+
+    def abort(self) -> None:
+        """Close the fd (if open) and remove the partial file: the
+        error-path cleanup — never leaves a truncated .orc behind."""
+        if self.f is not None:
+            try:
+                self.f.close()
+            finally:
+                self.f = None
+            import os
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+
+    def __enter__(self) -> "ORCFileWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            self.abort()
+        elif self.f is not None or self._buf_rows:
+            self.close()
+
+    def _ensure_open(self):
+        if self.f is None:
+            self.f = open(self.path, "wb")
+            self.f.write(MAGIC)
+            self.offset = len(MAGIC)
 
     # -- internals ---------------------------------------------------------
 
@@ -740,6 +794,7 @@ class ORCFileWriter:
         n_rows = table.num_rows
         if n_rows == 0:
             return
+        self._ensure_open()
         self.n_total += n_rows
         bounds = np.arange(0, n_rows, self.stride, dtype=np.int64)
         bounds = np.append(bounds, n_rows)

@@ -84,6 +84,102 @@ def dedup_stream(spark: SparkSession, input_path: str, out_dir: str,
             .start())
 
 
+PAIRS_SCHEMA = T.StructType([
+    T.StructField("doc_a", T.LongType()),
+    T.StructField("doc_b", T.LongType()),
+])
+NEAR_STATE_SCHEMA = T.StructType([
+    T.StructField("members", T.ArrayType(T.LongType())),
+])
+
+
+def near_dedup_stream(spark: SparkSession, input_path: str, out_dir: str,
+                      schema: T.StructType,
+                      n_perms: int = 32, bands: int = 8,
+                      shingle_n: int = 3, max_bucket: int = 4096,
+                      max_files_per_trigger: int = 2):
+    """Streaming NEAR-duplicate candidates: the minhash-LSH band keys
+    are computed map-side on the stream (functions/dedup.
+    banded_signatures — no shuffle beyond the state-store hash), and
+    per-(band, sig) GroupState holds the bucket's member doc_ids.
+    Each micro-batch emits candidate pairs between new arrivals and
+    existing members, so after the stream drains the DISTINCT pair set
+    equals the batch LSH candidate set — exact-Jaccard verification
+    happens batch-side (verified_near_pairs), giving the same final
+    answer as functions/dedup.minhash_lsh_pairs on a corpus without
+    exact duplicates (the batch path pre-collapses those; a stream
+    would front it with dedup_stream).
+
+    Bounded state: a bucket stops admitting members at ``max_bucket``
+    (the batch cap drops the whole hot bucket; online we cannot retract
+    already-emitted pairs, so the streaming cap truncates instead —
+    both bound state and per-batch fan-out)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from ..functions import dedup as dedup_fns
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_path))
+    banded = dedup_fns.banded_signatures(stream, n_perms, bands, shingle_n)
+
+    def update(key, pdfs, state):
+        members = list(state.get[0]) if state.exists else []
+        known = set(members)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for d in pdf["doc_id"].tolist():
+                d = int(d)
+                if d in known or len(members) >= max_bucket:
+                    continue
+                for m in members:
+                    out_a.append(min(m, d))
+                    out_b.append(max(m, d))
+                members.append(d)
+                known.add(d)
+        state.update((members,))
+        yield pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                            "doc_b": pd.Series(out_b, dtype="int64")})
+
+    updates = banded.groupBy("band", "sig").applyInPandasWithState(
+        update, PAIRS_SCHEMA, NEAR_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
+    pairs_path = os.path.join(out_dir, "pairs")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(pairs_path)
+
+    return (updates.writeStream
+            .outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start())
+
+
+def verified_near_pairs(spark: SparkSession, out_dir: str,
+                        corpus: DataFrame, min_jaccard: float = 0.5,
+                        shingle_n: int = 3) -> DataFrame:
+    """Exact-Jaccard verification of the drained streaming candidates
+    (batch-side): distinct candidate pairs joined against the corpus's
+    shingle-hash sets — (doc_a, doc_b, jaccard)."""
+    from ..functions import dedup as dedup_fns
+    cands = spark.read.parquet(os.path.join(out_dir, "pairs")).distinct()
+    sh = corpus.select(
+        "doc_id", dedup_fns._shingle_hashes(shingle_n).alias("sh"))
+    fa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("sh").alias("sh_a"))
+    fb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("sh").alias("sh_b"))
+    return (cands.join(fa, "doc_a").join(fb, "doc_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+            .select("doc_a", "doc_b",
+                    F.round(F.col("inter") / F.col("uni"), 6)
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= min_jaccard))
+
+
 def latest_state(spark: SparkSession, out_dir: str) -> DataFrame:
     """The final per-fingerprint state = the last update emitted for
     each fp (update output mode re-emits a row whenever state

@@ -38,9 +38,17 @@ INT_TYPES = {"tinyint": np.int8, "smallint": np.int16, "int": np.int32,
 class ColumnSpec:
     """One column of the stripe schema: name + logical type string.
 
-    Types: tinyint smallint int bigint | float double | boolean | string
-    | binary | date | timestamp | list<int> | list<bigint> | list<float>
-    | list<double>
+    Scalar/fast-path types: tinyint smallint int bigint | float double
+    | boolean | string | binary | date | timestamp | decimal(p,s) |
+    list<int-like> (the token fast path).
+
+    Nested types (r3, the treewriter.go:722-1132 tree-encoder analog
+    in the stripe table): struct<name:T,...>, map<K,V>, and list<T>
+    for any supported T (including list<string> and deeper nesting).
+    A nested column encodes its whole subtree — per-node PRESENT /
+    LENGTH / leaf streams — into ONE self-describing DATA blob, so
+    stream_columns() stays one Parquet column per top-level field and
+    projection pushdown keeps working at the level users project on.
     """
 
     def __init__(self, name: str, typ: str):
@@ -59,11 +67,21 @@ class ColumnSpec:
     def is_decimal(self) -> bool:
         return self.typ.startswith("decimal")
 
+    @property
+    def is_nested(self) -> bool:
+        """True for struct/map columns and lists whose element type is
+        not the integer token fast path."""
+        if self.typ.startswith(("struct<", "map<")):
+            return True
+        return self.is_list and self.child_typ not in INT_TYPES
+
     def decimal_params(self) -> tuple[int, int]:
         p, s = self.typ[8:-1].split(",")
         return int(p), int(s)
 
     def stream_kinds(self) -> list[str]:
+        if self.is_nested:
+            return ["DATA"]
         if self.is_list:
             return ["PRESENT", "LENGTH", "DATA", "DICTIONARY_DATA"]
         if self.typ in INT_TYPES:
@@ -125,6 +143,227 @@ TOKEN_SCHEMA = parse_schema([
 
 def stream_columns(specs: list[ColumnSpec]) -> list[str]:
     return [f"{s.name}__{k}" for s in specs for k in s.stream_kinds()]
+
+
+# ---------------------------------------------------------------------------
+# Nested type trees (struct / map / list<T>)
+# ---------------------------------------------------------------------------
+
+
+def _split_top(body: str) -> list[str]:
+    """Split on top-level commas only (nested <...> / (...) kept)."""
+    out: list[str] = []
+    depth = 0
+    cur = ""
+    for ch in body + ",":
+        if ch == "," and depth == 0:
+            if cur.strip():
+                out.append(cur.strip())
+            cur = ""
+            continue
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        cur += ch
+    return out
+
+
+def parse_type(t: str):
+    """Type string -> node tree: ("scalar", typ) | ("list", child) |
+    ("struct", [(name, child), ...]) | ("map", key, value).  The
+    typedescription.go grammar restricted to supported types; array<>
+    is accepted as an alias of list<>."""
+    t = t.strip()
+    if t.startswith("struct<") and t.endswith(">"):
+        fields = []
+        for f in _split_top(t[7:-1]):
+            name, ft = f.split(":", 1)
+            fields.append((name.strip(), parse_type(ft)))
+        return ("struct", fields)
+    if t.startswith("map<") and t.endswith(">"):
+        k, v = _split_top(t[4:-1])
+        return ("map", parse_type(k), parse_type(v))
+    if (t.startswith("list<") or t.startswith("array<")) and t.endswith(">"):
+        return ("list", parse_type(t[t.index("<") + 1:-1]))
+    return ("scalar", t)
+
+
+_ARROW_SCALARS = {
+    "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+    "bigint": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+    "boolean": pa.bool_(), "string": pa.string(), "binary": pa.binary(),
+    "date": pa.date32(), "timestamp": pa.timestamp("us"),
+}
+
+
+def _arrow_of(node) -> pa.DataType:
+    kind = node[0]
+    if kind == "scalar":
+        t = node[1]
+        if t.startswith("decimal"):
+            p, s = t[8:-1].split(",")
+            return pa.decimal128(int(p), int(s))
+        return _ARROW_SCALARS[t]
+    if kind == "list":
+        return pa.list_(_arrow_of(node[1]))
+    if kind == "struct":
+        return pa.struct([pa.field(n, _arrow_of(c)) for n, c in node[1]])
+    return pa.map_(_arrow_of(node[1]), _arrow_of(node[2]))
+
+
+def arrow_type_of(typ: str) -> pa.DataType:
+    """Arrow type for a spec type string (nested types included)."""
+    return _arrow_of(parse_type(typ))
+
+
+def _encode_nested(arr: pa.Array, spec: ColumnSpec,
+                   use_fsst: bool) -> tuple[str, dict, dict]:
+    """Encode a nested column's whole subtree into ONE self-describing
+    DATA blob: [u32 header_len][header JSON][stream bytes...].  The
+    header lists the tree's nodes in pre-order; each node records its
+    row count, leaf encoding, and which byte slice holds each of its
+    streams.  Scalar leaves reuse encode_column (the same codecs as
+    flat columns: RLE v2, dict auto-selection, FSST); struct/list/map
+    nodes write PRESENT/LENGTH streams exactly like the .orc tree
+    writer (sources/orcwriter._encode_node; treewriter.go:722-1132).
+    One blob per top-level column keeps Parquet projection pushdown
+    at the granularity users project on, and the whole blob is
+    chunk-compressed once by encode_stripe — small child streams
+    share a compression context instead of each paying chunk
+    overhead."""
+    parts: list[bytes] = []
+    nodes: list[dict] = []
+
+    def add_stream(rec, kind, data):
+        if data is None or len(data) == 0:
+            return
+        rec["s"][kind] = len(parts)
+        parts.append(bytes(data))
+
+    def walk(node, a):
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        kind = node[0]
+        rec: dict = {"n": len(a), "s": {}}
+        nodes.append(rec)
+        if kind == "scalar":
+            enc, streams, _ = encode_column(a, ColumnSpec("v", node[1]),
+                                            use_fsst)
+            rec["e"] = enc
+            for sk in ("PRESENT", "DATA", "LENGTH", "DICTIONARY_DATA",
+                       "SECONDARY"):
+                add_stream(rec, sk, streams.get(sk))
+            return
+        valid = None
+        if a.null_count:
+            valid = np.asarray(a.is_valid())
+            add_stream(rec, "PRESENT", byterle.encode_bools(valid))
+        if kind == "struct":
+            for i, (_, child) in enumerate(node[1]):
+                carr = a.field(i)
+                if valid is not None:
+                    carr = carr.filter(pa.array(valid))
+                walk(child, carr)
+            return
+        # list / map: drop_null (the filter kernel compacts offsets
+        # AND values), LENGTH stream, recurse into flattened children
+        data = a.drop_null() if a.null_count else a
+        nn = len(data)
+        offsets = np.asarray(data.offsets)[:nn + 1].astype(np.int64)
+        lengths = np.diff(offsets) if nn else np.zeros(0, np.int64)
+        add_stream(rec, "LENGTH", rle2.encode(lengths, signed=False))
+        lo = int(offsets[0]) if nn else 0
+        hi = int(offsets[-1]) if nn else 0
+        if kind == "list":
+            walk(node[1], data.values[lo:hi])
+        else:
+            walk(node[1], data.keys[lo:hi])
+            walk(node[2], data.items[lo:hi])
+
+    walk(parse_type(spec.typ), arr)
+    header = json.dumps({"nodes": nodes,
+                         "lens": [len(p) for p in parts]}).encode()
+    blob = len(header).to_bytes(4, "little") + header + b"".join(parts)
+    n_valid = len(arr) - arr.null_count
+    return "NESTED", {"DATA": blob}, {"count": n_valid}
+
+
+def _decode_nested(streams: dict, spec: ColumnSpec,
+                   n_rows: int) -> pa.Array:
+    """Inverse of _encode_nested: parse the blob header, slice each
+    node's streams, and rebuild the Arrow array tree (null-aware:
+    children were encoded on parent-present rows only and are
+    re-expanded on decode)."""
+    blob = streams.get("DATA")
+    if blob is None:
+        return pa.nulls(n_rows, arrow_type_of(spec.typ))
+    blob = bytes(blob)
+    hlen = int.from_bytes(blob[:4], "little")
+    header = json.loads(blob[4:4 + hlen].decode())
+    lens = header["lens"]
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    base = 4 + hlen
+    parts = [blob[base + offs[i]: base + offs[i + 1]]
+             for i in range(len(lens))]
+    nodes = header["nodes"]
+    pos = {"i": 0}
+
+    def expand(child: pa.Array, valid, n):
+        if valid is None:
+            return child
+        idx = np.full(n, -1, dtype=np.int64)
+        idx[valid] = np.arange(len(child))
+        return child.take(pa.array(
+            np.where(idx < 0, None, idx), type=pa.int64()))
+
+    def walk(node):
+        rec = nodes[pos["i"]]
+        pos["i"] += 1
+        n = rec["n"]
+        st = {k: parts[v] for k, v in rec["s"].items()}
+        kind = node[0]
+        if kind == "scalar":
+            return decode_column(st, rec.get("e", "DIRECT"),
+                                 ColumnSpec("v", node[1]), n)
+        pres = st.get("PRESENT")
+        valid = byterle.decode_bools(pres, n) if pres is not None else None
+        n_valid = int(valid.sum()) if valid is not None else n
+        if kind == "struct":
+            children = [expand(walk(c), valid, n) for _, c in node[1]]
+            mask = pa.array(~valid) if valid is not None else None
+            return pa.StructArray.from_arrays(
+                children, names=[nm for nm, _ in node[1]], mask=mask)
+        lengths = rle2.decode(st.get("LENGTH", b""), n_valid, signed=False)
+        if valid is None:
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offsets[1:])
+            mask = None
+        else:
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            exp = np.zeros(n, dtype=np.int64)
+            exp[valid] = lengths
+            np.cumsum(exp, out=offsets[1:])
+            mask = pa.array(~valid)
+        off_arr = pa.array(offsets, pa.int32())
+        if kind == "list":
+            values = walk(node[1])
+            return pa.ListArray.from_arrays(off_arr, values, mask=mask)
+        keys = walk(node[1])
+        items = walk(node[2])
+        if mask is None:
+            return pa.MapArray.from_arrays(off_arr, keys, items)
+        # MapArray.from_arrays has no mask param; a null OFFSET at
+        # slot i marks entry i null (null slots have length 0 here,
+        # so surrounding spans are unaffected)
+        off_list: list = offsets.tolist()
+        for i in np.flatnonzero(~valid):
+            off_list[i] = None
+        return pa.MapArray.from_arrays(pa.array(off_list, pa.int32()),
+                                       keys, items)
+
+    return walk(parse_type(spec.typ))
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +506,8 @@ def encode_column(arr: pa.Array, spec: ColumnSpec,
     """Encode one column of one stripe -> (encoding, streams, stats)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if spec.is_nested:
+        return _encode_nested(arr, spec, use_fsst)
     streams: dict[str, bytes | None] = {}
     present = _present_stream(arr)
     if present is not None:
@@ -295,8 +536,15 @@ def encode_column(arr: pa.Array, spec: ColumnSpec,
         streams["DATA"] = vals.astype(dt).tobytes()
         stats = {"count": n_valid}
         if len(vals):
-            stats.update(min=float(vals.min()), max=float(vals.max()),
-                         sum=float(vals.sum()))
+            # NaN is excluded from min/max (ORC-541 semantics) and an
+            # NaN sum is omitted — stats-based stripe pruning must
+            # never compare against NaN (it would prune live stripes)
+            if not np.all(np.isnan(vals)):
+                stats.update(min=float(np.nanmin(vals)),
+                             max=float(np.nanmax(vals)))
+            s = float(vals.sum())
+            if not np.isnan(s):
+                stats["sum"] = s
         return "DIRECT", streams, stats
     if typ == "boolean":
         data = arr.drop_null() if arr.null_count else arr
@@ -385,6 +633,8 @@ def _parse_nanos(v: np.ndarray) -> np.ndarray:
 def decode_column(streams: dict, encoding: str, spec: ColumnSpec,
                   n_rows: int) -> pa.Array:
     """Decode one column of one stripe back to an Arrow array."""
+    if spec.is_nested:
+        return _decode_nested(streams, spec, n_rows)
     present = streams.get("PRESENT")
     if present is not None:
         valid = byterle.decode_bools(present, n_rows)
@@ -646,7 +896,17 @@ def _encode_stripe_strided(batch, specs, codec, use_fsst,
                          "encodings": stride_encodings,
                          "offsets": offsets,
                          "stats": stride_stats}
-    row["encodings"] = json.dumps(stride_encodings[0])
+    # stripe-level encodings: the dict-vs-direct decision is PER
+    # STRIDE; report the majority per column so consumers (codec
+    # histogram, footer) see a faithful stripe label even when strides
+    # disagree (decode always reads per-stride encodings from _strides)
+    stripe_encs: dict = {}
+    for name in stride_encodings[0]:
+        votes: dict = {}
+        for encs_t in stride_encodings:
+            votes[encs_t[name]] = votes.get(encs_t[name], 0) + 1
+        stripe_encs[name] = max(votes, key=votes.get)
+    row["encodings"] = json.dumps(stripe_encs)
     row["stats"] = json.dumps(stats)
     row["enc_bytes"] = enc_bytes
     return row
@@ -695,8 +955,12 @@ def decode_stripe_strides(row: dict, specs: list[ColumnSpec],
 
 def select_strides(row: dict, column: str, lo=None, hi=None) -> list[int]:
     """Stride ids whose recorded [min,max] for ``column`` can contain
-    values in [lo, hi] — the row-group skip predicate."""
+    values in [lo, hi] — the row-group skip predicate.  On a stripe
+    written without strides there is exactly one implicit row group;
+    it is always kept (no index to prune against)."""
     idx = stride_index(row)
+    if idx is None:
+        return [0]
     keep = []
     for t, sts in enumerate(idx["stats"]):
         st = sts.get(column, {})

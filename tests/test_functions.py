@@ -354,3 +354,45 @@ def test_pack_sequences_exact_reconstruction(spark):
     want = [t for _, t in sorted(docs)]
     assert out == want
     assert sum(r["n_docs"] for r in rows) == len(docs)
+
+
+def test_dedup_leaves_no_persistent_rdds(spark, docs):
+    """r3 invariant: the dedup family persists nothing — repeated calls
+    in a long-lived session must not accumulate executor storage
+    (VERDICT r2 'wrong' #1)."""
+    base = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    dedup.minhash_lsh_pairs(docs.limit(60), min_jaccard=0.4).count()
+    dedup.jaccard_join_exact(docs.limit(60), min_jaccard=0.5).count()
+    dedup.simhash_near_pairs(docs.limit(60), max_hamming=4).count()
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert set(after) == set(base), "dedup leaked persisted RDDs"
+
+
+def test_shingle_hashes_bijective_with_strings(spark, docs):
+    """Hash-shingle Jaccard == string-shingle Jaccard on real text
+    (the oracle-parity claim behind _shingle_hashes)."""
+    rows = (docs.limit(40)
+            .select("doc_id",
+                    dedup._shingles(3).alias("ss"),
+                    dedup._shingle_hashes(3).alias("hs"))
+            .collect())
+    for r in rows:
+        assert len(set(r["ss"])) == len(set(r["hs"])), r["doc_id"]
+
+
+def test_pack_sequences_lineage_per_sequence(spark):
+    """Each packed sequence's first_doc_id is the document owning its
+    FIRST token (not the partition's first doc — ADVICE r2 #2)."""
+    from orc_spark.functions import packing
+    rows = [("a", list(range(5))), ("b", list(range(3))),
+            ("c", list(range(10)))]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>") \
+        .coalesce(1)
+    got = packing.pack_sequences(df, seq_len=6, eos_id=99, pad_id=-1) \
+        .orderBy("seq_id").collect()
+    # stream: a0..a4,EOS | b0..b2,EOS | c0..c9,EOS  (21 tokens)
+    # seq0 tokens [0,6) start in a; seq1 [6,12) in b; seq2 [12,18) in
+    # c; seq3 partial [18,21) in c
+    assert [r["first_doc_id"] for r in got] == ["a", "b", "c", "c"]
+    assert [r["n_docs"] for r in got] == [1, 1, 0, 1]
+    assert got[-1]["n_pad"] == 3

@@ -385,3 +385,69 @@ def test_writer_fuzz_random_schemas(tmp_path):
         for c in t.column_names:
             assert back.column(c).to_pylist() == \
                 t.column(c).to_pylist(), (trial, c)
+
+
+def test_nan_excluded_from_double_statistics(tmp_path):
+    """ORC-541 semantics: NaN never reaches min/max and a NaN-poisoned
+    sum is omitted — readers pruning on these stats must not compare
+    against NaN (ADVICE r2 #1)."""
+    import math
+    n = 64
+    vals = np.linspace(-1.0, 1.0, n)
+    vals[5] = np.nan
+    vals[40] = np.nan
+    t = pa.table({"x": pa.array(vals),
+                  "allnan": pa.array(np.full(n, np.nan))})
+    path = str(tmp_path / "nan.orc")
+    orcwriter.write_orc(t, path, codec="zlib", row_index_stride=16)
+    own = orcfile.ORCFile(path)
+    fs = own.file_statistics
+    assert fs[1]["n"] == n
+    assert not math.isnan(fs[1]["min"]) and not math.isnan(fs[1]["max"])
+    assert abs(fs[1]["min"] + 1.0) < 1e-12
+    assert abs(fs[1]["max"] - 1.0) < 1e-12
+    assert "sum" not in fs[1] or not math.isnan(fs[1]["sum"])
+    # all-NaN column: no min/max/sum at all, count intact
+    assert fs[2]["n"] == n
+    assert "min" not in fs[2] and "sum" not in fs[2]
+    # row index stride stats clean too
+    ri = own.row_index(0, 1)
+    for e in ri:
+        if "min" in e["stats"]:
+            assert not math.isnan(e["stats"]["min"])
+        if "sum" in e["stats"]:
+            assert not math.isnan(e["stats"]["sum"])
+    # decode round-trips the NaNs themselves
+    got = np.array([r["x"] for r in orcfile.ORCFile(path).read_all()])
+    assert np.isnan(got[5]) and np.isnan(got[40])
+    assert np.allclose(np.delete(got, [5, 40]),
+                       np.delete(vals, [5, 40]))
+
+
+def test_writer_abort_and_context_manager(tmp_path):
+    """Error paths never leave a truncated .orc behind (ADVICE r2 #5):
+    no-data close raises without creating the file; abort unlinks; the
+    context manager cleans up on exception."""
+    import os
+    p1 = str(tmp_path / "empty.orc")
+    w = orcwriter.ORCFileWriter(p1)
+    with pytest.raises(ValueError):
+        w.close()
+    assert not os.path.exists(p1)
+    p2 = str(tmp_path / "aborted.orc")
+    w = orcwriter.ORCFileWriter(p2, stripe_rows=8)
+    w.write_table(pa.table({"a": pa.array(np.arange(32, dtype=np.int64))}))
+    assert os.path.exists(p2)  # stripes flushed
+    w.abort()
+    assert not os.path.exists(p2)
+    p3 = str(tmp_path / "ctx.orc")
+    with pytest.raises(RuntimeError):
+        with orcwriter.ORCFileWriter(p3, stripe_rows=8) as w:
+            w.write_table(pa.table({"a": pa.array([1, 2, 3])}))
+            raise RuntimeError("boom")
+    assert not os.path.exists(p3)
+    # happy path via context manager
+    p4 = str(tmp_path / "ok.orc")
+    with orcwriter.ORCFileWriter(p4) as w:
+        w.write_table(pa.table({"a": pa.array([1, 2, 3])}))
+    assert len(list(orcfile.ORCFile(p4).read_all())) == 3

@@ -198,3 +198,29 @@ def test_stride_decode_bytes_skipped(spark, token_df):
     lo = sum(idx["rows"][:t])
     assert part.column("doc_id").to_pylist() == \
         all_rows.column("doc_id").to_pylist()[lo:lo + idx["rows"][t]]
+
+
+def test_decode_predicate_one_call(spark, token_df):
+    """decode(predicate=...) = stripe pruning + stride skipping +
+    residual filter in ONE call; exact vs the brute-force filter."""
+    df = token_df.coalesce(2).sortWithinPartitions("n_tok")
+    enc = enc_ops.encode(df, stripe_rows=100, stride_rows=32).cache()
+    lo = int(token_df.approxQuantile("n_tok", [0.7], 0.01)[0])
+    for pred in [("n_tok", ">=", lo), ("n_tok", "<", lo),
+                 ("n_tok", "between", (lo - 5, lo + 5))]:
+        got = enc_ops.decode(enc, predicate=pred)
+        col, op, val = pred
+        want = enc_ops.decode(enc)
+        expr = {"<": F.col(col) < val, ">=": F.col(col) >= val}.get(
+            op, F.col(col).between(*val) if op == "between" else None)
+        want = want.where(expr)
+        assert got.count() == want.count(), pred
+        assert (got.agg(F.sum("n_tok")).collect()[0][0]
+                == want.agg(F.sum("n_tok")).collect()[0][0]), pred
+    # projection + predicate: filter column decoded internally but
+    # dropped from the output projection
+    proj = enc_ops.decode(enc, columns=["doc_id"],
+                          predicate=("n_tok", ">=", lo))
+    assert proj.columns == ["doc_id"]
+    assert proj.count() == token_df.where(F.col("n_tok") >= lo).count()
+    enc.unpersist()

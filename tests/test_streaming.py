@@ -102,3 +102,32 @@ def test_stateful_dedup_stream_restart_recovers_state(spark, tmp_path):
                  F.min("doc_id").alias("keep_doc_id")).collect()}
     assert got == want  # counts span BOTH runs -> state was recovered
     assert all(c == 5 for c, _ in got.values())  # 3 + 2 copies per text
+
+
+def test_near_dedup_stream_equals_batch(spark, tmp_path):
+    """Drained streaming near-dup candidates, exactly verified, equal
+    the batch minhash_lsh_pairs answer on the same corpus."""
+    from orc_spark.functions import dedup
+    from orc_spark.streaming import dedup_stream
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").limit(80)
+    near = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 50_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"))
+    corpus = dedup.collapse_exact(docs.unionByName(near)).cache()
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    corpus.repartition(4).write.parquet(inp)
+    q = dedup_stream.near_dedup_stream(spark, inp, out, corpus.schema,
+                                       max_files_per_trigger=1)
+    assert q.awaitTermination(180)
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+           dedup_stream.verified_near_pairs(
+               spark, out, corpus, min_jaccard=0.4).collect()}
+    want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+            dedup.minhash_lsh_pairs(corpus, min_jaccard=0.4,
+                                    pre_collapse=False)
+            .select("doc_a", "doc_b", "jaccard").collect()}
+    assert got == want
+    assert len(want) >= 10
+    corpus.unpersist()

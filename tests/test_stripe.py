@@ -154,3 +154,88 @@ def test_schema_string_roundtrip():
         "struct<a:decimal(18,4),b:array<bigint>,c:timestamp>")
     assert nested[0].decimal_params() == (18, 4)
     assert nested[1].child_typ == "bigint"
+
+
+def test_nested_stripe_roundtrip_kernel():
+    """struct/map/list<string>/deep nesting round-trip through the
+    stripe-table tree encoder (r3: treewriter analog in the stripe
+    path, not just the .orc sink)."""
+    import pyarrow as pa
+    from orc_spark import stripe
+
+    def cc(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    specs = stripe.parse_schema([
+        ("meta", "struct<author:string,score:double,tags:list<string>>"),
+        ("attrs", "map<string,bigint>"),
+        ("words", "list<string>"),
+        ("deep", "list<struct<a:int,b:list<bigint>>>"),
+    ])
+    n = 200
+    meta = pa.array([{"author": f"a{i % 7}", "score": i * 0.5,
+                      "tags": [f"t{j}" for j in range(i % 4)]}
+                     if i % 5 else None for i in range(n)],
+                    stripe.arrow_type_of(specs[0].typ))
+    attrs = pa.array([[(f"k{j}", j * i) for j in range(i % 3)]
+                      if i % 4 else None for i in range(n)],
+                     stripe.arrow_type_of(specs[1].typ))
+    words = pa.array([[f"w{j % 11}" for j in range(i % 6)]
+                      if i % 3 else None for i in range(n)],
+                     stripe.arrow_type_of(specs[2].typ))
+    deep = pa.array([[{"a": j, "b": [j, j * 2]} for j in range(i % 3)]
+                     if i % 6 else None for i in range(n)],
+                    stripe.arrow_type_of(specs[3].typ))
+    t = pa.table({"meta": meta, "attrs": attrs, "words": words,
+                  "deep": deep})
+    for kwargs in ({}, {"stride_rows": 64}):
+        row = stripe.encode_stripe(t, specs, **kwargs)
+        dec = stripe.decode_stripe_strides(row, specs) \
+            if kwargs else stripe.decode_stripe(row, specs)
+        for c in t.column_names:
+            got = cc(dec.column(c)).cast(cc(t.column(c)).type)
+            assert got.equals(cc(t.column(c))), (c, kwargs)
+    # projection: a single nested column decodes alone
+    row = stripe.encode_stripe(t, specs)
+    only = stripe.decode_stripe(row, [specs[2]])
+    assert cc(only.column("words")).equals(cc(words))
+
+
+def test_nested_spark_encode_decode(spark):
+    """Nested specs through the distributed encode/decode kernels."""
+    from pyspark.sql import functions as F
+    from orc_spark import stripe
+    from orc_spark.operators import encode as enc_ops
+    specs = stripe.parse_schema([
+        ("id", "bigint"),
+        ("meta", "struct<k:string,v:bigint>"),
+        ("attrs", "map<string,bigint>"),
+        ("words", "list<string>"),
+    ])
+    df = spark.range(500).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 != 0,
+               F.struct(F.concat(F.lit("k"), (F.col("id") % 9)
+                                 .cast("string")).alias("k"),
+                        (F.col("id") * 2).alias("v"))).alias("meta"),
+        F.create_map(F.lit("x"), F.col("id")).alias("attrs"),
+        F.array(F.lit("alpha"), F.concat(F.lit("w"), (F.col("id") % 13)
+                                         .cast("string"))).alias("words"))
+    enc = enc_ops.encode(df.repartition(3), specs=specs, stripe_rows=128)
+    dec = enc_ops.decode(enc, specs=specs)
+    row = dec.agg(
+        F.count("*").alias("n"),
+        F.count("meta").alias("n_meta"),
+        F.sum("meta.v").alias("sum_v"),
+        F.sum(F.element_at("attrs", F.lit("x"))).alias("sum_x"),
+        F.count_distinct(F.element_at("words", 2)).alias("n_w"),
+    ).collect()[0]
+    assert row["n"] == 500
+    assert row["n_meta"] == 375
+    assert row["sum_v"] == sum(i * 2 for i in range(500) if i % 4 != 0)
+    assert row["sum_x"] == sum(range(500))
+    assert row["n_w"] == 13
+    # projection decode of just the nested column
+    sub = enc_ops.decode(enc, specs=specs, columns=["words"])
+    assert sub.columns == ["words"]
+    assert sub.count() == 500
