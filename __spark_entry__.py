@@ -481,7 +481,10 @@ def _q_orc_file_roundtrip(spark, sf_dir):
     from orc_spark.sources import orcwriter
     tok = token_src.token_table(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="orcq_")
-    orcwriter.dataframe_to_orc_dir(tok.repartition(4), out, codec="zlib")
+    # bloom_columns: BLOOM_FILTER_UTF8 index streams ride along (r3,
+    # beyond the reference — Java-ORC-bit-compatible, codecs/bloom.py)
+    orcwriter.dataframe_to_orc_dir(tok.repartition(4), out, codec="zlib",
+                                   bloom_columns=["doc_id"])
     df = spark.read.orc(out)
     return df.agg(
         F.count("*").alias("n_docs"),

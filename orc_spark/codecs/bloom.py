@@ -1,0 +1,144 @@
+"""Bloom filters for ORC BLOOM_FILTER_UTF8 streams (beyond the
+reference: scritchley/orc only declares the proto messages,
+proto/orc.proto:83-100, and never writes or reads them).
+
+Bit-compatible with Java ORC's ``org.apache.orc.util.BloomFilterUtf8``
+(verified against golden vectors extracted from Spark's bundled
+orc-core via py4j — tests/test_bloom.py): same Murmur3 64-bit hash
+(x64_128 h1 lane, seed 104729), same sizing quirk (numBits rounded UP
+to the next multiple of 64, adding a full word when already aligned),
+same (hash1 + i*hash2) double-hashing with the negative-flip, so a
+Java/Spark reader that consults our bloom stream prunes EXACTLY the
+row groups Java's own writer would let it prune — a hash mismatch
+here would silently drop matching rows under predicate pushdown.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+_MASK64 = (1 << 64) - 1
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+DEFAULT_SEED = 104729  # org.apache.orc.util.Murmur3.DEFAULT_SEED
+DEFAULT_FPP = 0.05
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK64
+
+
+def _fmix64(h: int) -> int:
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _MASK64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _MASK64
+    h ^= h >> 33
+    return h
+
+
+def hash64(data: bytes, seed: int = DEFAULT_SEED) -> int:
+    """Murmur3 64-bit (x64_128 h1 lane), Java-signed result."""
+    length = len(data)
+    h = seed & _MASK64
+    nblocks = length >> 3
+    for i in range(nblocks):
+        k = int.from_bytes(data[i * 8:(i + 1) * 8], "little")
+        k = (k * _C1) & _MASK64
+        k = _rotl64(k, 31)
+        k = (k * _C2) & _MASK64
+        h ^= k
+        h = _rotl64(h, 27)
+        h = (h * 5 + 0x52DCE729) & _MASK64
+    tail = data[nblocks * 8:]
+    if tail:
+        k1 = int.from_bytes(tail, "little")
+        k1 = (k1 * _C1) & _MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _MASK64
+        h ^= k1
+    h ^= length
+    h = _fmix64(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _optimal_num_bits(n: int, p: float) -> int:
+    return int(-n * math.log(p) / (math.log(2) ** 2))
+
+
+class BloomFilterUtf8:
+    """Java-ORC-compatible bloom filter over UTF-8 byte values."""
+
+    def __init__(self, expected_entries: int, fpp: float = DEFAULT_FPP):
+        nb = _optimal_num_bits(expected_entries, fpp)
+        # Java quirk: always rounds UP by (64 - nb % 64), adding a
+        # whole word when nb is already 64-aligned
+        self.num_bits = nb + (64 - (nb % 64))
+        self.num_hash_functions = max(
+            1, round(self.num_bits / expected_entries * math.log(2)))
+        self.bitset = np.zeros(self.num_bits >> 6, dtype=np.uint64)
+
+    def _positions(self, h64: int) -> list[int]:
+        # Java int casts: low/high 32 bits, signed
+        hash1 = h64 & 0xFFFFFFFF
+        if hash1 >= 1 << 31:
+            hash1 -= 1 << 32
+        hash2 = (h64 >> 32) & 0xFFFFFFFF if h64 >= 0 else \
+            ((h64 + (1 << 64)) >> 32) & 0xFFFFFFFF
+        if hash2 >= 1 << 31:
+            hash2 -= 1 << 32
+        out = []
+        for i in range(1, self.num_hash_functions + 1):
+            combined = hash1 + i * hash2
+            # wrap to java int
+            combined &= 0xFFFFFFFF
+            if combined >= 1 << 31:
+                combined -= 1 << 32
+            if combined < 0:
+                combined = ~combined
+            out.append(combined % self.num_bits)
+        return out
+
+    def add_bytes(self, val: bytes) -> None:
+        for pos in self._positions(hash64(val)):
+            self.bitset[pos >> 6] |= np.uint64(1 << (pos & 63))
+
+    def test_bytes(self, val: bytes) -> bool:
+        return all(
+            self.bitset[pos >> 6] & np.uint64(1 << (pos & 63))
+            for pos in self._positions(hash64(val)))
+
+    def serialized_bitset(self) -> bytes:
+        """utf8bitset payload: the longs little-endian."""
+        return b"".join(struct.pack("<Q", int(w)) for w in self.bitset)
+
+
+def bloom_filter_index(per_stride_values: list[list[bytes]],
+                       expected_entries: int,
+                       fpp: float = DEFAULT_FPP) -> bytes:
+    """Serialize a BloomFilterIndex protobuf message: one BloomFilter
+    entry per row-group stride (orc.proto BloomFilterIndex /
+    BloomFilter with numHashFunctions + utf8bitset)."""
+    from .bits import write_vulong
+    out = bytearray()
+    for values in per_stride_values:
+        bf = BloomFilterUtf8(expected_entries, fpp)
+        for v in values:
+            bf.add_bytes(v)
+        body = bytearray()
+        # field 1 varint: numHashFunctions
+        body.append((1 << 3) | 0)
+        write_vulong(body, bf.num_hash_functions)
+        # field 3 bytes: utf8bitset
+        bits = bf.serialized_bitset()
+        body.append((3 << 3) | 2)
+        write_vulong(body, len(bits))
+        body.extend(bits)
+        # BloomFilterIndex field 1: repeated BloomFilter
+        out.append((1 << 3) | 2)
+        write_vulong(out, len(body))
+        out.extend(body)
+    return bytes(out)

@@ -685,10 +685,19 @@ class ORCFileWriter:
                  stripe_rows: int = 1 << 20,
                  row_index_stride: int = DEFAULT_ROW_INDEX_STRIDE,
                  use_fsst: bool = False,
-                 orc_types: dict | None = None):
+                 orc_types: dict | None = None,
+                 bloom_columns: list[str] | None = None,
+                 bloom_fpp: float = 0.05):
         if row_index_stride % 8:
             raise ValueError("row_index_stride must be a multiple of 8")
         self.orc_types = orc_types or {}
+        # BLOOM_FILTER_UTF8 index streams for these top-level
+        # string-family columns (beyond the reference, which only
+        # declares the proto): one Java-ORC-bit-compatible filter per
+        # row-group stride, so external readers get equality pushdown
+        # from our files (codecs/bloom.py)
+        self.bloom_columns = bloom_columns or []
+        self.bloom_fpp = bloom_fpp
         self.codec = codec
         self.comp_code = {"none": 0, "zlib": 1}[codec]
         self.stripe_rows = stripe_rows
@@ -862,13 +871,49 @@ class ORCFileWriter:
                 _bytes_field(ri, 1, bytes(entry))
             index_blobs.append(self._frame(bytes(ri)))
 
+        # optional BLOOM_FILTER_UTF8 index streams (per stride, on
+        # UTF-8 bytes of the column's distinct values)
+        bloom_blobs: list[tuple[int, bytes]] = []
+        if self.bloom_columns:
+            from ..codecs import bloom as bloom_codec
+            import pyarrow.compute as _pc
+            for name in self.bloom_columns:
+                i = self.tree.field_names.index(name)
+                node = self.tree.children[i]
+                if node.kind not in ("string", "char", "varchar",
+                                     "binary"):
+                    raise ValueError(
+                        f"bloom_columns {name}: string-family column "
+                        f"required, got {node.kind}")
+                col = table.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                per_stride: list[list[bytes]] = []
+                for t in range(n_strides):
+                    seg = col.slice(int(bounds[t]),
+                                    int(bounds[t + 1] - bounds[t]))
+                    if seg.null_count:
+                        seg = seg.drop_null()
+                    vals = _pc.unique(seg).to_pylist()
+                    per_stride.append([
+                        v.encode() if isinstance(v, str) else v
+                        for v in vals])
+                idx_msg = bloom_codec.bloom_filter_index(
+                    per_stride, self.stride, self.bloom_fpp)
+                bloom_blobs.append((node.col_id, self._frame(idx_msg)))
+
         # write index region, then data region
         stripe_offset = self.offset
         directory: list[tuple[int, int, int]] = []  # (kind, col, len)
         for cid, blob in enumerate(index_blobs):
             self.f.write(blob)
             directory.append((_STREAM_CODE["ROW_INDEX"], cid, len(blob)))
-        index_len = sum(len(b) for b in index_blobs)
+        for cid, blob in bloom_blobs:
+            self.f.write(blob)
+            directory.append((_STREAM_CODE["BLOOM_FILTER_UTF8"], cid,
+                              len(blob)))
+        index_len = sum(len(b) for b in index_blobs) + \
+            sum(len(b) for _, b in bloom_blobs)
         data_len = 0
         for (cid, kc) in sorted(framed):
             blob = framed[(cid, kc)]
@@ -956,21 +1001,25 @@ def write_orc(table: pa.Table, path: str,
               specs: list | None = None,
               codec: str = "zlib",
               stripe_rows: int = 1 << 20,
-              row_index_stride: int = DEFAULT_ROW_INDEX_STRIDE) -> dict:
+              row_index_stride: int = DEFAULT_ROW_INDEX_STRIDE,
+              bloom_columns: list[str] | None = None,
+              bloom_fpp: float = 0.05) -> dict:
     """Write an Arrow table as a real ORC file (statistics + row index
     included). Returns size stats. ``specs`` optionally restricts /
     reorders columns (legacy flat-schema API)."""
     if specs is not None:
         table = table.select([s.name for s in specs])
     w = ORCFileWriter(path, codec=codec, stripe_rows=stripe_rows,
-                      row_index_stride=row_index_stride)
+                      row_index_stride=row_index_stride,
+                      bloom_columns=bloom_columns, bloom_fpp=bloom_fpp)
     w.write_table(table)
     return w.close()
 
 
 def dataframe_to_orc_dir(df, out_dir: str,
                          specs=None, codec: str = "zlib",
-                         stripe_rows: int = 1 << 20) -> None:
+                         stripe_rows: int = 1 << 20,
+                         bloom_columns: list[str] | None = None) -> None:
     """Distributed ORC sink: each Spark partition streams its batches
     through one ``ORCFileWriter`` into a real .orc file in ``out_dir``
     (mapInArrow; no JVM ORC writer involved).  Batches flush to disk
@@ -999,7 +1048,8 @@ def dataframe_to_orc_dir(df, out_dir: str,
                 continue
             if writer is None:
                 writer = ORCFileWriter(path, codec=codec,
-                                       stripe_rows=stripe_rows)
+                                       stripe_rows=stripe_rows,
+                                       bloom_columns=bloom_columns)
             writer.write_batch(b)
             n += b.num_rows
         if writer is not None:

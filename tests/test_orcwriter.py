@@ -451,3 +451,68 @@ def test_writer_abort_and_context_manager(tmp_path):
     with orcwriter.ORCFileWriter(p4) as w:
         w.write_table(pa.table({"a": pa.array([1, 2, 3])}))
     assert len(list(orcfile.ORCFile(p4).read_all())) == 3
+
+
+def test_bloom_murmur3_matches_java_golden():
+    """Our Murmur3/bloom are bit-compatible with Java ORC's
+    BloomFilterUtf8 (golden vectors extracted from Spark's bundled
+    orc-core via py4j) — a mismatch would make Java readers silently
+    prune row groups that contain matches."""
+    from orc_spark.codecs import bloom
+    golden = {
+        b"": 8404154273843829576,
+        b"a": -2460741455279943289,
+        b"abc": -4076012629679759154,
+        b"hello world": -5158593287617531220,
+        b"The quick brown fox jumps over the lazy dog":
+            -5527422478694387224,
+        bytes(range(37)): 5454279707622598881,
+    }
+    for k, v in golden.items():
+        assert bloom.hash64(k) == v, k
+    b = bloom.BloomFilterUtf8(100, 0.05)
+    for s in ["alpha", "beta", "gamma", "delta"]:
+        b.add_bytes(s.encode())
+    assert (b.num_hash_functions, b.num_bits) == (4, 640)
+    assert [hex(int(w)) for w in b.bitset] == [
+        "0x800", "0xc002400000000000", "0x2000000004000",
+        "0x800000000020000", "0x8000000400000000", "0x0",
+        "0x200100000000000", "0x8000000000000000",
+        "0x4000000000000000", "0x20"]
+    assert b.test_bytes(b"alpha") and not b.test_bytes(b"zeta")
+    import hashlib
+    b2 = bloom.BloomFilterUtf8(10000, 0.05)
+    for i in range(300):
+        b2.add_bytes(("w%04d" % i).encode())
+    assert (b2.num_hash_functions, b2.num_bits) == (4, 62400)
+    assert hashlib.md5(b2.serialized_bitset()).hexdigest() == \
+        "31f98c7b512475113ef2a83877f53489"
+
+
+def test_bloom_stream_spark_pushdown_exact(spark, tmp_path):
+    """.orc files with BLOOM_FILTER_UTF8 streams: Spark's JVM reader
+    (writer version ORC_135 -> blooms are trusted under equality
+    pushdown) returns EXACT results for present and absent keys, and
+    pyarrow still reads the file."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    n = 30000
+    t = pa.table({
+        "k": pa.array([f"key{i % 1000:04d}" for i in range(n)]),
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    path = str(tmp_path / "bloom.orc")
+    orcwriter.write_orc(t, path, codec="zlib", stripe_rows=16000,
+                        bloom_columns=["k"])
+    # our own reader still parses the file (blooms live in the index
+    # region; row index intact)
+    own = orcfile.ORCFile(path)
+    assert len(own.row_index(0, 1)) == 2  # 16000 rows / 10000 stride
+    from pyarrow import orc as pa_orc
+    assert pa_orc.ORCFile(path).read().num_rows == n
+    df = spark.read.orc(path)
+    hit = df.where(F.col("k") == "key0042")
+    assert hit.count() == n // 1000
+    assert hit.agg(F.sum("v")).collect()[0][0] == \
+        sum(i for i in range(n) if i % 1000 == 42)
+    assert df.where(F.col("k") == "nosuchkey").count() == 0
