@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from orc_spark.functions import dedup, similarity, text
+from orc_spark.functions import dedup, sampling, similarity, text
 from orc_spark.functions import multimodal
 from orc_spark.operators import encode as enc_ops
 from orc_spark.operators import verify
@@ -614,6 +614,45 @@ def _q_stream_dedup(spark, sf_dir):
     return dedup_stream.latest_state(spark, out)
 
 
+def _q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (r3): seed deterministic emails/phones/IPs into
+    every 3rd document, redact + count via pure JVM regexp; the oracle
+    recomputes counts AND the md5 of the scrubbed text byte-for-byte
+    (the patterns are Java/RE2-portable by construction)."""
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com or 555-123-4567 at 10.0.0."),
+                        (F.col("doc_id") % 256).cast("string")))
+        .otherwise(F.col("text")).alias("text"))
+    out = text.pii_scrub(seeded)
+    return out.select("doc_id", "n_email", "n_phone", "n_ipv4",
+                      F.md5("scrubbed").alias("scrub_md5"),
+                      "scrubbed_len")
+
+
+_SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (training-data mixing, r3):
+    per-source keep fractions realized as a portable md5-threshold
+    filter — the oracle applies the IDENTICAL predicate in DuckDB, so
+    the selected row set matches exactly (not just in expectation)."""
+    docs = _docs(spark, sf_dir)
+    samp = sampling.stratified_sample(docs, _SAMPLE_RATES,
+                                      default_rate=_SAMPLE_DEFAULT)
+    return samp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"))
+
+
 def _q_stream_dedup_near(spark, sf_dir):
     """Streaming NEAR-duplicate detection (VERDICT r2 next-round #5):
     minhash band-bucket GroupState across micro-batches; after the
@@ -671,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprints": _q_text_fingerprints,
         "text_vocab": _q_text_vocab,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "sample_stratified": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
         "pipeline_clean": _q_pipeline_clean,
         "dedup_exact": _q_dedup_exact,
@@ -735,6 +776,58 @@ _BRUTE_JACCARD_SQL = """
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.4"""
+
+
+def _pii_scrub_oracle() -> str:
+    """Built from text.PII_PATTERNS so Spark and DuckDB always scrub
+    with the same regexes (Java/RE2-portable by construction)."""
+    p = text.PII_PATTERNS
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{p['email']}', '<EMAIL>', 'g'), "
+        f"'{p['phone']}', '<PHONE>', 'g'), "
+        f"'{p['ipv4']}', '<IPV4>', 'g')")
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' contact user'
+                           || CAST(doc_id AS VARCHAR)
+                           || '@example.com or 555-123-4567 at 10.0.0.'
+                           || CAST(doc_id % 256 AS VARCHAR)
+                      ELSE text END AS text
+          FROM documents),
+        scrubbed AS (SELECT doc_id, text, {scrub} AS s FROM seeded)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{p["email"]}'))
+                    AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{p["phone"]}'))
+                    AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text, '{p["ipv4"]}'))
+                    AS BIGINT) AS n_ipv4,
+               md5(s) AS scrub_md5,
+               CAST(length(s) AS BIGINT) AS scrubbed_len
+        FROM scrubbed"""
+
+
+def _stratified_oracle() -> str:
+    """The IDENTICAL md5-threshold predicate as sampling.
+    stratified_sample — the sample matches row-for-row, not just in
+    expectation."""
+    h = "md5(CAST(doc_id AS VARCHAR))"
+    conds = [
+        f"(source = '{s}' AND {h} < '{sampling.rate_to_threshold(r)}')"
+        for s, r in _SAMPLE_RATES.items()]
+    not_in = ", ".join(f"'{s}'" for s in _SAMPLE_RATES)
+    conds.append(f"(source NOT IN ({not_in}) AND {h} < "
+                 f"'{sampling.rate_to_threshold(_SAMPLE_DEFAULT)}')")
+    return f"""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_id
+        FROM documents
+        WHERE {" OR ".join(conds)}
+        GROUP BY source"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -856,6 +949,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents) GROUP BY 1 "
             "ORDER BY n DESC, word ASC LIMIT 50"),
         "text_langid": langid,
+        "text_pii_scrub": _pii_scrub_oracle(),
+        "sample_stratified": _stratified_oracle(),
         "text_fingerprints": (
             "SELECT doc_id, md5(text) AS fp, "
             "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "

@@ -1,0 +1,57 @@
+"""Deterministic sampling operators for training-data mixing.
+
+A pretraining pipeline rarely uses a corpus as-is: sources are
+re-weighted (e.g. books over-sampled, crawl down-sampled).  These
+operators realize that as DETERMINISTIC, engine-portable hash
+sampling: a document's fate depends only on its id — re-running the
+pipeline, resuming after failure, or re-executing a lost partition
+selects exactly the same rows (Spark's ``df.sample`` is seed-stable
+only per partitioning, which a shuffle or resume silently changes).
+
+Portability: the sampling hash is ``md5(key)`` compared
+lexicographically against a hex threshold — Spark and any SQL engine
+(the DuckDB oracles) compute the identical md5 hex string, so the
+sample is reproducible OUTSIDE Spark too.  At 100 TB everything here
+is a map-only filter: no shuffle, parallelism = input splits,
+predicate sits directly on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def rate_to_threshold(rate: float, digits: int = 8) -> str:
+    """Hex-string threshold t such that P[md5(x) < t] == rate (up to
+    16^-digits resolution): uniform hex digits compare uniformly."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    scaled = min(int(rate * (16 ** digits)), 16 ** digits - 1)
+    return format(scaled, f"0{digits}x")
+
+
+def hash_sample(df: DataFrame, rate: float,
+                key_col: str = "doc_id") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by md5(key)."""
+    thr = rate_to_threshold(rate)
+    return df.where(F.md5(F.col(key_col).cast("string")) < thr)
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "source",
+                      key_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-data MIXING
+    operator: ``rates`` maps stratum value -> keep fraction; strata
+    not listed keep ``default_rate``.  One map-side CASE WHEN over the
+    md5 hash; no shuffle, no state."""
+    h = F.md5(F.col(key_col).cast("string"))
+    expr = None
+    for stratum, rate in rates.items():
+        cond = (F.col(stratum_col) == stratum) & \
+            (h < rate_to_threshold(rate))
+        expr = cond if expr is None else expr | cond
+    others = (~F.col(stratum_col).isin(list(rates))) & \
+        (h < rate_to_threshold(default_rate))
+    expr = others if expr is None else expr | others
+    return df.where(expr)

@@ -93,3 +93,36 @@ def vocab_histogram(docs: DataFrame, k: int = 50) -> DataFrame:
         F.split(F.trim("text"), r"\s+")).alias("word"))
     return (w.groupBy("word").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("word")).limit(k))
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b word
+# boundaries — no lookarounds/backrefs (RE2 lacks them)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(docs: DataFrame,
+              patterns: dict[str, str] | None = None) -> DataFrame:
+    """Redact PII (emails, phone numbers, IPv4s by default) from the
+    text column — each match is replaced by ``<KIND>`` — and count the
+    redactions per document.  Pure JVM regexp (whole-stage codegen);
+    patterns are Java/RE2-compatible so the DuckDB oracle reproduces
+    both the counts and the scrubbed text byte-for-byte.
+
+    Returns (doc_id, n_<kind>... per pattern, scrubbed, scrubbed_len).
+    At 100 TB this is a map-only projection — no shuffle, parallelism
+    = input splits."""
+    pats = patterns or PII_PATTERNS
+    cols = [F.col("doc_id")]
+    scrubbed = F.col("text")
+    for kind, pat in pats.items():
+        cols.append(F.regexp_count("text", F.lit(pat)).cast("long")
+                    .alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return docs.select(
+        *cols, scrubbed.alias("scrubbed"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"))

@@ -584,6 +584,75 @@ class ORCFile:
             pos += ln
         return []
 
+    def bloom_strides(self, si: int, col: int, value) -> list[int] | None:
+        """Row-group stride ids of stripe ``si`` whose
+        BLOOM_FILTER_UTF8 entry for column ``col`` can contain
+        ``value`` (str or bytes) — the bloom CONSUMED, not just
+        written (the reference declares the proto and stops,
+        proto/orc.proto:83-100).  Returns None when the stripe carries
+        no bloom stream for that column (caller must scan all
+        strides)."""
+        from ..codecs import bloom as bloom_codec
+        if isinstance(value, str):
+            value = value.encode()
+        info = self.stripes[si]
+        offset = info.get(1, [0])[0]
+        footer_len = info.get(4, [0])[0]
+        index_len = info.get(2, [0])[0]
+        data_len = info.get(3, [0])[0]
+        sf_start = offset + index_len + data_len
+        sfooter = parse_message(self._decomp(
+            self.data[sf_start:sf_start + footer_len]))
+        pos = offset
+        for s in sfooter.get(1, []):
+            sm = parse_message(s)
+            kind = STREAM_KINDS[sm.get(1, [0])[0]]
+            c = sm.get(2, [0])[0]
+            ln = sm.get(3, [0])[0]
+            if kind == "BLOOM_FILTER_UTF8" and c == col:
+                idx = parse_message(self._decomp(self.data[pos:pos + ln]))
+                h64 = bloom_codec.hash64(value)
+                keep = []
+                for t, e in enumerate(idx.get(1, [])):
+                    em = parse_message(e)
+                    k = em.get(1, [1])[0]
+                    bits = em.get(3, [b""])[0]
+                    words = np.frombuffer(bits, dtype="<u8")
+                    n_bits = len(words) * 64
+                    if not n_bits:
+                        continue
+                    bf = bloom_codec.BloomFilterUtf8.__new__(
+                        bloom_codec.BloomFilterUtf8)
+                    bf.num_bits = n_bits
+                    bf.num_hash_functions = k
+                    bf.bitset = words
+                    if all(words[p >> 6] & np.uint64(1 << (p & 63))
+                           for p in bf._positions(h64)):
+                        keep.append(t)
+                return keep
+            pos += ln
+        return None
+
+    def equality_lookup(self, column: str, value) -> list:
+        """Point lookup via the bloom + row index: decode ONLY the
+        strides whose bloom can contain ``value``, then filter the
+        residual rows exactly.  Falls back to a full scan per stripe
+        when no bloom stream exists."""
+        root = self.types[0]
+        ci = root.field_names.index(column)
+        col = root.children[ci]
+        out = []
+        for si in range(len(self.stripes)):
+            keep = self.bloom_strides(si, col, value)
+            if keep is not None and not keep:
+                continue
+            if keep is not None and self.row_index_stride:
+                rows = self.read_stripe_strides(si, keep)
+            else:
+                rows = self.read_stripe(si)
+            out.extend(r for r in rows if r.get(column) == value)
+        return out
+
     def read_all(self):
         for si in range(len(self.stripes)):
             yield from self.read_stripe(si)

@@ -396,3 +396,49 @@ def test_pack_sequences_lineage_per_sequence(spark):
     assert [r["first_doc_id"] for r in got] == ["a", "b", "c", "c"]
     assert [r["n_docs"] for r in got] == [1, 1, 0, 1]
     assert got[-1]["n_pad"] == 3
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at bob@test.org or alice@x.co.uk now"),
+         (2, "call 555-123-4567 or 555-000-1111 from 192.168.1.1"),
+         (3, "clean text, no pii at all"),
+         (4, "1.2.3.4 5.6.7.8 and ten.0.0.1 is not an ip")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) \
+        == (2, 0, 0)
+    assert rows[1]["scrubbed"] == "mail me at <EMAIL> or <EMAIL> now"
+    assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_ipv4"]) \
+        == (0, 2, 1)
+    assert rows[2]["scrubbed"] == "call <PHONE> or <PHONE> from <IPV4>"
+    assert rows[3]["scrubbed"] == "clean text, no pii at all"
+    assert rows[4]["n_ipv4"] == 2
+
+
+def test_stratified_sample_deterministic_and_exact(spark, docs):
+    from orc_spark.functions import sampling
+    rates = {"src0": 1.0, "src1": 0.0}
+    got = sampling.stratified_sample(docs, rates, default_rate=0.5)
+    ids1 = sorted(r["doc_id"] for r in got.collect())
+    # repartitioned input -> identical sample (hash of the key only)
+    got2 = sampling.stratified_sample(docs.repartition(7), rates,
+                                      default_rate=0.5)
+    ids2 = sorted(r["doc_id"] for r in got2.collect())
+    assert ids1 == ids2
+    per_src = {r["source"]: r["n"] for r in
+               got.groupBy("source").agg(F.count("*").alias("n"))
+               .collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n"))
+              .collect()}
+    assert per_src.get("src0") == totals["src0"]      # rate 1.0: all
+    assert "src1" not in per_src                      # rate 0.0: none
+    others = sum(v for k, v in per_src.items()
+                 if k not in ("src0", "src1"))
+    others_total = sum(v for k, v in totals.items()
+                       if k not in ("src0", "src1"))
+    assert 0.3 * others_total < others < 0.7 * others_total
+    # threshold function is exact at the boundaries
+    assert sampling.rate_to_threshold(0.0) == "00000000"
+    assert sampling.rate_to_threshold(1.0) == "ffffffff"

@@ -516,3 +516,37 @@ def test_bloom_stream_spark_pushdown_exact(spark, tmp_path):
     assert hit.agg(F.sum("v")).collect()[0][0] == \
         sum(i for i in range(n) if i % 1000 == 42)
     assert df.where(F.col("k") == "nosuchkey").count() == 0
+
+
+def test_bloom_consumed_by_own_reader(tmp_path):
+    """Our reader CONSUMES the bloom: point lookups decode only the
+    strides whose filter can contain the key; absent keys decode
+    nothing at all."""
+    n = 30000
+    # keys clustered so a point key lives in exactly one stride
+    t = pa.table({
+        "k": pa.array([f"key{i // 30:04d}" for i in range(n)]),
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    path = str(tmp_path / "bc.orc")
+    orcwriter.write_orc(t, path, codec="zlib", stripe_rows=16000,
+                        bloom_columns=["k"])
+    f = orcfile.ORCFile(path)
+    rows = f.equality_lookup("k", "key0123")
+    assert len(rows) == 30
+    assert all(r["k"] == "key0123" for r in rows)
+    # the key's rows live in one stride; the bloom keeps ~1 stride
+    # (false positives possible but bounded), never all of them
+    keeps = [f.bloom_strides(si, 1, "key0123")
+             for si in range(len(f.stripes))]
+    assert sum(len(k) for k in keeps) <= 2, keeps
+    # absent key: every stripe prunes every stride
+    assert f.equality_lookup("k", "zzz-not-there") == []
+    assert all(f.bloom_strides(si, 1, "zzz-not-there") == []
+               for si in range(len(f.stripes)))
+    # file without blooms: bloom_strides says None (fall back to scan)
+    path2 = str(tmp_path / "nb.orc")
+    orcwriter.write_orc(t, path2, codec="zlib", stripe_rows=16000)
+    f2 = orcfile.ORCFile(path2)
+    assert f2.bloom_strides(0, 1, "key0123") is None
+    assert len(f2.equality_lookup("k", "key0123")) == 30
