@@ -351,16 +351,24 @@ def prune_stripes(enc_df: DataFrame, column: str,
     min/max stats (stripe stats JSON) cannot contain values in
     [lo, hi].  The reference records this index data but never consumes
     it (SURVEY §2.2 P2 / §3.3); here it prunes the decode input —
-    combine with decode() + a row filter for exact results."""
+    combine with decode() + a row filter for exact results.
+
+    String bounds compare lexicographically against the string stats
+    (casting them to double would nullify every comparison and
+    silently prune live stripes); a stripe whose stats lack min/max
+    for the column (all-null stride, count-only types like timestamp)
+    is conservatively KEPT — the residual row filter stays exact."""
+    is_str = isinstance(lo, str) or isinstance(hi, str)
+
+    def stat(field):
+        c = F.get_json_object("stats", f"$.{column}.{field}")
+        return c if is_str else c.cast("double")
+
     out = enc_df
     if hi is not None:
-        out = out.where(
-            F.get_json_object("stats", f"$.{column}.min").cast("double")
-            <= F.lit(hi))
+        out = out.where(F.coalesce(stat("min") <= F.lit(hi), F.lit(True)))
     if lo is not None:
-        out = out.where(
-            F.get_json_object("stats", f"$.{column}.max").cast("double")
-            >= F.lit(lo))
+        out = out.where(F.coalesce(stat("max") >= F.lit(lo), F.lit(True)))
     return out
 
 

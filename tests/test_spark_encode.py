@@ -224,3 +224,25 @@ def test_decode_predicate_one_call(spark, token_df):
     assert proj.columns == ["doc_id"]
     assert proj.count() == token_df.where(F.col("n_tok") >= lo).count()
     enc.unpersist()
+
+
+def test_decode_predicate_string_and_statless_columns(spark, token_df):
+    """String-column predicates prune lexicographically (casting the
+    JSON stats to double would nullify comparisons and silently drop
+    every stripe), and columns without min/max stats keep all stripes
+    — the residual filter stays exact either way."""
+    df = token_df.coalesce(2).sortWithinPartitions("doc_id")
+    enc = enc_ops.encode(df, stripe_rows=100, stride_rows=32).cache()
+    some_id = token_df.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    got = enc_ops.decode(enc, predicate=("doc_id", "==", some_id))
+    assert got.count() == 1
+    assert got.collect()[0]["doc_id"] == some_id
+    # range predicate on strings
+    hi_ids = token_df.where(F.col("doc_id") >= "doc-0000000450")
+    got2 = enc_ops.decode(enc, predicate=("doc_id", ">=",
+                                          "doc-0000000450"))
+    assert got2.count() == hi_ids.count()
+    # stripe pruning actually bit for the string predicate
+    assert enc_ops.prune_stripes(enc, "doc_id",
+                                 lo="doc-0000000450").count() < enc.count()
+    enc.unpersist()
