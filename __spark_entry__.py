@@ -368,6 +368,25 @@ def _q_dedup_jaccard_exact(spark, sf_dir):
                                     min_jaccard=0.4)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING (r3): seeded duplicate chains (A~B~C) must
+    collapse into connected components with the min doc_id as
+    representative — pairwise detection turned into actionable dedup
+    groups.  The oracle brute-forces the pair graph in DuckDB and runs
+    the same min-label propagation as iterated SQL joins."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    b = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"))
+    c = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" extra token tail")).alias("text"))
+    corpus = docs.unionByName(b).unionByName(c)
+    return dedup.near_dup_clusters(corpus, min_jaccard=0.4).select(
+        "node", "cluster", "is_rep")
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: plant 10 deterministic near-copies
     (0.9*v_i + 0.1*v_{200+i}); the LSH-bucketed self-join must find
@@ -719,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard_exact": _q_dedup_jaccard_exact,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_clusters": _q_dedup_clusters,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "stream_encode": _q_stream_encode,
         "stream_dedup": _q_stream_dedup,
@@ -828,6 +848,67 @@ def _stratified_oracle() -> str:
         FROM documents
         WHERE {" OR ".join(conds)}
         GROUP BY source"""
+
+
+def _clusters_oracle(iters: int = 10) -> str:
+    """Brute-force pair graph + ``iters`` rounds of min-label
+    propagation, unrolled as SQL CTEs (the iterative counterpart of
+    dedup.cluster_pairs; seeded components here have small diameter,
+    so 10 rounds is a fixpoint)."""
+    base = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extra token'
+          FROM documents WHERE doc_id < 10
+          UNION ALL
+          SELECT doc_id + 2000000, text || ' extra token tail'
+          FROM documents WHERE doc_id < 10),
+        reps AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (
+                PARTITION BY md5(regexp_replace(
+                    lower(trim(text)), '\\s+', ' ', 'g'))
+                ORDER BY doc_id) AS rn
+            FROM corpus) WHERE rn = 1),
+        sh AS MATERIALIZED (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(regexp_split_to_array(
+                  trim(text), '\\s+')) - 2, 1) + 1),
+              k -> array_to_string(regexp_split_to_array(
+                  trim(text), '\\s+')[k:k+2], ' ')))) AS s
+          FROM reps),
+        sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+        pairs AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS i
+            FROM sh a JOIN sh b USING (s)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2) t
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.4),
+        und AS MATERIALIZED (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        l0 AS MATERIALIZED (
+          SELECT a AS node, least(a, min(b)) AS label
+          FROM und GROUP BY a)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        l{i} AS MATERIALIZED (
+          SELECT o.node,
+                 least(o.label, coalesce(min(n.label), o.label)) AS label
+          FROM l{i - 1} o
+          LEFT JOIN und e ON e.a = o.node
+          LEFT JOIN l{i - 1} n ON n.node = e.b
+          GROUP BY o.node, o.label)""")
+    return (base + "," + ",".join(steps) +
+            f"""
+        SELECT node, label AS cluster, node = label AS is_rep
+        FROM l{iters}""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1057,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'DIRECT_V2' END)""",
         "dedup_minhash": _BRUTE_JACCARD_SQL,
         "stream_dedup_near": _BRUTE_JACCARD_SQL,
+        "dedup_clusters": _clusters_oracle(),
         # exact prefix-filtered join: same brute-force oracle as
         # dedup_minhash, but here the match is a hard guarantee
         "dedup_jaccard_exact": """

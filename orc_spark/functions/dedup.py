@@ -336,6 +336,64 @@ def embedding_near_dups(emb: DataFrame, min_cosine: float = 0.9,
             .where(F.col("cosine") >= min_cosine))
 
 
+def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (node, cluster) where cluster = the MIN doc_id reachable through
+    pairs — the step that turns pairwise detections into actionable
+    dedup groups (keep one representative per cluster).
+
+    Algorithm: iterative min-label propagation.  Each round joins the
+    current labels across the undirected edge list and takes the
+    elementwise min; rounds needed = the largest component's diameter
+    (web near-dup components are shallow: template clusters are
+    near-cliques).  Each round localCheckpoints, so lineage stays O(1)
+    and a lost executor recomputes one round, not the whole chain.
+    For adversarially deep graphs swap in large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which the
+    same edge/label representation supports.
+
+    Only nodes appearing in >=1 pair are returned (singletons are
+    their own trivial cluster)."""
+    edges = pairs.select(F.col("doc_a").alias("a"),
+                         F.col("doc_b").alias("b"))
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (und.groupBy("a").agg(F.min("b").alias("mb"))
+              .select(F.col("a").alias("node"),
+                      F.least("a", "mb").alias("label")))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (und.join(labels.withColumnRenamed("node", "b"), "b")
+                 .groupBy("a").agg(F.min("label").alias("nlabel"))
+                 .select(F.col("a").alias("node"), "nlabel"))
+        new = (labels.join(neigh, "node", "left")
+               .select("node",
+                       F.least("label", F.coalesce("nlabel", "label"))
+                       .alias("label")))
+        new = new.localCheckpoint()
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def near_dup_clusters(docs: DataFrame, min_jaccard: float = 0.5,
+                      **lsh_kwargs) -> DataFrame:
+    """minhash-LSH pairs -> connected components -> (node, cluster,
+    is_rep): the end-to-end near-dup GROUPING operator.  Keep
+    ``docs.join(clusters.where(~is_rep), doc_id, "left_anti")`` to
+    drop every near-duplicate except one representative per group."""
+    pairs = minhash_lsh_pairs(docs, min_jaccard=min_jaccard,
+                              **lsh_kwargs)
+    labels = cluster_pairs(pairs)
+    return labels.select(
+        "node", "cluster",
+        (F.col("node") == F.col("cluster")).alias("is_rep"))
+
+
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash over word hashes, fully JVM-side and MAP-SIDE
     (r3: no explode+groupBy shuffle): per bit k the +/-1 contribution

@@ -442,3 +442,35 @@ def test_stratified_sample_deterministic_and_exact(spark, docs):
     # threshold function is exact at the boundaries
     assert sampling.rate_to_threshold(0.0) == "00000000"
     assert sampling.rate_to_threshold(1.0) == "ffffffff"
+
+
+def test_cluster_pairs_chain_components(spark):
+    """A~B, B~C (no direct A~C pair) must land in ONE cluster with the
+    min id as representative; disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long")
+    got = {r["node"]: r["cluster"]
+           for r in dedup.cluster_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_near_dup_clusters_end_to_end(spark, docs):
+    """Seeded chain A -> A+' x' -> A+' x y' collapses to one cluster
+    per seed with the original doc as representative."""
+    base = docs.limit(30).select("doc_id", "text")
+    b = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" xq")).alias("text"))
+    c = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" xq yq")).alias("text"))
+    corpus = base.unionByName(b).unionByName(c)
+    cl = dedup.near_dup_clusters(corpus, min_jaccard=0.4)
+    rows = {r["node"]: (r["cluster"], r["is_rep"]) for r in cl.collect()}
+    for d in range(5):
+        if d in rows:  # seed doc participates
+            assert rows[d] == (d, True)
+            assert rows[d + 1000] == (d, False)
+            assert rows[d + 2000] == (d, False)
