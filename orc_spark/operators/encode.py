@@ -270,31 +270,45 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
     dropped (prune_stripes), qualifying stripes skip non-matching
     row-group strides (stride_filter), and the residual row filter is
     applied to the decoded rows, so the result is EXACT while only the
-    byte ranges that can match are decompressed.
+    byte ranges that can match are decompressed.  A LIST of such
+    tuples is a conjunction: every predicate prunes stripes, the
+    stride keep-sets intersect, and the residual is the AND.
 
     ``stride_filter=(col, lo, hi)`` is the lower-level row-group-skip
     control (requires encode(stride_rows=...); combine with a row
     filter for exact results) — ``predicate`` supersedes it."""
     residual = None
-    drop_after = None
+    drop_after: list[str] = []
     if predicate is not None:
-        pcol, op, val = predicate
-        lo, hi = _predicate_bounds(op, val)
-        enc_df = prune_stripes(enc_df, pcol, lo, hi)
+        preds = [predicate] if isinstance(predicate, tuple) else \
+            list(predicate)
+        filters = []
+        for pcol, op, val in preds:
+            lo, hi = _predicate_bounds(op, val)
+            enc_df = prune_stripes(enc_df, pcol, lo, hi)
+            filters.append((pcol, lo, hi))
+            expr = _predicate_expr(pcol, op, val)
+            residual = expr if residual is None else residual & expr
+            if columns is not None and pcol not in columns and \
+                    pcol not in drop_after:
+                # the filter column must be decoded to evaluate the
+                # residual predicate; drop it from the final projection
+                columns = list(columns) + [pcol]
+                drop_after.append(pcol)
         if stride_filter is None:
-            stride_filter = (pcol, lo, hi)
-        residual = _predicate_expr(pcol, op, val)
-        if columns is not None and pcol not in columns:
-            # the filter column must be decoded to evaluate the
-            # residual predicate; drop it from the final projection
-            columns = list(columns) + [pcol]
-            drop_after = pcol
+            stride_filter = filters
     if columns is not None:
         specs = [s for s in specs if s.name in columns]
     needed = ["n_rows", "encodings", "stats"] + stream_columns(specs)
     out_schema = decoded_spark_schema(specs)
     arrow_out = pa.schema(
         [pa.field(s.name, stripe_mod.arrow_type_of(s.typ)) for s in specs])
+    if stride_filter is None:
+        stride_filters = []
+    elif isinstance(stride_filter, tuple):
+        stride_filters = [stride_filter]
+    else:
+        stride_filters = list(stride_filter)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from orc_spark._alloc import tune_worker
@@ -321,11 +335,12 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
                     '"_strides"' in row["stats"]
                 if strided:
                     keep = None
-                    if stride_filter is not None:
-                        col, lo, hi = stride_filter
-                        keep = stripe_mod.select_strides(row, col, lo, hi)
-                        if not keep:
-                            continue
+                    for col, lo, hi in stride_filters:
+                        ks = set(stripe_mod.select_strides(
+                            row, col, lo, hi))
+                        keep = ks if keep is None else keep & ks
+                    if stride_filters and not keep:
+                        continue
                     table = stripe_mod.decode_stripe_strides(
                         row, specs, codec=codec, keep=keep)
                 else:
@@ -340,8 +355,8 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
     out = enc_df.select(needed).mapInArrow(kernel, out_schema)
     if residual is not None:
         out = out.where(residual)
-    if drop_after is not None:
-        out = out.drop(drop_after)
+    if drop_after:
+        out = out.drop(*drop_after)
     return out
 
 

@@ -246,3 +246,27 @@ def test_decode_predicate_string_and_statless_columns(spark, token_df):
     assert enc_ops.prune_stripes(enc, "doc_id",
                                  lo="doc-0000000450").count() < enc.count()
     enc.unpersist()
+
+
+def test_decode_predicate_conjunction(spark, token_df):
+    """A list of predicates is a conjunction: per-predicate stripe
+    pruning, intersected stride keep-sets, ANDed residual filter."""
+    df = token_df.coalesce(2).sortWithinPartitions("n_tok")
+    enc = enc_ops.encode(df, stripe_rows=100, stride_rows=32).cache()
+    lo = int(token_df.approxQuantile("n_tok", [0.5], 0.01)[0])
+    hi = int(token_df.approxQuantile("n_tok", [0.8], 0.01)[0])
+    got = enc_ops.decode(enc, predicate=[("n_tok", ">=", lo),
+                                         ("n_tok", "<", hi)])
+    want = token_df.where((F.col("n_tok") >= lo) & (F.col("n_tok") < hi))
+    assert got.count() == want.count()
+    assert got.agg(F.sum("n_tok")).collect()[0][0] == \
+        want.agg(F.sum("n_tok")).collect()[0][0]
+    # mixed-column conjunction with projection
+    sid = token_df.where(F.col("n_tok") >= lo).limit(1) \
+        .collect()[0]["doc_id"]
+    one = enc_ops.decode(enc, columns=["doc_id"],
+                         predicate=[("n_tok", ">=", lo),
+                                    ("doc_id", "==", sid)])
+    assert one.columns == ["doc_id"]
+    assert [r["doc_id"] for r in one.collect()] == [sid]
+    enc.unpersist()
