@@ -299,7 +299,18 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
             stride_filter = filters
     if columns is not None:
         specs = [s for s in specs if s.name in columns]
-    needed = ["n_rows", "encodings", "stats"] + stream_columns(specs)
+    # schema evolution: specs may name columns the stripes were written
+    # WITHOUT (an older table read with a newer schema) — those decode
+    # as all-null columns of the requested type; only present columns'
+    # stream binaries are selected/read
+    avail = set(enc_df.columns)
+    present_specs = [s for s in specs if f"{s.name}__DATA" in avail]
+    missing_specs = [s for s in specs if f"{s.name}__DATA" not in avail]
+    if not present_specs:
+        raise ValueError("none of the requested columns exist in the "
+                         "stripe table")
+    needed = ["n_rows", "encodings", "stats"] + \
+        stream_columns(present_specs)
     out_schema = decoded_spark_schema(specs)
     arrow_out = pa.schema(
         [pa.field(s.name, stripe_mod.arrow_type_of(s.typ)) for s in specs])
@@ -342,13 +353,19 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
                     if stride_filters and not keep:
                         continue
                     table = stripe_mod.decode_stripe_strides(
-                        row, specs, codec=codec, keep=keep)
+                        row, present_specs, codec=codec, keep=keep)
                 else:
-                    table = stripe_mod.decode_stripe(row, specs,
-                                                     codec=codec)
+                    table = stripe_mod.decode_stripe(
+                        row, present_specs, codec=codec)
                 if table.num_rows == 0:
                     continue
-                table = table.cast(arrow_out)
+                for ms in missing_specs:
+                    table = table.append_column(
+                        ms.name, pa.nulls(
+                            table.num_rows,
+                            stripe_mod.arrow_type_of(ms.typ)))
+                table = table.select([s.name for s in specs]) \
+                    .cast(arrow_out)
                 for out in table.to_batches():
                     yield out
 

@@ -270,3 +270,31 @@ def test_decode_predicate_conjunction(spark, token_df):
     assert one.columns == ["doc_id"]
     assert [r["doc_id"] for r in one.collect()] == [sid]
     enc.unpersist()
+
+
+def test_decode_schema_evolution_missing_column_nulls(spark, token_df):
+    """Old stripes read with a NEWER schema: columns the stripes were
+    written without decode as all-null columns of the requested type;
+    present columns are untouched."""
+    from orc_spark import stripe as stripe_mod
+    enc = enc_ops.encode(token_df.repartition(2))  # TOKEN_SCHEMA
+    evolved = stripe_mod.parse_schema([
+        ("doc_id", "string"), ("tokens", "list<int>"),
+        ("n_tok", "int"), ("source", "string"),
+        ("quality", "double"),           # added later
+        ("meta", "struct<a:bigint>"),    # added later, nested
+    ])
+    dec = enc_ops.decode(enc, specs=evolved)
+    assert dec.columns == ["doc_id", "tokens", "n_tok", "source",
+                           "quality", "meta"]
+    row = dec.agg(F.count("*").alias("n"),
+                  F.count("quality").alias("nq"),
+                  F.count("meta").alias("nm"),
+                  F.sum("n_tok").alias("s")).collect()[0]
+    assert row["n"] == token_df.count()
+    assert row["nq"] == 0 and row["nm"] == 0
+    assert row["s"] == token_df.agg(F.sum("n_tok")).collect()[0][0]
+    import pytest as _pt
+    with _pt.raises(Exception):
+        enc_ops.decode(enc, specs=stripe_mod.parse_schema(
+            [("nope", "double")])).count()
