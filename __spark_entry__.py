@@ -241,6 +241,17 @@ def _q_enc_footer(spark, sf_dir):
         "n_rows", "n_tokens")
 
 
+def _q_enc_compact(spark, sf_dir):
+    """Stripe compaction (r3): many tiny stripes (incremental-ingest
+    shape, stripe_rows=40) re-striped into large ones; totals must be
+    conserved exactly — the oracle recomputes them from documents.
+    The stripe-count reduction itself is asserted in pytest."""
+    tok = token_src.token_table(spark, sf_dir)
+    small = enc_ops.encode(tok.repartition(4), stripe_rows=40)
+    big = enc_ops.compact(small, stripe_rows=1 << 20)
+    return enc_ops.footer(big).select("n_rows", "n_tokens")
+
+
 def _q_enc_codec_histogram(spark, sf_dir):
     """Codec auto-selection audit: encode the whole table as ONE stripe
     so the DICT-vs-DIRECT decision is a function of global column stats
@@ -723,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc_token_profile": _q_enc_token_profile,
         "enc_column_stats": _q_enc_column_stats,
         "enc_footer": _q_enc_footer,
+        "enc_compact": _q_enc_compact,
         "enc_codec_histogram": _q_enc_codec_histogram,
         "text_token_counts": _q_text_token_counts,
         "text_quality": _q_text_quality,
@@ -1022,6 +1034,8 @@ def oracle_sql() -> dict[str, str]:
             f"count(*) AS n_docs FROM documents"),
         "text_token_counts": (
             f"SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_ws_tokens, "
+            f"CAST(len(regexp_extract_all(text, "
+            f"'{text.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens, "
             f"CAST(length(text) AS BIGINT) AS n_chars FROM documents"),
         "text_quality": quality,
         "text_vocab": (
@@ -1095,6 +1109,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e WHERE e.vec_id <> 0
             ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
         "enc_footer": (
+            f"SELECT count(*) AS n_rows, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS n_tokens FROM documents"),
+        "enc_compact": (
             f"SELECT count(*) AS n_rows, "
             f"CAST(sum({n_tok}) AS BIGINT) AS n_tokens FROM documents"),
         # codec auto-selection re-derived from the spec rule: DICT when

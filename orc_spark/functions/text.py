@@ -23,12 +23,22 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
+# GPT2-style pretokenizer, simplified to the Java/RE2-portable subset
+# (no lookahead): a leading space glues to the following word, letter
+# runs / digit runs / punctuation runs split apart — the "BPE-ish"
+# token estimate a data pipeline budgets sequence lengths with
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + char count per document."""
+    """Whitespace token count, BPE-ish pretoken count, and char count
+    per document."""
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long")
         .alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_ISH_PATTERN)).cast("long")
+        .alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
 

@@ -48,8 +48,34 @@ _META_FIELDS = [
 ]
 
 
+_NUMERIC_ZONE = set(stripe_mod.INT_TYPES) | {"float", "double", "date"}
+
+
+def zone_columns(specs: list[ColumnSpec]) -> list[tuple[str, str]]:
+    """(column_name, kind) pairs for the NATIVE zone-map columns the
+    encoded table carries: ``{col}__MIN`` / ``{col}__MAX`` typed
+    double (numeric/date/int-list element range) or string.  Unlike
+    the stats JSON, these are plain Parquet columns, so
+    ``prune_stripes`` predicates push down to the scan and Parquet
+    row-group statistics skip whole blocks of stripe METADATA at
+    100 TB (sorted layouts make them monotone)."""
+    out = []
+    for s in specs:
+        if s.is_nested or s.is_decimal:
+            continue
+        if s.typ in _NUMERIC_ZONE or s.is_list:
+            out.append((s.name, "double"))
+        elif s.typ == "string":
+            out.append((s.name, "string"))
+    return out
+
+
 def encoded_spark_schema(specs: list[ColumnSpec]) -> T.StructType:
     fields = [T.StructField(n, t, True) for n, t, _ in _META_FIELDS]
+    for name, kind in zone_columns(specs):
+        zt = T.DoubleType() if kind == "double" else T.StringType()
+        fields += [T.StructField(f"{name}__MIN", zt, True),
+                   T.StructField(f"{name}__MAX", zt, True)]
     fields += [T.StructField(c, T.BinaryType(), True)
                for c in stream_columns(specs)]
     return T.StructType(fields)
@@ -57,6 +83,10 @@ def encoded_spark_schema(specs: list[ColumnSpec]) -> T.StructType:
 
 def encoded_arrow_schema(specs: list[ColumnSpec]) -> pa.schema:
     fields = [pa.field(n, at) for n, _, at in _META_FIELDS]
+    for name, kind in zone_columns(specs):
+        zt = pa.float64() if kind == "double" else pa.string()
+        fields += [pa.field(f"{name}__MIN", zt),
+                   pa.field(f"{name}__MAX", zt)]
     fields += [pa.field(c, pa.binary()) for c in stream_columns(specs)]
     return pa.schema(fields)
 
@@ -144,6 +174,7 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
     names = [s.name for s in specs]
     token_idx = names.index(token_col) if token_col in names else None
     sel = names + ([group_col] if group_col else [])
+    zone_cols = zone_columns(specs)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from orc_spark._alloc import tune_worker
@@ -166,6 +197,17 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
             row["stripe_id"] = pid * 1_000_000 + state["stripe_id"]
             row["n_tokens"] = state["tokens"]
             row["orig_bytes"] = table.nbytes
+            # native zone-map columns (Parquet-pushdown-able min/max)
+            import json as _json
+            col_stats = _json.loads(row["stats"])
+            for zname, zkind in zone_cols:
+                st = col_stats.get(zname) or {}
+                mn, mx = st.get("min"), st.get("max")
+                if zkind == "double":
+                    mn = float(mn) if mn is not None else None
+                    mx = float(mx) if mx is not None else None
+                row[f"{zname}__MIN"] = mn
+                row[f"{zname}__MAX"] = mx
             state["stripe_id"] += 1
             state["buf"] = []
             state["rows"] = 0
@@ -377,6 +419,26 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
     return out
 
 
+def compact(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
+            stripe_rows: int = DEFAULT_STRIPE_ROWS,
+            stripe_tokens: int = DEFAULT_STRIPE_TOKENS,
+            codec: str = DEFAULT_CODEC, use_fsst: bool = False,
+            n_partitions: int | None = None,
+            stride_rows: int | None = None) -> DataFrame:
+    """Re-stripe an encoded table at a new stripe geometry: the
+    compaction step after incremental/streaming ingest leaves many
+    small stripes (each a row in the table; tiny stripes decode fine
+    but waste scan setup and dictionary locality at 100 TB).  Decode
+    and re-encode fuse into ONE map stage per partition — no shuffle
+    unless ``n_partitions`` asks for a rebalance first."""
+    dec = decode(enc_df, specs=specs, codec=codec)
+    if n_partitions:
+        dec = dec.repartition(n_partitions)
+    return encode(dec, specs=specs, stripe_rows=stripe_rows,
+                  stripe_tokens=stripe_tokens, codec=codec,
+                  use_fsst=use_fsst, stride_rows=stride_rows)
+
+
 def prune_stripes(enc_df: DataFrame, column: str,
                   lo=None, hi=None) -> DataFrame:
     """Row-group skipping, realized: drop stripes whose recorded
@@ -385,22 +447,36 @@ def prune_stripes(enc_df: DataFrame, column: str,
     it (SURVEY §2.2 P2 / §3.3); here it prunes the decode input —
     combine with decode() + a row filter for exact results.
 
+    When the table carries native zone-map columns
+    (``{col}__MIN``/``{col}__MAX``, written by encode since r3), the
+    filter sits on plain Parquet columns and PUSHES DOWN to the scan —
+    Parquet row-group stats then skip whole blocks of stripe metadata;
+    older tables fall back to JSON-extracted stats (post-scan filter).
+
     String bounds compare lexicographically against the string stats
     (casting them to double would nullify every comparison and
     silently prune live stripes); a stripe whose stats lack min/max
     for the column (all-null stride, count-only types like timestamp)
     is conservatively KEPT — the residual row filter stays exact."""
     is_str = isinstance(lo, str) or isinstance(hi, str)
+    native = f"{column}__MIN" in enc_df.columns
 
     def stat(field):
+        if native:
+            return F.col(f"{column}__{field.upper()}")
         c = F.get_json_object("stats", f"$.{column}.{field}")
         return c if is_str else c.cast("double")
 
     out = enc_df
+    # "pred OR IS NULL" (not coalesce) so the Parquet source can
+    # translate the filter: Or(LessThanOrEqual, IsNull) pushes down,
+    # coalesce() does not
     if hi is not None:
-        out = out.where(F.coalesce(stat("min") <= F.lit(hi), F.lit(True)))
+        out = out.where((stat("min") <= F.lit(hi)) |
+                        stat("min").isNull())
     if lo is not None:
-        out = out.where(F.coalesce(stat("max") >= F.lit(lo), F.lit(True)))
+        out = out.where((stat("max") >= F.lit(lo)) |
+                        stat("max").isNull())
     return out
 
 

@@ -298,3 +298,38 @@ def test_decode_schema_evolution_missing_column_nulls(spark, token_df):
     with _pt.raises(Exception):
         enc_ops.decode(enc, specs=stripe_mod.parse_schema(
             [("nope", "double")])).count()
+
+
+def test_compact_merges_small_stripes(spark, token_df):
+    """compact() re-stripes tiny ingest stripes into large ones:
+    stripe count collapses, totals and row content are conserved."""
+    small = enc_ops.encode(token_df.repartition(4), stripe_rows=40)
+    n_small = small.count()
+    big = enc_ops.compact(small.coalesce(1), stripe_rows=1 << 20)
+    assert big.count() < n_small / 5
+    a = enc_ops.decode(big).agg(
+        F.count("*"), F.sum("n_tok")).collect()[0]
+    assert a[0] == token_df.count()
+    assert a[1] == token_df.agg(F.sum("n_tok")).collect()[0][0]
+
+
+def test_zone_columns_pushdown(spark, token_df, tmp_path):
+    """Native {col}__MIN/__MAX zone columns: prune_stripes filters on
+    them become Parquet PushedFilters (row-group skipping on the
+    stripe METADATA itself), and pruning results stay exact."""
+    path = str(tmp_path / "zenc")
+    enc_ops.encode(token_df.coalesce(2).sortWithinPartitions("n_tok"),
+                   stripe_rows=100).write.parquet(path)
+    enc = spark.read.parquet(path)
+    assert "n_tok__MIN" in enc.columns and "doc_id__MAX" in enc.columns
+    lo = int(token_df.approxQuantile("n_tok", [0.9], 0.0)[0])
+    pruned = enc_ops.prune_stripes(enc, "n_tok", lo=lo)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_tok__MAX" in plan, plan[:2000]
+    assert 0 < pruned.count() < enc.count()
+    got = enc_ops.decode(pruned).where(F.col("n_tok") >= lo).count()
+    assert got == token_df.where(F.col("n_tok") >= lo).count()
+    # JSON fallback on tables written without zone columns
+    legacy = enc.drop("n_tok__MIN", "n_tok__MAX")
+    pruned2 = enc_ops.prune_stripes(legacy, "n_tok", lo=lo)
+    assert pruned2.count() == pruned.count()
