@@ -116,6 +116,35 @@ class BloomFilterUtf8:
         return b"".join(struct.pack("<Q", int(w)) for w in self.bitset)
 
 
+def serialize_filter(values: list[bytes],
+                     fpp: float = DEFAULT_FPP) -> bytes:
+    """One standalone filter blob for a value set:
+    [vulong num_hash_functions][vulong num_bits][bitset LE longs] —
+    the stripe-table `{col}__BLOOM` column payload."""
+    from .bits import write_vulong
+    bf = BloomFilterUtf8(max(len(values), 64), fpp)
+    for v in values:
+        bf.add_bytes(v)
+    out = bytearray()
+    write_vulong(out, bf.num_hash_functions)
+    write_vulong(out, bf.num_bits)
+    out.extend(bf.serialized_bitset())
+    return bytes(out)
+
+
+def test_serialized(blob: bytes, value: bytes) -> bool:
+    """Membership test against a serialize_filter() blob."""
+    from .bits import read_vulong
+    k, pos = read_vulong(blob, 0)
+    num_bits, pos = read_vulong(blob, pos)
+    words = np.frombuffer(blob, dtype="<u8", offset=pos)
+    bf = BloomFilterUtf8.__new__(BloomFilterUtf8)
+    bf.num_hash_functions = int(k)
+    bf.num_bits = int(num_bits)
+    bf.bitset = words
+    return bf.test_bytes(value)
+
+
 def bloom_filter_index(per_stride_values: list[list[bytes]],
                        expected_entries: int,
                        fpp: float = DEFAULT_FPP) -> bytes:

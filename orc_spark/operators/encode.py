@@ -70,23 +70,32 @@ def zone_columns(specs: list[ColumnSpec]) -> list[tuple[str, str]]:
     return out
 
 
-def encoded_spark_schema(specs: list[ColumnSpec]) -> T.StructType:
+def encoded_spark_schema(specs: list[ColumnSpec],
+                         bloom_columns: list[str] | None = None
+                         ) -> T.StructType:
     fields = [T.StructField(n, t, True) for n, t, _ in _META_FIELDS]
     for name, kind in zone_columns(specs):
         zt = T.DoubleType() if kind == "double" else T.StringType()
         fields += [T.StructField(f"{name}__MIN", zt, True),
                    T.StructField(f"{name}__MAX", zt, True)]
+    for name in bloom_columns or []:
+        fields.append(T.StructField(f"{name}__BLOOM", T.BinaryType(),
+                                    True))
     fields += [T.StructField(c, T.BinaryType(), True)
                for c in stream_columns(specs)]
     return T.StructType(fields)
 
 
-def encoded_arrow_schema(specs: list[ColumnSpec]) -> pa.schema:
+def encoded_arrow_schema(specs: list[ColumnSpec],
+                         bloom_columns: list[str] | None = None
+                         ) -> pa.schema:
     fields = [pa.field(n, at) for n, _, at in _META_FIELDS]
     for name, kind in zone_columns(specs):
         zt = pa.float64() if kind == "double" else pa.string()
         fields += [pa.field(f"{name}__MIN", zt),
                    pa.field(f"{name}__MAX", zt)]
+    for name in bloom_columns or []:
+        fields.append(pa.field(f"{name}__BLOOM", pa.binary()))
     fields += [pa.field(c, pa.binary()) for c in stream_columns(specs)]
     return pa.schema(fields)
 
@@ -158,7 +167,8 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
            codec: str = DEFAULT_CODEC, use_fsst: bool = False,
            token_col: str = "tokens",
            group_col: str | None = None,
-           stride_rows: int | None = None) -> DataFrame:
+           stride_rows: int | None = None,
+           bloom_columns: list[str] | None = None) -> DataFrame:
     """Encode a DataFrame into the stripe table (one row per stripe).
 
     With ``group_col`` set, input must be sorted by that column within
@@ -170,11 +180,17 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
     10k-row ROW_INDEX analog) and ``decode(stride_filter=...)`` skips
     non-qualifying strides without decompressing them.
     """
-    arrow_schema = encoded_arrow_schema(specs)
+    arrow_schema = encoded_arrow_schema(specs, bloom_columns)
     names = [s.name for s in specs]
     token_idx = names.index(token_col) if token_col in names else None
     sel = names + ([group_col] if group_col else [])
     zone_cols = zone_columns(specs)
+    bloom_cols = list(bloom_columns or [])
+    for bc in bloom_cols:
+        spec = next(sp for sp in specs if sp.name == bc)
+        if spec.typ not in ("string", "binary"):
+            raise ValueError(f"bloom_columns {bc}: string-family "
+                             f"column required, got {spec.typ}")
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from orc_spark._alloc import tune_worker
@@ -208,6 +224,17 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
                     mx = float(mx) if mx is not None else None
                 row[f"{zname}__MIN"] = mn
                 row[f"{zname}__MAX"] = mx
+            if bloom_cols:
+                # per-stripe bloom over the column's DISTINCT values:
+                # equality pruning that works on UNSORTED layouts
+                # where min/max zones are too wide to bite
+                import pyarrow.compute as _pc
+                from ..codecs import bloom as _bloom
+                for bc in bloom_cols:
+                    vals = _pc.unique(table.column(bc).drop_null())
+                    row[f"{bc}__BLOOM"] = _bloom.serialize_filter(
+                        [v.encode() if isinstance(v, str) else v
+                         for v in vals.to_pylist()])
             state["stripe_id"] += 1
             state["buf"] = []
             state["rows"] = 0
@@ -270,7 +297,8 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
         if out is not None:
             yield out
 
-    return df.select(sel).mapInArrow(kernel, encoded_spark_schema(specs))
+    return df.select(sel).mapInArrow(
+        kernel, encoded_spark_schema(specs, bloom_columns))
 
 
 def _predicate_bounds(op: str, val) -> tuple:
@@ -328,6 +356,9 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
         for pcol, op, val in preds:
             lo, hi = _predicate_bounds(op, val)
             enc_df = prune_stripes(enc_df, pcol, lo, hi)
+            if op in ("==", "=") and isinstance(val, (str, bytes)):
+                # bloom equality pruning when the table carries blobs
+                enc_df = prune_stripes_eq(enc_df, pcol, val)
             filters.append((pcol, lo, hi))
             expr = _predicate_expr(pcol, op, val)
             residual = expr if residual is None else residual & expr
@@ -417,6 +448,31 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
     if drop_after:
         out = out.drop(*drop_after)
     return out
+
+
+def prune_stripes_eq(enc_df: DataFrame, column: str, value) -> DataFrame:
+    """Equality pruning via the per-stripe bloom column (written by
+    ``encode(bloom_columns=[...])``): drop stripes whose bloom cannot
+    contain ``value`` — bites on UNSORTED layouts where the min/max
+    zone spans everything.  The test runs as a vectorized pandas UDF
+    over stripe METADATA rows (one blob per stripe, never the data);
+    stripes without a blob are conservatively kept."""
+    bcol = f"{column}__BLOOM"
+    if bcol not in enc_df.columns:
+        return enc_df
+    from pyspark.sql.functions import pandas_udf
+    vb = value.encode() if isinstance(value, str) else bytes(value)
+
+    @pandas_udf("boolean")
+    def may_contain(blobs):
+        import pandas as pd
+        from orc_spark.codecs import bloom as bloom_codec
+        return pd.Series([
+            True if b is None
+            else bloom_codec.test_serialized(bytes(b), vb)
+            for b in blobs])
+
+    return enc_df.where(may_contain(F.col(bcol)))
 
 
 def compact(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,

@@ -15,10 +15,25 @@ from . import encode as enc_ops
 
 def roundtrip_check(df: DataFrame, specs=TOKEN_SCHEMA,
                     codec: str = "zlib", use_fsst: bool = False,
-                    key: str = "doc_id") -> DataFrame:
-    """Returns a one-row DataFrame (n_rows, n_match, n_token_match)."""
+                    key: str = "doc_id",
+                    sample_rate: float | None = None) -> DataFrame:
+    """Returns a one-row DataFrame (n_rows, n_match, n_token_match).
+
+    The full-outer join on ``key`` is exhaustive — right for tests,
+    wrong for 100 TB.  ``sample_rate`` is the production audit shape:
+    the FULL table is still encoded (that is the artifact being
+    audited), but both comparison sides are filtered by the same
+    DETERMINISTIC md5-threshold key predicate (functions/sampling.py),
+    so the expensive full-outer shuffle shrinks by the sample factor
+    and repeated audits check the identical row set."""
     encoded = enc_ops.encode(df, specs, codec=codec, use_fsst=use_fsst)
     decoded = enc_ops.decode(encoded, specs, codec=codec)
+    if sample_rate is not None:
+        from ..functions import sampling
+        thr = sampling.rate_to_threshold(sample_rate)
+        pred = F.md5(F.col(key).cast("string")) < thr
+        df = df.where(pred)
+        decoded = decoded.where(pred)
     names = [s.name for s in specs]
     left = df.select([F.col(n).alias(f"l_{n}") for n in names])
     right = decoded.select([F.col(n).alias(f"r_{n}") for n in names])

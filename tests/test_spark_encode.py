@@ -333,3 +333,41 @@ def test_zone_columns_pushdown(spark, token_df, tmp_path):
     legacy = enc.drop("n_tok__MIN", "n_tok__MAX")
     pruned2 = enc_ops.prune_stripes(legacy, "n_tok", lo=lo)
     assert pruned2.count() == pruned.count()
+
+
+def test_roundtrip_check_sampled(spark, token_df):
+    """Sampled verification audits a deterministic subset: full table
+    still encoded, the comparison join shrinks, matches stay 100%."""
+    full = verify.roundtrip_check(token_df).collect()[0]
+    samp = verify.roundtrip_check(token_df, sample_rate=0.2).collect()[0]
+    assert 0 < samp["n_rows"] < full["n_rows"]
+    assert samp["n_match"] == samp["n_rows"]
+    assert samp["n_token_match"] == samp["n_rows"]
+    # deterministic: same rows every audit
+    samp2 = verify.roundtrip_check(token_df, sample_rate=0.2).collect()[0]
+    assert samp2["n_rows"] == samp["n_rows"]
+
+
+def test_stripe_table_bloom_equality_pruning(spark, token_df):
+    """encode(bloom_columns=['doc_id']): per-stripe blooms prune point
+    lookups on UNSORTED data (min/max zones span everything there);
+    absent keys prune every stripe, present keys survive exactly."""
+    enc = enc_ops.encode(token_df.repartition(2), stripe_rows=100,
+                         bloom_columns=["doc_id"]).cache()
+    n_stripes = enc.count()
+    assert "doc_id__BLOOM" in enc.columns
+    sid = token_df.limit(1).collect()[0]["doc_id"]
+    kept = enc_ops.prune_stripes_eq(enc, "doc_id", sid)
+    assert 0 < kept.count() < n_stripes
+    got = enc_ops.decode(enc, predicate=("doc_id", "==", sid))
+    assert [r["doc_id"] for r in got.collect()] == [sid]
+    # absent key: every stripe's bloom rejects it
+    assert enc_ops.prune_stripes_eq(enc, "doc_id", "no-such-doc") \
+        .count() == 0
+    assert enc_ops.decode(enc, predicate=("doc_id", "==",
+                                          "no-such-doc")).count() == 0
+    # tables without blooms are untouched (conservative keep-all)
+    plain = enc.drop("doc_id__BLOOM")
+    assert enc_ops.prune_stripes_eq(plain, "doc_id", sid).count() \
+        == n_stripes
+    enc.unpersist()
