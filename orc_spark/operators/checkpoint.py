@@ -96,22 +96,50 @@ def encode_dataset(spark: SparkSession, df: DataFrame, out_dir: str,
             "enc_bytes": summary["enc_bytes"]}
 
 
+_AUDIT_SCHEMA = ("part_id INT, n_rows BIGINT, n_tokens BIGINT, "
+                 "orig_bytes BIGINT, enc_bytes BIGINT, n_stripes BIGINT")
+
+
 def encoded_summary(spark: SparkSession, stripes_path: str, wall: float,
                     codec: str, parts: list[int] | None = None) -> DataFrame:
     """Per-partition audit rows.  With ``parts``, only those
     partitions' subdirectories are read (partition-addressed paths, no
-    full-table listing) — the resume path's incremental append."""
+    full-table listing) — the resume path's incremental append.  A
+    part whose pmod bucket matched NO input rows has no subdirectory;
+    it is COMPLETE (nothing to encode) and gets a zero audit row —
+    otherwise every resume would retry it forever (or crash on the
+    missing path)."""
     if parts is not None:
-        src = spark.read.option("basePath", stripes_path).parquet(
-            *[os.path.join(stripes_path, f"part_id={p}") for p in parts])
+        existing = [p for p in parts if os.path.exists(
+            os.path.join(stripes_path, f"part_id={p}"))]
+        empty = [p for p in parts if p not in set(existing)]
+        frames = []
+        if existing:
+            frames.append(
+                spark.read.option("basePath", stripes_path).parquet(
+                    *[os.path.join(stripes_path, f"part_id={p}")
+                      for p in existing])
+                .groupBy(F.col("part_id").cast("int").alias("part_id"))
+                .agg(F.sum("n_rows").alias("n_rows"),
+                     F.sum("n_tokens").alias("n_tokens"),
+                     F.sum("orig_bytes").alias("orig_bytes"),
+                     F.sum("enc_bytes").alias("enc_bytes"),
+                     F.count("*").alias("n_stripes")))
+        if empty:
+            frames.append(spark.createDataFrame(
+                [(int(p), 0, 0, 0, 0, 0) for p in empty],
+                _AUDIT_SCHEMA))
+        src = frames[0]
+        for f in frames[1:]:
+            src = src.unionByName(f)
     else:
-        src = spark.read.parquet(stripes_path)
+        src = spark.read.parquet(stripes_path) \
+            .groupBy(F.col("part_id").cast("int").alias("part_id")) \
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("orig_bytes").alias("orig_bytes"),
+                 F.sum("enc_bytes").alias("enc_bytes"),
+                 F.count("*").alias("n_stripes"))
     return src \
-        .groupBy("part_id").agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.sum("orig_bytes").alias("orig_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.count("*").alias("n_stripes")) \
         .withColumn("wall_sec", F.lit(wall)) \
         .withColumn("codec", F.lit(codec))

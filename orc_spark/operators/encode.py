@@ -23,6 +23,7 @@ for grouped layouts.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -213,9 +214,12 @@ def encode(df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
             row["stripe_id"] = pid * 1_000_000 + state["stripe_id"]
             row["n_tokens"] = state["tokens"]
             row["orig_bytes"] = table.nbytes
-            # native zone-map columns (Parquet-pushdown-able min/max)
-            import json as _json
-            col_stats = _json.loads(row["stats"])
+            # native zone-map columns (Parquet-pushdown-able min/max);
+            # the parsed stats ride along from encode_stripe — no
+            # serialize->parse round trip on the hot path
+            col_stats = row.pop("_stats_obj", None)
+            if col_stats is None:
+                col_stats = json.loads(row["stats"])
             for zname, zkind in zone_cols:
                 st = col_stats.get(zname) or {}
                 mn, mx = st.get("min"), st.get("max")

@@ -620,6 +620,10 @@ class ORCFile:
                     words = np.frombuffer(bits, dtype="<u8")
                     n_bits = len(words) * 64
                     if not n_bits:
+                        # unreadable/absent bitset (other writers may
+                        # omit utf8bitset): conservatively KEEP the
+                        # stride — pruning on it would drop live rows
+                        keep.append(t)
                         continue
                     bf = bloom_codec.BloomFilterUtf8.__new__(
                         bloom_codec.BloomFilterUtf8)

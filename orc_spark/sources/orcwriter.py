@@ -784,7 +784,7 @@ class ORCFileWriter:
     def __exit__(self, exc_type, exc, tb) -> None:
         if exc_type is not None:
             self.abort()
-        elif self.f is not None or self._buf_rows:
+        elif self.tree is not None or self.f is not None:
             self.close()
 
     def _ensure_open(self):
@@ -953,6 +953,9 @@ class ORCFileWriter:
                 _merge_stats(self.file_stats[c], sink[c].stripe_stats)
 
     def _write_tail(self) -> None:
+        # zero-row close (schema seen, no rows): a valid empty .orc
+        # still needs magic + footer — open the file now
+        self._ensure_open()
         content_len = self.offset
 
         # metadata: per-stripe column statistics (writer.go:228-318)

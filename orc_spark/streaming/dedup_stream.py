@@ -161,23 +161,14 @@ def verified_near_pairs(spark: SparkSession, out_dir: str,
                         corpus: DataFrame, min_jaccard: float = 0.5,
                         shingle_n: int = 3) -> DataFrame:
     """Exact-Jaccard verification of the drained streaming candidates
-    (batch-side): distinct candidate pairs joined against the corpus's
-    shingle-hash sets — (doc_a, doc_b, jaccard)."""
+    (batch-side): the SAME verify_pairs_exact implementation the batch
+    path uses — one semantics, impossible to diverge."""
     from ..functions import dedup as dedup_fns
     cands = spark.read.parquet(os.path.join(out_dir, "pairs")).distinct()
     sh = corpus.select(
         "doc_id", dedup_fns._shingle_hashes(shingle_n).alias("sh"))
-    fa = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("sh").alias("sh_a"))
-    fb = sh.select(F.col("doc_id").alias("doc_b"),
-                   F.col("sh").alias("sh_b"))
-    return (cands.join(fa, "doc_a").join(fb, "doc_b")
-            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-            .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
-            .select("doc_a", "doc_b",
-                    F.round(F.col("inter") / F.col("uni"), 6)
-                    .alias("jaccard"))
-            .where(F.col("jaccard") >= min_jaccard))
+    return dedup_fns.verify_pairs_exact(cands, sh, min_jaccard).select(
+        "doc_a", "doc_b", "jaccard")
 
 
 def latest_state(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -833,6 +833,9 @@ def encode_stripe(batch: pa.Table | pa.RecordBatch, specs: list[ColumnSpec],
                 cstats["stream_bytes"][kind] = [len(data), len(framed)]
     row["encodings"] = json.dumps(encodings)
     row["stats"] = json.dumps(stats)
+    # parsed form for same-process consumers (zone columns) — callers
+    # pop it before emitting the Arrow row
+    row["_stats_obj"] = stats
     row["enc_bytes"] = enc_bytes
     return row
 
@@ -908,6 +911,7 @@ def _encode_stripe_strided(batch, specs, codec, use_fsst,
         stripe_encs[name] = max(votes, key=votes.get)
     row["encodings"] = json.dumps(stripe_encs)
     row["stats"] = json.dumps(stats)
+    row["_stats_obj"] = stats
     row["enc_bytes"] = enc_bytes
     return row
 
@@ -983,6 +987,13 @@ def decode_stripe(row: dict, specs: list[ColumnSpec],
     arrays = []
     names = []
     for spec in specs:
+        if spec.name not in encodings:
+            # schema evolution on MIXED tables: this stripe predates
+            # the column (its encodings JSON has no entry) — decode it
+            # as all-null of the requested type
+            arrays.append(pa.nulls(n_rows, arrow_type_of(spec.typ)))
+            names.append(spec.name)
+            continue
         streams = {}
         for kind in spec.stream_kinds():
             data = row.get(f"{spec.name}__{kind}")

@@ -474,3 +474,51 @@ def test_near_dup_clusters_end_to_end(spark, docs):
             assert rows[d] == (d, True)
             assert rows[d + 1000] == (d, False)
             assert rows[d + 2000] == (d, False)
+
+
+def test_stratified_sample_null_stratum_uses_default(spark):
+    from orc_spark.functions import sampling
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "src0") for i in range(200)],
+        "doc_id long, source string")
+    got = sampling.stratified_sample(df, {"src0": 1.0}, default_rate=1.0)
+    assert got.count() == 200  # NULL strata kept at default_rate=1.0
+    got0 = sampling.stratified_sample(df, {"src0": 1.0},
+                                      default_rate=0.0)
+    assert got0.count() == 100  # NULLs dropped at default 0.0
+
+
+def test_null_text_docs_never_pair(spark):
+    """Docs with NULL text have EMPTY shingle sets — they must not
+    pair with each other (regression: the hash-of-nulls sentinel made
+    every null-text doc a jaccard-1.0 dup of every other)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "real text here words"),
+         (5, "real text here words extra")],
+        "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, min_jaccard=0.1,
+                                    pre_collapse=False).collect()
+    ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert all(a >= 4 and b >= 4 for a, b in ids), ids
+
+
+def test_cluster_pairs_long_chain_pointer_jumping(spark):
+    """A 60-node chain converges well inside max_iter thanks to
+    pointer jumping (plain propagation would need 59 rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long")
+    got = {r["node"]: r["cluster"]
+           for r in dedup.cluster_pairs(pairs, max_iter=12).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 61
+
+
+def test_bloom_hash64_many_matches_scalar():
+    import random
+    from orc_spark.codecs import bloom
+    random.seed(9)
+    vals = [bytes(random.randrange(256)
+                  for _ in range(random.randrange(0, 50)))
+            for _ in range(400)]
+    fast = bloom.hash64_many(vals)
+    assert list(fast) == [bloom.hash64(v) for v in vals]

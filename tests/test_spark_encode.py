@@ -371,3 +371,40 @@ def test_stripe_table_bloom_equality_pruning(spark, token_df):
     assert enc_ops.prune_stripes_eq(plain, "doc_id", sid).count() \
         == n_stripes
     enc.unpersist()
+
+
+def test_checkpoint_empty_partitions_complete(spark, token_df, tmp_path):
+    """pmod buckets with no input rows must not crash the audit write
+    or stay pending forever — they get zero audit rows and the job
+    reports skipped=True on re-run."""
+    out = str(tmp_path / "sparse")
+    few = token_df.limit(5)  # 5 docs over 64 buckets: most empty
+    r1 = checkpoint.encode_dataset(spark, few, out, n_parts=64)
+    assert r1["pending"] == 64
+    r2 = checkpoint.encode_dataset(spark, few, out, n_parts=64)
+    assert r2.get("skipped") is True
+    audit = spark.read.parquet(f"{out}/audit")
+    assert audit.select("part_id").distinct().count() == 64
+    assert audit.agg(F.sum("n_rows")).collect()[0][0] == 5
+
+
+def test_decode_mixed_old_new_schema_stripes(spark, token_df):
+    """A stripes table holding rows written BEFORE and AFTER a column
+    was added decodes with the evolved schema: old rows yield nulls
+    for the new column (their encodings JSON has no entry)."""
+    from orc_spark import stripe as stripe_mod
+    half_a = token_df.where(F.xxhash64("doc_id") % 2 == 0)
+    half_b = token_df.where(F.xxhash64("doc_id") % 2 != 0)
+    old = enc_ops.encode(half_a.repartition(1), stripe_rows=30)
+    evolved = stripe_mod.parse_schema([
+        ("doc_id", "string"), ("tokens", "list<int>"),
+        ("n_tok", "int"), ("source", "string"), ("q", "double")])
+    newer = enc_ops.encode(
+        half_b.withColumn("q", F.col("n_tok") * 0.5).repartition(1),
+        specs=evolved, stripe_rows=30)
+    mixed = old.unionByName(newer, allowMissingColumns=True)
+    dec = enc_ops.decode(mixed, specs=evolved)
+    rows = dec.agg(F.count("*").alias("n"),
+                   F.count("q").alias("nq")).collect()[0]
+    assert rows["n"] == dec.select("doc_id").distinct().count()
+    assert 0 < rows["nq"] < rows["n"]
