@@ -239,3 +239,73 @@ def test_nested_spark_encode_decode(spark):
     sub = enc_ops.decode(enc, specs=specs, columns=["words"])
     assert sub.columns == ["words"]
     assert sub.count() == 500
+
+
+def test_nested_stripe_fuzz_random_schemas():
+    """Deterministic fuzz over random nested schemas/data through the
+    stripe-table tree encoder (plain + strided), mirroring the .orc
+    writer's fuzz: round-trips must be value-identical."""
+    import random
+    import pyarrow as pa
+    from orc_spark import stripe
+
+    rng = random.Random(77)
+
+    def rand_type(depth):
+        opts = ["bigint", "int", "double", "string", "boolean"]
+        if depth < 2:
+            opts += ["list", "struct", "map"]
+        t = rng.choice(opts)
+        if t == "list":
+            return f"list<{rand_type(depth + 1)}>"
+        if t == "struct":
+            n = rng.randint(1, 3)
+            inner = ",".join(f"f{i}:{rand_type(depth + 1)}"
+                             for i in range(n))
+            return f"struct<{inner}>"
+        if t == "map":
+            return f"map<string,{rand_type(depth + 1)}>"
+        return t
+
+    def rand_value(node, depth=0):
+        if rng.random() < 0.15:
+            return None
+        kind = node[0]
+        if kind == "scalar":
+            t = node[1]
+            if t in ("bigint", "int"):
+                return rng.randint(-1000, 1000)
+            if t == "double":
+                return round(rng.uniform(-5, 5), 3)
+            if t == "boolean":
+                return rng.random() < 0.5
+            return f"s{rng.randint(0, 30)}"
+        if kind == "list":
+            return [rand_value(node[1], depth + 1)
+                    for _ in range(rng.randint(0, 4))]
+        if kind == "struct":
+            return {nm: rand_value(c, depth + 1) for nm, c in node[1]}
+        return [(f"k{j}", rand_value(node[2], depth + 1))
+                for j in range(rng.randint(0, 3))]
+
+    def cc(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    for trial in range(6):
+        typ = rand_type(0)
+        if "<" not in typ:
+            typ = f"struct<x:{typ}>"
+        spec = stripe.ColumnSpec("c", typ)
+        if not spec.is_nested:
+            continue
+        node = stripe.parse_type(typ)
+        at = stripe.arrow_type_of(typ)
+        n = 120
+        arr = pa.array([rand_value(node) for _ in range(n)], at)
+        t = pa.table({"c": arr})
+        for kwargs in ({}, {"stride_rows": 32}):
+            row = stripe.encode_stripe(t, [spec], **kwargs)
+            dec = stripe.decode_stripe_strides(row, [spec]) \
+                if kwargs else stripe.decode_stripe(row, [spec])
+            got = cc(dec.column("c")).cast(at)
+            assert got.equals(cc(arr)), (trial, typ, kwargs)
