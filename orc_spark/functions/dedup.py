@@ -372,6 +372,10 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                          F.col("doc_b").alias("b"))
     und = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge list ONCE: it feeds every round's join, and
+    # leaving it lazy would re-run the whole upstream pair pipeline
+    # (minhash + verify) per iteration
+    und = und.localCheckpoint()
     labels = (und.groupBy("a").agg(F.min("b").alias("mb"))
               .select(F.col("a").alias("node"),
                       F.least("a", "mb").alias("label")))
