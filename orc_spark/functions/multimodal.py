@@ -54,7 +54,10 @@ FEATURE_DIM = 16
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for image decode + feature extraction:
     a real deployment replaces this with PIL/torch decode.  Raises
-    NotImplementedError for kinds we do not fake."""
+    NotImplementedError for kinds we do not fake.  NULL payloads
+    (nullable column) decode to the zero vector like empty ones."""
+    if payload is None:
+        return np.zeros(dim, dtype=np.float32)
     h = np.frombuffer(payload, dtype=np.uint8)
     if len(h) == 0:
         return np.zeros(dim, dtype=np.float32)
@@ -100,9 +103,13 @@ def _not_impl(kind: str):
 
 def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan (stub): emits (media_id, frame_ts_ms)
-    rows from duration metadata; the decode itself is NotImplemented."""
-    return media.where(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(F.sequence(
-            F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)),
-            F.lit(every_ms))).alias("frame_ts_ms"))
+    rows from duration metadata; the decode itself is NotImplemented.
+    Videos with UNKNOWN duration (NULL) emit no frames — scheduling a
+    phantom ts=0 frame for unprobed media would queue decode work that
+    may not exist."""
+    return (media.where((F.col("kind") == "video") &
+                        F.col("duration_ms").isNotNull())
+            .select("media_id",
+                    F.explode(F.sequence(
+                        F.lit(0), F.col("duration_ms"),
+                        F.lit(every_ms))).alias("frame_ts_ms")))

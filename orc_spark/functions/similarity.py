@@ -165,6 +165,14 @@ def build_ann_index(df: DataFrame, path: str, dim: int,
         .select(id_col, emb_col, "lsh_sig", "bsig", "band", "bkt")
     exploded.write.mode("overwrite") \
         .partitionBy("band", "bkt").parquet(path)
+    # persist the build parameters: a query with mismatched
+    # planes/bands/seed would probe non-existent partitions and return
+    # silently wrong (usually empty) results
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_meta.json"), "w") as fh:
+        _json.dump({"dim": dim, "n_planes": n_planes, "bands": bands,
+                    "buckets": buckets, "seed": seed}, fh)
 
 
 def ann_index_topk(spark, path: str, query: list[float], k: int = 10,
@@ -177,6 +185,16 @@ def ann_index_topk(spark, path: str, query: list[float], k: int = 10,
     ONLY the query's (band, bkt) partitions (partition pruning — check
     ``.explain()`` PartitionFilters), then exact-bsig filters and
     exact cosine rank within."""
+    import json as _json
+    import os as _os
+    meta_path = _os.path.join(path, "_meta.json")
+    if _os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+        n_planes = meta["n_planes"]
+        bands = meta["bands"]
+        buckets = meta["buckets"]
+        seed = meta["seed"]
     qb = _query_band_sigs(query, n_planes, bands, seed)
     idx = spark.read.parquet(path)
     cond = None
@@ -247,7 +265,8 @@ def ivf_topk(spark, path: str, query: list[float], k: int = 10,
 def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
              n_planes: int = DEFAULT_PLANES, bands: int = DEFAULT_BANDS,
              seed: int = 42, max_bucket: int | None = 100_000,
-             emb_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             exclude_self: bool = True) -> DataFrame:
     """For each probe row, its k nearest table rows by cosine, matching
     only within shared (band, band-signature) buckets.
 
@@ -256,9 +275,17 @@ def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
     cross the wire once per candidate pair, not once per band.  Base
     buckets above ``max_bucket`` are dropped (skew guard: a degenerate
     signature region cannot become one quadratic straggler task —
-    VERDICT r1: similarity.py:103-125's 256-key join)."""
+    VERDICT r1: similarity.py:103-125's 256-key join).
+
+    ``exclude_self`` drops probe_id == nn_id pairs — correct when
+    ``probes`` is (a subset of) ``df``; pass False when the probe
+    table is UNRELATED and id collisions are coincidental, or a
+    legitimate neighbor would be silently dropped."""
     from pyspark.sql.window import Window
     dim_row = df.select(F.size(emb_col).alias("d")).first()
+    if dim_row is None or dim_row["d"] is None:
+        raise ValueError("knn_join: base table is empty or its first "
+                         f"row's {emb_col} is NULL — cannot infer dim")
     dim = dim_row["d"]
     base_b = band_explode(
         add_lsh_signature(df, dim, n_planes, seed, emb_col),
@@ -273,9 +300,10 @@ def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
         add_lsh_signature(probes, dim, n_planes, seed, emb_col),
         n_planes, bands).select(F.col(id_col).alias("probe_id"),
                                 "band", "bsig")
-    pairs = (probe_b.join(base_b, ["band", "bsig"])
-             .where(F.col("probe_id") != F.col("nn_id"))
-             .select("probe_id", "nn_id").distinct())
+    pairs = probe_b.join(base_b, ["band", "bsig"])
+    if exclude_self:
+        pairs = pairs.where(F.col("probe_id") != F.col("nn_id"))
+    pairs = pairs.select("probe_id", "nn_id").distinct()
     pe = probes.select(F.col(id_col).alias("probe_id"),
                        F.col(emb_col).alias("probe_emb"))
     be = df.select(F.col(id_col).alias("nn_id"),

@@ -40,11 +40,33 @@ def encode_stream(spark: SparkSession, input_path: str, out_dir: str,
     audit_path = os.path.join(out_dir, "stream_audit")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_s = batch_df.sparkSession
+        # idempotency: a batch re-delivered after a crash-between-
+        # commit-and-checkpoint must not append twice — the audit
+        # table records completed batch ids and is consulted first
+        try:
+            done = (spark_s.read.parquet(audit_path)
+                    .where(F.col("batch_id") == batch_id).count() > 0)
+        except Exception:
+            done = False
+        if done:
+            return
         encoded = enc_ops.encode(batch_df, specs, stripe_rows=stripe_rows,
                                  codec=codec)
         encoded = encoded.withColumn("batch_id", F.lit(batch_id))
-        encoded.write.mode("append").parquet(stripes_path)
-        (encoded.groupBy("batch_id")
+        # dynamic overwrite of THIS batch's partition: a replay that
+        # slipped past the audit check (crash between stripe write and
+        # audit write) REPLACES its own output instead of appending a
+        # duplicate — idempotence from the layout, not just the check
+        spark_s.conf.set("spark.sql.sources.partitionOverwriteMode",
+                         "dynamic")
+        encoded.write.mode("overwrite").partitionBy("batch_id") \
+            .parquet(stripes_path)
+        # audit aggregates read back the WRITTEN files: one execution
+        # of the encode kernel per batch, not two
+        (spark_s.read.parquet(stripes_path)
+         .where(F.col("batch_id") == batch_id)
+         .groupBy("batch_id")
          .agg(F.sum("n_rows").alias("n_rows"),
               F.sum("n_tokens").alias("n_tokens"),
               F.sum("enc_bytes").alias("enc_bytes"))
