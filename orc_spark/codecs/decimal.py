@@ -54,6 +54,8 @@ def encode_decimals(mantissas: list[int], scales) -> dict[str, bytes]:
 
 
 def decode_decimals(streams: dict, n: int) -> tuple[list[int], np.ndarray]:
-    mants = decode_mantissas(streams["DATA"], n)
-    scales = rle2.decode(streams["SECONDARY"], n, signed=True)
+    # all-null stripes elide the empty streams entirely — .get keeps
+    # the n == 0 decode path alive instead of KeyError
+    mants = decode_mantissas(streams.get("DATA", b""), n)
+    scales = rle2.decode(streams.get("SECONDARY", b""), n, signed=True)
     return mants, scales

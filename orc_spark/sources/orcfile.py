@@ -166,8 +166,10 @@ class ORCFile:
                 # the mapping outlives the fd (POSIX) — close eagerly
                 self.data = mmap.mmap(f.fileno(), 0,
                                       access=mmap.ACCESS_READ)
-            except ValueError:  # zero-length file
-                self.data = b""
+            except ValueError:
+                raise ValueError(f"not an ORC file (empty): {path}")
+        if len(self.data) < 4:
+            raise ValueError(f"not an ORC file (too short): {path}")
         psl = self.data[-1]
         ps = parse_message(self.data[-1 - psl:-1])
         self.compression = COMPRESSIONS[ps.get(2, [0])[0]]
@@ -444,50 +446,55 @@ class ORCFile:
         self._load_stripe_streams(si)
         stride = self.row_index_stride
         n_strides = (n_rows_total + stride - 1) // stride
-        # per-column positions
-        indexes = {c: self.row_index(si, c) for c in range(len(self.types))}
+        # all columns' positions in ONE footer parse
+        all_idx = self._row_indexes(si)
+        indexes = {c: all_idx.get(c, []) for c in range(len(self.types))}
         whole_streams = dict(self._streams)
         out_rows = []
-        for t in sorted(keep):
-            if t >= n_strides:
-                continue
-            n_t = min(stride, n_rows_total - t * stride)
-            sliced = {}
-            for col in range(len(self.types)):
-                has_present = (col, "PRESENT") in whole_streams
-                layout = self._position_layout(col, has_present)
-                entries = indexes[col]
-                if not entries and layout:
-                    raise ValueError("column has no row index entries")
-                pos_t = entries[t]["positions"] if entries else []
-                pos_next = entries[t + 1]["positions"] \
-                    if entries and t + 1 < len(entries) else None
-                off = 0
-                for kind, n_nums in layout:
-                    seg = pos_t[off:off + n_nums]
-                    nxt = pos_next[off:off + n_nums] \
-                        if pos_next is not None else None
-                    if any(seg[1:]) or (nxt is not None and any(nxt[1:])):
-                        raise ValueError(
-                            "positions carry codec state; stride slice "
-                            "not possible — use read_stripe")
-                    lo = seg[0]
-                    hi = nxt[0] if nxt is not None else None
-                    raw = whole_streams.get((col, kind))
-                    if raw is not None:
-                        sliced[(col, kind)] = raw[lo:hi] if hi is not None \
-                            else raw[lo:]
-                    off += n_nums
-                # stripe-global streams (dictionary blob + key lengths)
-                for kind in ("DICTIONARY_DATA",):
-                    if (col, kind) in whole_streams:
-                        sliced[(col, kind)] = whole_streams[(col, kind)]
-                if self.encodings[col].startswith("DICTIONARY") and \
-                        (col, "LENGTH") in whole_streams:
-                    sliced[(col, "LENGTH")] = whole_streams[(col, "LENGTH")]
-            self._streams = sliced
-            out_rows.extend(self._read_column(0, n_t))
-        self._streams = whole_streams
+        try:
+            for t in sorted(keep):
+                if t >= n_strides:
+                    continue
+                n_t = min(stride, n_rows_total - t * stride)
+                sliced = {}
+                for col in range(len(self.types)):
+                    has_present = (col, "PRESENT") in whole_streams
+                    layout = self._position_layout(col, has_present)
+                    entries = indexes[col]
+                    if not entries and layout:
+                        raise ValueError("column has no row index entries")
+                    pos_t = entries[t]["positions"] if entries else []
+                    pos_next = entries[t + 1]["positions"] \
+                        if entries and t + 1 < len(entries) else None
+                    off = 0
+                    for kind, n_nums in layout:
+                        seg = pos_t[off:off + n_nums]
+                        nxt = pos_next[off:off + n_nums] \
+                            if pos_next is not None else None
+                        if any(seg[1:]) or (nxt is not None and any(nxt[1:])):
+                            raise ValueError(
+                                "positions carry codec state; stride slice "
+                                "not possible — use read_stripe")
+                        lo = seg[0]
+                        hi = nxt[0] if nxt is not None else None
+                        raw = whole_streams.get((col, kind))
+                        if raw is not None:
+                            sliced[(col, kind)] = raw[lo:hi] if hi is not None \
+                                else raw[lo:]
+                        off += n_nums
+                    # stripe-global streams (dictionary blob + key lengths)
+                    for kind in ("DICTIONARY_DATA",):
+                        if (col, kind) in whole_streams:
+                            sliced[(col, kind)] = whole_streams[(col, kind)]
+                    if self.encodings[col].startswith("DICTIONARY") and \
+                            (col, "LENGTH") in whole_streams:
+                        sliced[(col, "LENGTH")] = whole_streams[(col, "LENGTH")]
+                self._streams = sliced
+                out_rows.extend(self._read_column(0, n_t))
+        finally:
+            # restore on EVERY exit: a ValueError mid-loop must not
+            # leave self._streams pointing at one stride's slices
+            self._streams = whole_streams
         return out_rows
 
     def _load_stripe_streams(self, si: int) -> None:
@@ -554,9 +561,10 @@ class ORCFile:
             row0 += n
         return out
 
-    def row_index(self, si: int, col: int) -> list[dict]:
-        """Parse stripe si's ROW_INDEX stream for a column: one entry
-        per row-group with {"positions": [...], "stats": {...}}."""
+    def _row_indexes(self, si: int) -> dict[int, list[dict]]:
+        """ALL columns' ROW_INDEX entries in one stripe-footer parse +
+        one directory pass (per-column row_index() calls re-parsed the
+        footer O(cols) times on wide schemas)."""
         info = self.stripes[si]
         offset = info.get(1, [0])[0]
         footer_len = info.get(4, [0])[0]
@@ -565,24 +573,31 @@ class ORCFile:
         sf_start = offset + index_len + data_len
         sfooter = parse_message(self._decomp(
             self.data[sf_start:sf_start + footer_len]))
+        out: dict[int, list[dict]] = {}
         pos = offset
         for s in sfooter.get(1, []):
             sm = parse_message(s)
             kind = STREAM_KINDS[sm.get(1, [0])[0]]
             c = sm.get(2, [0])[0]
             ln = sm.get(3, [0])[0]
-            if kind == "ROW_INDEX" and c == col:
+            if kind == "ROW_INDEX":
                 ri = parse_message(self._decomp(self.data[pos:pos + ln]))
-                out = []
+                entries = []
                 for e in ri.get(1, []):
                     em = parse_message(e)
                     stats = parse_stats(parse_message(em[2][0])) \
                         if 2 in em else {}
-                    out.append({"positions": packed_varints(em.get(1, [])),
-                                "stats": stats})
-                return out
+                    entries.append(
+                        {"positions": packed_varints(em.get(1, [])),
+                         "stats": stats})
+                out[c] = entries
             pos += ln
-        return []
+        return out
+
+    def row_index(self, si: int, col: int) -> list[dict]:
+        """Parse stripe si's ROW_INDEX stream for a column: one entry
+        per row-group with {"positions": [...], "stats": {...}}."""
+        return self._row_indexes(si).get(col, [])
 
     def bloom_strides(self, si: int, col: int, value) -> list[int] | None:
         """Row-group stride ids of stripe ``si`` whose
@@ -651,7 +666,12 @@ class ORCFile:
             if keep is not None and not keep:
                 continue
             if keep is not None and self.row_index_stride:
-                rows = self.read_stripe_strides(si, keep)
+                try:
+                    rows = self.read_stripe_strides(si, keep)
+                except ValueError:
+                    # positions carry codec state (non-stride-restart
+                    # writer): documented fallback to a full scan
+                    rows = self.read_stripe(si)
             else:
                 rows = self.read_stripe(si)
             out.extend(r for r in rows if r.get(column) == value)

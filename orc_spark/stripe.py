@@ -465,9 +465,16 @@ def _encode_string_like(arr: pa.Array, use_fsst: bool) -> tuple[str, dict, dict]
     keys = enc.dictionary
     n_distinct = len(keys)
     streams: dict[str, bytes] = {}
-    mm = pc.min_max(combined)
-    stats = {"count": n, "sum_len": int(lengths.sum()),
-             "min": str(mm["min"].as_py()), "max": str(mm["max"].as_py())}
+    stats = {"count": n, "sum_len": int(lengths.sum())}
+    if not pa.types.is_binary(combined.type):
+        # min/max only for STRING columns: a bytes min/max would be
+        # JSON-serialized as its Python repr ("b'...'"), whose ordering
+        # differs from bytes ordering — pruning against it could drop
+        # live rows.  Binary columns keep count/sum_len only (pruning
+        # conservatively keeps their stripes).
+        mm = pc.min_max(combined)
+        stats.update({"min": str(mm["min"].as_py()),
+                      "max": str(mm["max"].as_py())})
     if float(n_distinct) / float(n) <= dictionary.DICTIONARY_THRESHOLD:
         # sorted dictionary (DictionaryV2 semantics)
         key_bytes = [k.as_py() if isinstance(k.as_py(), bytes)
@@ -568,7 +575,10 @@ def encode_column(arr: pa.Array, spec: ColumnSpec,
         from .codecs import decimal as dec_codec
         data = arr.drop_null() if arr.null_count else arr
         _, scale = spec.decimal_params()
-        mants = [int(v.scaleb(scale)) for v in data.to_pylist()]
+        # EXACT mantissa via integer math on as_tuple(): Decimal.scaleb
+        # under the default 28-digit context silently ROUNDS values
+        # with more significant digits (decimal(38,s) holds up to 38)
+        mants = [_exact_mantissa(v, scale) for v in data.to_pylist()]
         streams.update(dec_codec.encode_decimals(mants, [scale] * len(mants)))
         return "DIRECT_V2", streams, {"count": n_valid}
     if spec.is_list:
@@ -599,21 +609,40 @@ def encode_column(arr: pa.Array, spec: ColumnSpec,
     raise ValueError(f"unsupported column type: {typ}")
 
 
+def _exact_mantissa(v, scale: int) -> int:
+    """Unscaled integer of ``v`` at ``scale``, exact at any precision
+    (no Decimal-context rounding)."""
+    sign, digits, exp = v.as_tuple()
+    m = int("".join(map(str, digits)))
+    shift = exp + scale
+    if shift >= 0:
+        m *= 10 ** shift
+    else:
+        q, r = divmod(m, 10 ** (-shift))
+        if r:
+            raise ValueError(f"decimal {v} does not fit scale {scale}")
+        m = q
+    return -m if sign else m
+
+
 def _format_nanos(nanos: np.ndarray) -> np.ndarray:
-    """formatNanos trailing-zero compaction (utils.go:1206-1220)."""
-    out = np.empty(len(nanos), dtype=np.int64)
-    for i, nv in enumerate(nanos.tolist()):
-        if nv == 0:
-            out[i] = 0
-        elif nv % 100 != 0:
-            out[i] = nv << 3
-        else:
-            nv //= 100
-            tz = 1
-            while nv % 10 == 0 and tz < 7:
-                nv //= 10
-                tz += 1
-            out[i] = (nv << 3) | tz
+    """formatNanos trailing-zero compaction (utils.go:1206-1220),
+    numpy whole-array: the trailing-zero count is bounded (<=7), so a
+    7-step masked loop replaces the per-row Python of r2."""
+    nv = nanos.astype(np.int64)
+    out = nv << 3  # default: nv % 100 != 0
+    mask = (nv % 100 == 0) & (nv != 0)
+    if mask.any():
+        base = nv[mask] // 100
+        tz = np.ones(len(base), dtype=np.int64)
+        for _ in range(6):  # tz grows 1..7, bounded
+            m2 = (base % 10 == 0) & (tz < 7)
+            if not m2.any():
+                break
+            base[m2] //= 10
+            tz[m2] += 1
+        out[mask] = (base << 3) | tz
+    out[nv == 0] = 0
     return out
 
 
@@ -672,7 +701,9 @@ def decode_column(streams: dict, encoding: str, spec: ColumnSpec,
         from .codecs import decimal as dec_codec
         prec, scale = spec.decimal_params()
         mants, scales = dec_codec.decode_decimals(streams, n_valid)
-        vals = [Decimal(m).scaleb(-int(s))
+        # string construction is context-exempt (scaleb would round
+        # >28-digit mantissas under the default context)
+        vals = [Decimal(f"{m}E-{int(s)}")
                 for m, s in zip(mants, scales.tolist())]
         out_t = pa.decimal128(prec, scale)
         if valid is None:
@@ -952,8 +983,10 @@ def decode_stripe_strides(row: dict, specs: list[ColumnSpec],
             mini[key] = blob[lo:hi] if hi > lo else None
         tables.append(decode_stripe(mini, specs, codec))
     if not tables:
-        names = [s.name for s in specs]
-        return pa.table({n: [] for n in names})
+        # spec-TYPED empty schema: a null-typed empty table would make
+        # pa.concat_tables fail against sibling stripes' real types
+        return pa.table({s.name: pa.array([], arrow_type_of(s.typ))
+                         for s in specs})
     return pa.concat_tables(tables)
 
 

@@ -309,3 +309,43 @@ def test_nested_stripe_fuzz_random_schemas():
                 if kwargs else stripe.decode_stripe(row, [spec])
             got = cc(dec.column("c")).cast(at)
             assert got.equals(cc(arr)), (trial, typ, kwargs)
+
+
+def test_decimal_high_precision_and_all_null():
+    """decimal(38,s) values with >28 significant digits round-trip
+    EXACTLY (Decimal-context scaleb silently rounded them), and
+    all-null decimal stripes decode instead of KeyError."""
+    from decimal import Decimal
+    import pyarrow as pa
+    from orc_spark import stripe
+    specs = stripe.parse_schema([("d", "decimal(38,4)")])
+    big = Decimal("123456789012345678901234567890.1234")
+    vals = [big, Decimal("-0.0001"), None, Decimal("42")]
+    t = pa.table({"d": pa.array(vals, pa.decimal128(38, 4))})
+    row = stripe.encode_stripe(t, specs)
+    got = stripe.decode_stripe(row, specs).column("d").to_pylist()
+    assert got == vals, got
+    # all-null stripe
+    t2 = pa.table({"d": pa.array([None] * 5, pa.decimal128(38, 4))})
+    row2 = stripe.encode_stripe(t2, specs)
+    got2 = stripe.decode_stripe(row2, specs).column("d")
+    assert got2.null_count == 5
+
+
+def test_binary_column_stats_have_no_repr_minmax():
+    """Binary columns carry count/sum_len only — a str(bytes) repr
+    min/max would order differently from bytes and mis-prune."""
+    import json
+    import pyarrow as pa
+    from orc_spark import stripe
+    specs = stripe.parse_schema([("b", "binary")])
+    t = pa.table({"b": pa.array([b"\x7fzz", b"~aa", b"abc"],
+                                pa.binary())})
+    row = stripe.encode_stripe(t, specs)
+    st = json.loads(row["stats"])["b"]
+    assert "min" not in st and "max" not in st
+    assert st["count"] == 3
+    got = stripe.decode_stripe(row, specs).column("b").to_pylist()
+    assert got == [b"\x7fzz", b"~aa", b"abc"]
+    # select_strides keeps everything for a stats-less column
+    assert stripe.select_strides(row, "b", lo=b"a") == [0]
