@@ -814,11 +814,6 @@ def _pii_scrub_oracle() -> str:
     """Built from text.PII_PATTERNS so Spark and DuckDB always scrub
     with the same regexes (Java/RE2-portable by construction)."""
     p = text.PII_PATTERNS
-    scrub = (
-        f"regexp_replace(regexp_replace(regexp_replace(text, "
-        f"'{p['email']}', '<EMAIL>', 'g'), "
-        f"'{p['phone']}', '<PHONE>', 'g'), "
-        f"'{p['ipv4']}', '<IPV4>', 'g')")
     return f"""
         WITH seeded AS (
           SELECT doc_id,
@@ -829,17 +824,24 @@ def _pii_scrub_oracle() -> str:
                            || CAST(doc_id % 256 AS VARCHAR)
                       ELSE text END AS text
           FROM documents),
-        scrubbed AS (SELECT doc_id, text, {scrub} AS s FROM seeded)
+        -- counts run on the RUNNING text (after earlier kinds'
+        -- replacements), mirroring text.pii_scrub exactly
+        s1 AS (SELECT doc_id, text, regexp_replace(text,
+                   '{p["email"]}', '<EMAIL>', 'g') AS t1 FROM seeded),
+        s2 AS (SELECT *, regexp_replace(t1,
+                   '{p["phone"]}', '<PHONE>', 'g') AS t2 FROM s1),
+        s3 AS (SELECT *, regexp_replace(t2,
+                   '{p["ipv4"]}', '<IPV4>', 'g') AS t3 FROM s2)
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{p["email"]}'))
                     AS BIGINT) AS n_email,
-               CAST(len(regexp_extract_all(text, '{p["phone"]}'))
+               CAST(len(regexp_extract_all(t1, '{p["phone"]}'))
                     AS BIGINT) AS n_phone,
-               CAST(len(regexp_extract_all(text, '{p["ipv4"]}'))
+               CAST(len(regexp_extract_all(t2, '{p["ipv4"]}'))
                     AS BIGINT) AS n_ipv4,
-               md5(s) AS scrub_md5,
-               CAST(length(s) AS BIGINT) AS scrubbed_len
-        FROM scrubbed"""
+               md5(t3) AS scrub_md5,
+               CAST(length(t3) AS BIGINT) AS scrubbed_len
+        FROM s3"""
 
 
 def _stratified_oracle() -> str:

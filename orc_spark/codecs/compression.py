@@ -94,7 +94,14 @@ def compress(data: bytes, kind: str = ZLIB,
     for off in range(0, len(data), chunk_size):
         chunk = data[off:off + chunk_size]
         if kind == ZLIB and len(chunk) >= SAMPLE_GATE_MIN_CHUNK:
-            sample = chunk[:SAMPLE_BYTES]
+            # STRIDED sample across the whole chunk, not a prefix: a
+            # high-entropy head followed by a compressible tail (e.g.
+            # bit-packed section then long runs) must not disable
+            # compression for the entire chunk
+            step = max(1, len(chunk) // 8)
+            piece = max(256, SAMPLE_BYTES // 8)
+            sample = b"".join(chunk[o:o + piece]
+                              for o in range(0, len(chunk), step))
             if len(_compress_chunk(sample, kind)) > \
                     SAMPLE_RATIO * len(sample):
                 out.extend(_header(len(chunk), original=True))

@@ -49,11 +49,21 @@ def dictionary_v1(values) -> tuple[np.ndarray, list]:
 
 
 def _to_bytes_array(values) -> np.ndarray:
-    """Normalize a sequence of str/bytes to an object array of bytes."""
-    arr = np.asarray(values, dtype=object)
-    if len(arr) and isinstance(arr[0], str):
-        return np.array([s.encode("utf-8") for s in arr], dtype=object)
-    return arr
+    """Normalize a sequence of str/bytes to an object array of bytes.
+    Per-ELEMENT conversion (deciding from element [0] mis-encoded
+    mixed input); None is rejected explicitly — null handling belongs
+    to the PRESENT layer above this codec."""
+    out = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        if isinstance(v, str):
+            out[i] = v.encode("utf-8")
+        elif isinstance(v, (bytes, bytearray)):
+            out[i] = bytes(v)
+        else:
+            raise ValueError(
+                f"dictionary codec takes str/bytes, got {type(v).__name__}"
+                f" at index {i} (drop nulls before encoding)")
+    return out
 
 
 def encode_strings(values) -> dict:
@@ -98,12 +108,13 @@ def decode_strings(encoding: str, streams: dict, n: int) -> np.ndarray:
         return np.empty(0, dtype=object)
     if encoding == DICT_V2:
         indexes = rle2.decode(streams["DATA"], n, signed=False)
-        # dictionary size = number of LENGTH entries; recover by decoding
-        # lengths until the dictionary blob is fully consumed
         blob = streams["DICTIONARY_DATA"]
-        n_keys = streams.get("DICT_SIZE")
-        if n_keys is None:
-            n_keys = int(indexes.max()) + 1 if n else 0
+        # key count = max referenced index + 1: valid because
+        # encode_strings builds the dictionary with np.unique over the
+        # stripe, so every key is referenced at least once (callers
+        # with externally-built dictionaries pass n_keys explicitly
+        # via the stripe layer, which tracks dict_size)
+        n_keys = int(indexes.max()) + 1 if n else 0
         lengths = rle2.decode(streams["LENGTH"], n_keys, signed=False)
         offsets = np.zeros(n_keys + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])

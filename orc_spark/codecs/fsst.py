@@ -105,8 +105,11 @@ def train(data: bytes) -> SymbolTable:
                 counts[pair] = counts.get(pair, 0) + 1
             prev = match
             pos += len(match)
-        # gain = count * len (bytes covered); 1-byte symbols get priority
-        # floor so escapes stay rare
+        # gain = count * len (bytes covered).  NOTE: no single-byte
+        # priority floor — bytes not covered by any symbol fall back to
+        # the 2-byte ESCAPE path, which on adversarial input expands
+        # ~1.1x; callers gate on a 0.9 size ratio (stripe.py), so a
+        # losing table is discarded rather than shipped
         scored = sorted(
             counts.items(), key=lambda kv: -(kv[1] * len(kv[0])))
         table = SymbolTable([s for s, _ in scored[:MAX_SYMBOLS]])
@@ -138,23 +141,37 @@ def compress(data: bytes, table: SymbolTable) -> bytes:
     return bytes(out)
 
 
+_BYTES = [bytes([i]) for i in range(256)]
+
+
 def decompress(data: bytes, table: SymbolTable) -> bytes:
-    """Vectorized-ish decode: split on escapes, map codes through the
-    symbol list."""
+    """Decode via numpy classification + one join: true escape
+    positions are found with run-parity arithmetic (in a run of
+    consecutive ESCAPE bytes, escapes sit at even offsets — the odd
+    ones are escaped literals), then codes/literals map through the
+    symbol list in C-level list comprehensions.  Replaces the r2
+    per-byte Python while-loop; byte-identical output."""
     symbols = table.symbols
-    out = bytearray()
-    data = bytes(data)
-    i = 0
-    n = len(data)
-    while i < n:
-        b = data[i]
-        if b == ESCAPE:
-            out.append(data[i + 1])
-            i += 2
-        else:
-            out.extend(symbols[b])
-            i += 1
-    return bytes(out)
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        return b""
+    esc = arr == ESCAPE
+    if not esc.any():
+        return b"".join([symbols[b] for b in arr])
+    idx = np.arange(n)
+    starts = esc & np.concatenate(([True], ~esc[:-1]))
+    last_start = np.maximum.accumulate(np.where(starts, idx, -1))
+    true_esc = esc & (((idx - last_start) & 1) == 0)
+    lit = np.zeros(n, dtype=bool)
+    le = idx[true_esc] + 1
+    lit[le[le < n]] = True
+    codes = ~true_esc & ~lit
+    out = np.empty(n, dtype=object)
+    out[true_esc] = b""
+    out[lit] = [_BYTES[v] for v in arr[lit]]
+    out[codes] = [symbols[v] for v in arr[codes]]
+    return b"".join(out.tolist())
 
 
 def encode_blob(data: bytes) -> bytes:

@@ -30,11 +30,19 @@ def rate_to_threshold(rate: float, digits: int = 8) -> str:
     return format(scaled, f"0{digits}x")
 
 
+def sample_predicate(rate: float, key_col: str = "doc_id"):
+    """The deterministic keep-predicate itself (Column) — THE single
+    definition of the sampling hash, shared by hash_sample,
+    stratified_sample's default path, and verify.roundtrip_check's
+    audit sampling (a drifted copy would silently audit a different
+    row set than the sample selects)."""
+    return F.md5(F.col(key_col).cast("string")) < rate_to_threshold(rate)
+
+
 def hash_sample(df: DataFrame, rate: float,
                 key_col: str = "doc_id") -> DataFrame:
     """Keep a deterministic ``rate`` fraction of rows by md5(key)."""
-    thr = rate_to_threshold(rate)
-    return df.where(F.md5(F.col(key_col).cast("string")) < thr)
+    return df.where(sample_predicate(rate, key_col))
 
 
 def stratified_sample(df: DataFrame, rates: dict[str, float],

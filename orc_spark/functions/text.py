@@ -130,7 +130,11 @@ def pii_scrub(docs: DataFrame,
     cols = [F.col("doc_id")]
     scrubbed = F.col("text")
     for kind, pat in pats.items():
-        cols.append(F.regexp_count("text", F.lit(pat)).cast("long")
+        # count on the RUNNING text (after earlier kinds' replacements)
+        # so n_<kind> equals the redactions actually performed — a
+        # phone-shaped substring inside an already-redacted email must
+        # not be counted as a phone redaction
+        cols.append(F.regexp_count(scrubbed, F.lit(pat)).cast("long")
                     .alias(f"n_{kind}"))
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return docs.select(

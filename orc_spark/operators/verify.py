@@ -30,8 +30,7 @@ def roundtrip_check(df: DataFrame, specs=TOKEN_SCHEMA,
     decoded = enc_ops.decode(encoded, specs, codec=codec)
     if sample_rate is not None:
         from ..functions import sampling
-        thr = sampling.rate_to_threshold(sample_rate)
-        pred = F.md5(F.col(key).cast("string")) < thr
+        pred = sampling.sample_predicate(sample_rate, key)
         df = df.where(pred)
         decoded = decoded.where(pred)
     names = [s.name for s in specs]
@@ -44,11 +43,16 @@ def roundtrip_check(df: DataFrame, specs=TOKEN_SCHEMA,
         eq = (F.col(f"l_{n}") == F.col(f"r_{n}")) | (
             F.col(f"l_{n}").isNull() & F.col(f"r_{n}").isNull())
         match_all = eq if match_all is None else (match_all & eq)
+    # token-array equality when the schema HAS a tokens column; for
+    # custom specs without one, the all-columns match stands in (the
+    # hardcoded l_tokens reference crashed any non-token schema)
+    if "tokens" in names:
+        tok_eq = (F.col("l_tokens") == F.col("r_tokens")) | \
+            (F.col("l_tokens").isNull() & F.col("r_tokens").isNull())
+    else:
+        tok_eq = match_all
     return joined.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(match_all, 1).otherwise(0)).alias("n_match"),
-        F.sum(F.when((F.col("l_tokens") == F.col("r_tokens")) |
-                     (F.col("l_tokens").isNull() &
-                      F.col("r_tokens").isNull()), 1)
-              .otherwise(0)).alias("n_token_match"),
+        F.sum(F.when(tok_eq, 1).otherwise(0)).alias("n_token_match"),
     )

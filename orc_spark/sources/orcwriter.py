@@ -690,6 +690,15 @@ class ORCFileWriter:
                  bloom_fpp: float = 0.05):
         if row_index_stride % 8:
             raise ValueError("row_index_stride must be a multiple of 8")
+        if use_fsst:
+            # FSST is a STRIPE-TABLE extension: a spec .orc file with
+            # FSST-coded streams would be unreadable by every other
+            # ORC implementation.  Silently ignoring the flag (the r2
+            # behavior) let users believe the codec was active.
+            raise ValueError(
+                "use_fsst is not supported for .orc output (it would "
+                "break spec compatibility); FSST lives in the stripe "
+                "table (operators/encode.encode(use_fsst=True))")
         self.orc_types = orc_types or {}
         # BLOOM_FILTER_UTF8 index streams for these top-level
         # string-family columns (beyond the reference, which only

@@ -28,9 +28,15 @@ def token_table(spark: SparkSession, sf_dir: str,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = docs.select(
         F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
+        # empty/whitespace-only/NULL text -> ZERO tokens: split('')
+        # yields [''] in Spark, which would fabricate a phantom token
+        # (hash of the empty string) that sequence packing would then
+        # emit into training rows
         F.expr(
-            f"transform(split(trim(text), '\\\\s+'), "
-            f"w -> cast(pmod(xxhash64(w), {VOCAB_SIZE}) as int))"
+            f"CASE WHEN text IS NULL OR trim(text) = '' "
+            f"THEN CAST(array() AS array<int>) "
+            f"ELSE transform(split(trim(text), '\\\\s+'), "
+            f"w -> cast(pmod(xxhash64(w), {VOCAB_SIZE}) as int)) END"
         ).alias("tokens"),
         F.col("source"),
     )

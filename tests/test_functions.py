@@ -522,3 +522,16 @@ def test_bloom_hash64_many_matches_scalar():
             for _ in range(400)]
     fast = bloom.hash64_many(vals)
     assert list(fast) == [bloom.hash64(v) for v in vals]
+
+
+def test_pii_scrub_counts_match_actual_redactions(spark):
+    """Counts run on the running text: a phone/IP consumed by an
+    earlier email redaction is not double-counted."""
+    df = spark.createDataFrame(
+        [(1, "n 555-123-4567@example.com x")],  # phone inside the email
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    # the email redaction consumes the phone-shaped local part: the
+    # phone count must be 0 (r2 counted it on the ORIGINAL text)
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 0
+    assert rows[1]["scrubbed"] == "n <EMAIL> x"

@@ -408,3 +408,38 @@ def test_decode_mixed_old_new_schema_stripes(spark, token_df):
                    F.count("q").alias("nq")).collect()[0]
     assert rows["n"] == dec.select("doc_id").distinct().count()
     assert 0 < rows["nq"] < rows["n"]
+
+
+def test_token_table_empty_text_yields_zero_tokens(spark, tmp_path):
+    """Empty/whitespace/NULL text must not fabricate a phantom token
+    (split('') -> [''] in Spark)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["real words here", "", "   ", None]),
+        "source": pa.array(["s"] * 4),
+        "lang": pa.array(["en"] * 4),
+        "n_chars": pa.array([15, 0, 3, 0], pa.int64()),
+    }), str(d / "documents.parquet"))
+    tok = token_src.token_table(spark, str(d))
+    got = {r["doc_id"]: r["n_tok"] for r in tok.collect()}
+    assert got["doc-000000000001"] == 3
+    assert got["doc-000000000002"] == 0
+    assert got["doc-000000000003"] == 0
+    assert got["doc-000000000004"] == 0
+
+
+def test_roundtrip_check_custom_specs_without_tokens(spark):
+    """roundtrip_check works for schemas without a 'tokens' column."""
+    from orc_spark import stripe as stripe_mod
+    specs = stripe_mod.parse_schema([("doc_id", "string"),
+                                     ("v", "bigint")])
+    df = spark.range(200).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") * 3).alias("v"))
+    row = verify.roundtrip_check(df, specs=specs).collect()[0]
+    assert row["n_rows"] == 200
+    assert row["n_match"] == 200 == row["n_token_match"]
