@@ -1,0 +1,68 @@
+"""Plan-quality assertions, programmatic: the BENCH.md `.explain`
+claims as executable checks (orc_spark.plans)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from orc_spark import plans
+from orc_spark.functions import dedup, text
+from orc_spark.operators import encode as enc_ops
+from orc_spark.sources import tokens as token_src
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+def _run(df):
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
+def test_pipeline_plans_have_no_scale_killers(spark, docs):
+    """No CartesianProduct / nested-loop / sort-merge join anywhere in
+    the dedup + text pipeline plans; the r3 minhash plan also carries
+    no Window."""
+    pairs = _run(dedup.minhash_lsh_pairs(docs, min_jaccard=0.4))
+    plans.assert_no(pairs, "CartesianProduct", "BroadcastNestedLoopJoin",
+                    "SortMergeJoin", "Window")
+    q = _run(text.quality_scores(docs))
+    plans.assert_no(q, "Exchange", "BatchEvalPython", "ArrowEvalPython")
+    counts = plans.operator_counts(q)
+    assert counts["Exchange"] == 0
+
+
+def test_decode_projection_read_schema(spark):
+    """The projected decode's Parquet scan reads ONLY the requested
+    stream binaries + stripe metadata."""
+    import tempfile
+    tok = token_src.token_table(spark, SF_DIR)
+    path = tempfile.mkdtemp(prefix="planaudit_") + "/enc"
+    enc_ops.encode(tok.repartition(2)).write.parquet(path)
+    enc = spark.read.parquet(path)
+    dec = _run(enc_ops.decode(enc, columns=["n_tok"]))
+    schemas = plans.read_schemas(dec)
+    assert schemas, "no scan found"
+    joined = " ".join(schemas)
+    assert "n_tok__DATA" in joined
+    assert "tokens__DATA" not in joined
+    assert "doc_id__DATA" not in joined
+
+
+def test_zone_filter_pushdown_visible(spark):
+    """prune_stripes on a zone column shows up as PushedFilters."""
+    import tempfile
+    tok = token_src.token_table(spark, SF_DIR)
+    path = tempfile.mkdtemp(prefix="planaudit2_") + "/enc"
+    enc_ops.encode(tok.coalesce(1).sortWithinPartitions("n_tok"),
+                   stripe_rows=100).write.parquet(path)
+    enc = spark.read.parquet(path)
+    pruned = _run(enc_ops.prune_stripes(enc, "n_tok", lo=60))
+    pf = " ".join(plans.pushed_filters(pruned))
+    assert "n_tok__MAX" in pf, pf
