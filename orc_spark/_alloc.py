@@ -7,9 +7,11 @@ temporary re-faults its pages on every task.  ``tune_worker()`` makes
 worker heaps grow-and-stay:
 
 * mallopt(M_MMAP_THRESHOLD / M_TRIM_THRESHOLD, 1 GiB): large numpy
-  temporaries live on the reusable heap instead of fresh mmaps,
-* pyarrow switches to the system allocator (its default jemalloc purges
-  dirty pages aggressively, defeating the above).
+  temporaries live on the reusable heap instead of fresh mmaps.
+
+pyarrow deliberately STAYS on its default jemalloc pool — switching to
+the system allocator measured ~4x WORSE at 32 workers (see the NOTE in
+tune_worker and CLAUDE.md); do not "restore" a set_memory_pool call.
 
 Called at the top of every mapInArrow/mapInPandas kernel (idempotent,
 best-effort); safe and beneficial on real clusters too.

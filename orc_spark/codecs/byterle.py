@@ -35,7 +35,6 @@ def encode(data) -> bytes:
     ends = np.append(starts[1:], n)
 
     mv = a  # indexable
-    lit_start = 0  # start index of pending literal buffer
     lit = 0  # pending literal count
     rep = 0  # pending repeat count
     rep_val = 0
@@ -59,8 +58,6 @@ def encode(data) -> bytes:
             emit_repeat(rep_val, rep)
             rep = 0
         tail = 0  # within-run bytes currently in the literal buffer
-        if lit == 0:
-            lit_start = j
         while j < e:
             # feed bytes that cannot complete a triple
             room = min(e - j, 2 - tail)
@@ -74,7 +71,6 @@ def encode(data) -> bytes:
                     emit_literals(j, MAX_LITERAL)
                     lit = 0
                     tail = 0
-                    lit_start = j
                     room = min(e - j, 2 - tail)
             if j >= e:
                 break
@@ -94,7 +90,6 @@ def encode(data) -> bytes:
                     rep = 0
                     if j < e:
                         tail = 0
-                        lit_start = j
                         break  # back to literal phase for run remainder
             else:
                 break  # run exhausted with pending repeat
@@ -180,15 +175,16 @@ def decode(data, n: int) -> np.ndarray:
         h = int(buf[pos])
         pos += 1
         if h < 128:  # repeat
-            count = h + MIN_REPEAT
+            count = min(h + MIN_REPEAT, n - got)
             out[got:got + count] = buf[pos]
             pos += 1
             got += count
         else:  # literals
             count = 256 - h
-            out[got:got + count] = buf[pos:pos + count]
+            take = min(count, n - got)
+            out[got:got + take] = buf[pos:pos + take]
             pos += count
-            got += count
+            got += take
     return out
 
 

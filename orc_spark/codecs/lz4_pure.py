@@ -7,6 +7,9 @@ from __future__ import annotations
 
 
 def decompress(data: bytes, max_out: int | None = None) -> bytes:
+    """``max_out`` bounds the decompressed size (decompression-bomb
+    guard); truncated input raises instead of returning silently short
+    data."""
     data = bytes(data)
     out = bytearray()
     pos = 0
@@ -22,8 +25,12 @@ def decompress(data: bytes, max_out: int | None = None) -> bytes:
                 lit_len += b
                 if b != 255:
                     break
+        if pos + lit_len > n:
+            raise ValueError("corrupt lz4: truncated literals")
         out += data[pos:pos + lit_len]
         pos += lit_len
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("lz4 output exceeds max_out")
         if pos >= n:
             break  # last sequence is literals-only
         offset = int.from_bytes(data[pos:pos + 2], "little")
@@ -46,4 +53,6 @@ def decompress(data: bytes, max_out: int | None = None) -> bytes:
         else:
             for i in range(match_len):
                 out.append(out[start + i])
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("lz4 output exceeds max_out")
     return bytes(out)

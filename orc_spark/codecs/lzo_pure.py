@@ -22,6 +22,7 @@ def decompress(data: bytes) -> bytes:
     pos = 0
     n = len(data)
     state = 0
+    saw_eos = False
 
     t = data[pos]
     if t > 17:
@@ -66,6 +67,7 @@ def decompress(data: bytes) -> bytes:
             pos += 2
             offset = ((t & 8) << 11) + (ds >> 2) + 16384
             if offset == 16384:
+                saw_eos = True
                 break  # end of stream
             state = ds & 3
         else:
@@ -105,4 +107,8 @@ def decompress(data: bytes) -> bytes:
         if state:
             out += data[pos:pos + state]
             pos += state
+    if not saw_eos:
+        # reference LZO decoders return LZO_E_EOF_NOT_FOUND here; a
+        # truncated chunk must not come back as silently short data
+        raise ValueError("corrupt lzo: stream ended without EOS marker")
     return bytes(out)

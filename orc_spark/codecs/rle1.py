@@ -79,12 +79,10 @@ def encode(values, signed: bool) -> bytes:
                 literals.append(value)
                 tail = 1
         else:
-            if tail == 1:
-                delta = _wrap_i64(value - literals[-1])
-                tail = 2 if MIN_DELTA <= delta <= MAX_DELTA else 1
-            elif value == _wrap_i64(literals[-1] + delta):
+            if tail >= 2 and value == _wrap_i64(literals[-1] + delta):
                 tail += 1
             else:
+                # start (or restart) a candidate delta run
                 delta = _wrap_i64(value - literals[-1])
                 tail = 2 if MIN_DELTA <= delta <= MAX_DELTA else 1
             if tail == MIN_REPEAT:

@@ -17,6 +17,12 @@ def encoded_to_csv(enc_df: DataFrame, path: str, specs=TOKEN_SCHEMA,
     dec = enc_ops.decode(enc_df, specs, columns=columns, codec=codec)
     out = dec
     for f in dec.schema.fields:
-        if f.dataType.typeName() == "array":
+        t = f.dataType.typeName()
+        # CSV cannot carry containers or raw bytes: containers go to
+        # JSON text, binary to hex (the decode layer supports
+        # struct/map/binary, so the exporter must too)
+        if t in ("array", "map", "struct"):
             out = out.withColumn(f.name, F.to_json(F.col(f.name)))
+        elif t == "binary":
+            out = out.withColumn(f.name, F.hex(F.col(f.name)))
     out.write.mode("overwrite").option("header", True).csv(path)

@@ -142,3 +142,35 @@ def test_read_rows_equals_read_all_random(tmp_path):
         c = int(rng.integers(1, 500))
         got = f.read_rows(s, c)
         assert got == allr[s:s + c], (s, c)
+
+
+def test_lz4_lzo_truncation_raises():
+    """Truncated lz4/lzo chunks must raise, not return silently short
+    data (a damaged file read must fail loud)."""
+    import pytest
+    from orc_spark.codecs import lz4_pure, lzo_pure
+    # lz4: token promising 10 literal bytes but only 3 present
+    bad_lz4 = bytes([10 << 4]) + b"abc"
+    with pytest.raises(ValueError):
+        lz4_pure.decompress(bad_lz4)
+    # lzo: valid literal prefix, stream ends without the EOS marker
+    bad_lzo = bytes([17 + 4]) + b"abcd"
+    with pytest.raises(ValueError):
+        lzo_pure.decompress(bad_lzo)
+    # lz4 bomb guard
+    good = lz4_pure.decompress  # literals-only frame round-trips
+    frame = bytes([4 << 4]) + b"wxyz"
+    assert good(frame) == b"wxyz"
+    with pytest.raises(ValueError):
+        lz4_pure.decompress(frame, max_out=2)
+
+
+def test_byterle_partial_decode_clamps():
+    """decode(n) with n inside a literal or repeat group returns the
+    first n values (no numpy broadcast crash)."""
+    import numpy as np
+    from orc_spark.codecs import byterle
+    lit = byterle.encode(np.array([1, 2, 3, 4, 5, 6], np.uint8))
+    assert byterle.decode(lit, 3).tolist() == [1, 2, 3]
+    rep = byterle.encode(np.array([7] * 10, np.uint8))
+    assert byterle.decode(rep, 5).tolist() == [7] * 5
