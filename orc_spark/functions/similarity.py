@@ -292,10 +292,15 @@ def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
         n_planes, bands).select(F.col(id_col).alias("nn_id"),
                                 "band", "bsig")
     if max_bucket is not None:
-        sizes = base_b.groupBy("band", "bsig") \
-            .agg(F.count("*").alias("_bsz")) \
-            .where(F.col("_bsz") <= max_bucket).drop("_bsz")
-        base_b = base_b.join(sizes, ["band", "bsig"])
+        # broadcast ANTI-join against the (tiny by construction) hot
+        # key set — the r2 inner join against ALL bucket sizes
+        # shuffled the full banded base even when no bucket was hot
+        hot = (base_b.groupBy("band", "bsig")
+               .agg(F.count("*").alias("_bsz"))
+               .where(F.col("_bsz") > max_bucket)
+               .select("band", "bsig"))
+        base_b = base_b.join(F.broadcast(hot), ["band", "bsig"],
+                             "left_anti")
     probe_b = band_explode(
         add_lsh_signature(probes, dim, n_planes, seed, emb_col),
         n_planes, bands).select(F.col(id_col).alias("probe_id"),
@@ -314,6 +319,48 @@ def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
     cos = _dot(a, b) / (_norm(a) * _norm(b))
     scored = joined.select("probe_id", "nn_id",
                            F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("nn_id"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .where(F.col("rank") <= k)
+
+
+def knn_join_index(spark, path: str, probes: DataFrame, k: int = 5,
+                   emb_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   exclude_self: bool = True) -> DataFrame:
+    """knn_join against a MATERIALIZED index (build_ann_index): the
+    base table's signatures are read back instead of re-hashed, so a
+    repeated/incremental probe workload pays only the probe-side
+    hashing — the scale path when the base is large and probes arrive
+    in batches.  Build parameters come from the index's _meta.json
+    (mismatched planes/bands/seed are impossible by construction)."""
+    import json as _json
+    import os as _os
+    from pyspark.sql.window import Window
+    with open(_os.path.join(path, "_meta.json")) as fh:
+        meta = _json.load(fh)
+    idx = spark.read.parquet(path)
+    base_b = idx.select(F.col(id_col).alias("nn_id"),
+                        F.col(emb_col).alias("nn_emb"),
+                        "band", "bsig")
+    probe_b = band_explode(
+        add_lsh_signature(probes, meta["dim"], meta["n_planes"],
+                          meta["seed"], emb_col),
+        meta["n_planes"], meta["bands"]).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(emb_col).alias("probe_emb"), "band", "bsig")
+    pairs = probe_b.join(base_b, ["band", "bsig"])
+    if exclude_self:
+        pairs = pairs.where(F.col("probe_id") != F.col("nn_id"))
+    # the index rows already carry embeddings: dedup (probe, nn) pairs
+    # and score without joining back to either table
+    pairs = pairs.dropDuplicates(["probe_id", "nn_id"])
+    a = F.transform(F.col("probe_emb"), lambda x: x.cast("double"))
+    b = F.transform(F.col("nn_emb"), lambda x: x.cast("double"))
+    cos = _dot(a, b) / (_norm(a) * _norm(b))
+    scored = pairs.select("probe_id", "nn_id",
+                          F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cosine"), F.asc("nn_id"))
     return scored.withColumn("rank", F.row_number().over(w)) \

@@ -535,3 +535,18 @@ def test_pii_scrub_counts_match_actual_redactions(spark):
     # phone count must be 0 (r2 counted it on the ORIGINAL text)
     assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 0
     assert rows[1]["scrubbed"] == "n <EMAIL> x"
+
+
+def test_knn_join_index_matches_adhoc(spark, emb, tmp_path):
+    """knn_join against the materialized index returns the same
+    neighbors as the ad-hoc knn_join (same planes/bands/seed via
+    _meta.json)."""
+    path = str(tmp_path / "kji")
+    similarity.build_ann_index(emb, path, dim=64)
+    probes = emb.limit(10)
+    got = {(r["probe_id"], r["rank"]): r["nn_id"]
+           for r in similarity.knn_join_index(spark, path, probes,
+                                              k=3).collect()}
+    want = {(r["probe_id"], r["rank"]): r["nn_id"]
+            for r in similarity.knn_join(emb, probes, k=3).collect()}
+    assert got == want and len(want) == 30
