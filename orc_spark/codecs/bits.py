@@ -289,8 +289,11 @@ def decode_varints(buf: np.ndarray, pos: int, n: int) -> tuple[np.ndarray, int]:
     """Vectorized unsigned LEB128 decode of n varints from a uint8 array."""
     if n == 0:
         return np.empty(0, dtype=np.uint64), pos
-    # find the end byte of each varint: bytes with MSB clear
-    window = buf[pos:]
+    # find the end byte of each varint: bytes with MSB clear.  The
+    # window is BOUNDED to n*10 bytes (a uint64 varint is <= 10 bytes):
+    # scanning buf[pos:] made per-group decodes quadratic in stream
+    # size (measured 13.6 us/value at 640k values, 0.9 us at 20k)
+    window = buf[pos:pos + n * 10]
     stops = np.flatnonzero(window < 0x80)
     if len(stops) < n:
         raise ValueError("truncated varint stream")
@@ -307,4 +310,9 @@ def decode_varints(buf: np.ndarray, pos: int, n: int) -> tuple[np.ndarray, int]:
 
 
 def bytes_to_long_be(buf, pos: int, n: int) -> tuple[int, int]:
-    return int.from_bytes(bytes(buf[pos:pos + n]), "big"), pos + n
+    b = bytes(buf[pos:pos + n])
+    if len(b) < n:
+        # a silent short read would decode a WRONG value from a
+        # truncated stream (fail loud like the other codec paths)
+        raise ValueError("truncated stream: big-endian read past end")
+    return int.from_bytes(b, "big"), pos + n

@@ -536,8 +536,6 @@ def _emit_ops(out: bytearray, v: np.ndarray, ops: list, signed: bool) -> None:
         decision, params = _analyze_segments(v, zz, starts, lens)
         if (decision == _D_MONO).any():
             dv = np.diff(v)
-        # big-endian byte matrix for byte-aligned DIRECT packing
-        be = zz.astype(">u8").view(np.uint8).reshape(len(v), 8)
         zz100p = params["zz100p"]
         mn = params["mn"]
         first_d = params["first_d"]
@@ -565,7 +563,13 @@ def _emit_ops(out: bytearray, v: np.ndarray, ops: list, signed: bool) -> None:
             out.append(run_len & 0xFF)
             col = _BYTE_FB.get(fb)
             if col is not None:
-                out.extend(be[s:e, col:].tobytes())
+                # big-endian bytes built PER SEGMENT: a whole-array
+                # 8n-byte matrix served only the DIRECT slices and its
+                # cold first-touch alloc dominated runs where variable
+                # segments are a tiny fraction (measured 742 ms cold
+                # for a 4M-value array with a 20-value tail)
+                seg_be = zz[s:e].astype(">u8").view(np.uint8)                     .reshape(ln, 8)
+                out.extend(seg_be[:, col:].tobytes())
             elif ln <= _SMALL_SEGMENT:
                 out.extend(_pack_bits_int(zz[s:e].tolist(), fb))
             else:
@@ -745,8 +749,11 @@ def _decode(data, n: int, signed: bool) -> np.ndarray:
                 val = zigzag_decode_scalar(val)
             else:
                 val = _wrap_i64(val)
-            out[got:got + l] = val
-            got += l
+            # clamp the final run to the requested n (uniform partial-
+            # read semantics across segment kinds — DIRECT/DELTA used
+            # to surface an opaque numpy broadcast error instead)
+            out[got:got + min(l, n - got)] = val
+            got += min(l, n - got)
         elif enc == DIRECT:
             fb = decode_bit_width((first >> 1) & 0x1F)
             b2 = int(buf[pos])
@@ -754,11 +761,12 @@ def _decode(data, n: int, signed: bool) -> np.ndarray:
             l = (((first & 0x01) << 8) | b2) + 1
             vals = unpack_bits(buf, l, fb, pos)
             pos += (l * fb + 7) // 8
+            take = min(l, n - got)
             if signed:
-                out[got:got + l] = zigzag_decode(vals)
+                out[got:got + take] = zigzag_decode(vals)[:take]
             else:
-                out[got:got + l] = vals.view(np.int64)
-            got += l
+                out[got:got + take] = vals.view(np.int64)[:take]
+            got += take
         elif enc == PATCHED_BASE:
             got, pos = _decode_patched_base(buf, pos, first, out, got)
         else:  # DELTA
@@ -777,15 +785,19 @@ def _decode_delta(buf, pos, first, out, got, signed):
     else:
         first_val, pos = read_vulong(buf, pos)
         first_val = _wrap_i64(first_val)
+    # clamp to the caller's remaining capacity (uniform partial-read
+    # semantics with SHORT_REPEAT/DIRECT); pos still advances past the
+    # whole segment so the stream stays consistent
+    take = min(l + 1, out.size - got)
     if fb == 0:
         fd, pos = read_vslong(buf, pos)
         if fd == 0:
-            out[got:got + l + 1] = first_val
+            out[got:got + take] = first_val
         else:
             seq = np.uint64(first_val & U64_MASK) + np.arange(
                 l + 1, dtype=np.uint64) * np.uint64(fd & U64_MASK)
-            out[got:got + l + 1] = seq.view(np.int64)
-        got += l + 1
+            out[got:got + take] = seq.view(np.int64)[:take]
+        got += take
     else:
         delta_base, pos = read_vslong(buf, pos)
         nblob = l - 1
@@ -799,8 +811,8 @@ def _decode_delta(buf, pos, first, out, got, signed):
         else:
             deltas[2:] = blob
         vals = np.cumsum(deltas, dtype=np.uint64)
-        out[got:got + l + 1] = vals.view(np.int64)
-        got += l + 1
+        out[got:got + take] = vals.view(np.int64)[:take]
+        got += take
     return got, pos
 
 
@@ -850,8 +862,10 @@ def _decode_patched_base(buf, pos, first, out, got):
         pv = np.array(vals, dtype=np.uint64)
         unpacked[ai] |= pv << np.uint64(fixed_bits)
     res = np.uint64(base & U64_MASK) + unpacked
-    out[got:got + length] = res.view(np.int64)
-    return got + length, pos
+    # clamp to remaining capacity (uniform partial-read semantics)
+    take = min(length, out.size - got)
+    out[got:got + take] = res.view(np.int64)[:take]
+    return got + take, pos
 
 
 # ---------------------------------------------------------------------------
