@@ -501,6 +501,34 @@ def _q_sim_knn_join(spark, sf_dir):
         .select("probe_id", "nn_id", "cosine", "rank")
 
 
+def _q_sim_knn_join_index(spark, sf_dir):
+    """kNN-join against the MATERIALIZED signature index (the
+    batch-probe scale path: base signatures computed once at build
+    time, probes pay only probe-side hashing).  Same planted corpus
+    and exact-top-3 oracle as sim_knn_join — the index round-trip must
+    not change a single neighbor."""
+    import tempfile
+    emb = _emb(spark, sf_dir)
+    src = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 115)) \
+        .select(F.col("vec_id").alias("sid"),
+                F.col("embedding").alias("esrc"),
+                F.floor((F.col("vec_id") - 100) / 3).alias("pid"))
+    pr = emb.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("pid"),
+                F.col("embedding").alias("ep"))
+    planted = src.join(F.broadcast(pr), "pid").select(
+        (F.col("sid") - 100 + 1_000_000).alias("vec_id"),
+        _mix_emb("ep", "esrc", 0.85, 0.15).alias("embedding"),
+        F.lit(0).alias("label"))
+    table = emb.unionByName(planted)
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    path = tempfile.mkdtemp(prefix="knnidx_") + "/idx"
+    similarity.build_ann_index(table, path, dim)
+    probes = emb.where(F.col("vec_id") < 5)
+    return similarity.knn_join_index(spark, path, probes, k=3) \
+        .select("probe_id", "nn_id", "cosine", "rank")
+
+
 def _q_orc_file_roundtrip(spark, sf_dir):
     """Distributed ORC sink round-trip: every partition streams its
     rows through our kernels into a real .orc file (executor-side,
@@ -760,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_index": _q_sim_ann_index,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_knn_join": _q_sim_knn_join,
+        "sim_knn_join_index": _q_sim_knn_join_index,
         "orc_stats_roundtrip": _q_orc_stats_roundtrip,
         "csv_export": _q_csv_export,
         "mm_features": _q_mm_features,
@@ -1259,8 +1288,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]),
                        (SELECT CAST(e AS DOUBLE[]) FROM q)), 6) AS cosine
             FROM tbl ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
-        # exact per-probe top-3 over table + planted neighbors
-        "sim_knn_join": """
+        # exact per-probe top-3 over table + planted neighbors (the
+        # index-probe variant must return the identical ranking, so
+        # both keys share this oracle)
+        **dict.fromkeys(["sim_knn_join", "sim_knn_join_index"], """
             WITH probes AS (SELECT vec_id AS probe_id, embedding AS ep
                             FROM embeddings WHERE vec_id < 5),
             src AS (SELECT vec_id AS sid, embedding AS esrc,
@@ -1287,7 +1318,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cosine DESC, nn_id ASC) AS rank
                        FROM scored)
             SELECT probe_id, nn_id, cosine, CAST(rank AS INT) AS rank
-            FROM ranked WHERE rank <= 3""",
+            FROM ranked WHERE rank <= 3"""),
         # fake-decode features are deterministic byte math over the
         # utf-8 payload (ASCII corpus): numpy array_split chunk means,
         # float32-quantized — re-derived exactly in SQL
