@@ -107,6 +107,28 @@ def test_rle2_random_structured_fuzz():
 
 
 @pytest.mark.parametrize("signed", [True, False])
+def test_rle2_partial_read_all_segment_kinds(signed):
+    # decode(n < encoded count) must clamp uniformly across
+    # SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA — read_rows'
+    # stride seeks rely on partial reads ending mid-segment
+    rng = np.random.default_rng(99)
+    cases = {
+        "short_repeat": np.full(8, 7, dtype=np.int64),
+        "direct": rng.integers(0, 2**30, 64, dtype=np.int64),
+        "delta_mono": np.arange(200, dtype=np.int64) * 3 + 11,
+        "patched": np.where(rng.random(259) < 0.04,
+                            rng.integers(2**40, 2**45, 259),
+                            rng.integers(0, 2**8, 259)).astype(np.int64),
+    }
+    for name, vals in cases.items():
+        enc = rle2.encode(vals, signed)
+        for n in (1, len(vals) // 2, len(vals) - 1, len(vals)):
+            dec = rle2.decode(enc, n, signed)
+            assert dec.shape == (n,), (name, n)
+            assert (dec == vals[:n]).all(), (name, n)
+
+
+@pytest.mark.parametrize("signed", [True, False])
 def test_rle1_roundtrip(signed):
     rng = np.random.default_rng(99)
     for vals in (
