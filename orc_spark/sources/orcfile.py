@@ -151,6 +151,7 @@ class TypeNode:
         self.kind = KINDS[msg.get(1, [0])[0]]
         self.children = packed_varints(msg.get(2, []))
         self.field_names = [b.decode() for b in msg.get(3, [])]
+        self.max_length = msg.get(4, [0])[0]
         self.precision = msg.get(5, [38])[0]
         self.scale = msg.get(6, [10])[0]
 

@@ -1031,20 +1031,23 @@ def write_orc(table: pa.Table, path: str,
 def dataframe_to_orc_dir(df, out_dir: str,
                          specs=None, codec: str = "zlib",
                          stripe_rows: int = 1 << 20,
-                         bloom_columns: list[str] | None = None) -> None:
+                         bloom_columns: list[str] | None = None,
+                         orc_types: dict | None = None) -> None:
     """Distributed ORC sink: each Spark partition streams its batches
     through one ``ORCFileWriter`` into a real .orc file in ``out_dir``
     (mapInArrow; no JVM ORC writer involved).  Batches flush to disk
     stripe-by-stripe as they arrive — per-task memory is one stripe,
     not the partition.  The directory is readable by ``spark.read.orc``.
-    Local/shared filesystem paths only."""
+    Local/shared filesystem paths only.
+
+    ``specs`` (column-name order) defaults to every DataFrame column;
+    ``orc_types`` passes char/varchar footer overrides through to
+    :class:`ORCFileWriter` (see ``orctypes.OrcType.orc_overrides``)."""
     import os
     from pyspark.sql import types as T
 
-    if specs is None:
-        specs = stripe_mod.TOKEN_SCHEMA
     os.makedirs(out_dir, exist_ok=True)
-    names = [s.name for s in specs]
+    names = [s.name for s in specs] if specs is not None else df.columns
 
     def kernel(batches):
         from pyspark import TaskContext
@@ -1061,7 +1064,8 @@ def dataframe_to_orc_dir(df, out_dir: str,
             if writer is None:
                 writer = ORCFileWriter(path, codec=codec,
                                        stripe_rows=stripe_rows,
-                                       bloom_columns=bloom_columns)
+                                       bloom_columns=bloom_columns,
+                                       orc_types=orc_types)
             writer.write_batch(b)
             n += b.num_rows
         if writer is not None:

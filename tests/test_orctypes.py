@@ -1,0 +1,152 @@
+"""ORC type-string parser/formatter (reference typedescription.go;
+test strings from typedescription_test.go:9-119)."""
+
+import json
+
+import pytest
+
+from orc_spark import orctypes
+
+
+CANONICAL = [
+    "struct<f1:int,f2:string,f3:decimal(38,10)>",
+    "struct<f1:int,f2:string,f3:decimal(38,10),"
+    "f4:array<struct<f5:int,f6:string>>>",
+    "struct<f1:map<string,string>>",
+    "struct<f1:uniontype<tinyint,decimal(38,10)>>",
+    "struct<a:boolean,b:smallint,c:bigint,d:float,e:double,f:date,"
+    "g:timestamp,h:binary,i:char(3),j:varchar(20)>",
+    "array<map<string,array<int>>>",
+    "bigint",
+]
+
+
+@pytest.mark.parametrize("s", CANONICAL)
+def test_parse_format_roundtrip(s):
+    assert orctypes.parse_orc_type(s).orc_string() == s
+
+
+def test_to_json_matches_reference_shape():
+    # typedescription_test.go:21 — same ids, max, categories
+    td = orctypes.parse_orc_type(
+        "struct<f1:int,f2:string,f3:decimal(38,10)>")
+    expected = json.loads(
+        '{"category": "struct", "id": 0, "max": 3, "fields": '
+        '{"f1": {"category": "int", "id": 1, "max": 1},'
+        '"f2": {"category": "string", "id": 2, "max": 2},'
+        '"f3": {"category": "decimal", "id": 3, "max": 3, '
+        '"precision": 38, "scale": 10}}}')
+    assert td.to_json() == expected
+
+
+def test_to_json_nested_ids():
+    # typedescription_test.go:38 — subtree ids are pre-order, max is
+    # the subtree's largest id
+    td = orctypes.parse_orc_type(
+        "struct<f1:int,f2:string,f3:decimal(38,10),"
+        "f4:array<struct<f5:int,f6:string>>>")
+    j = td.to_json()
+    assert j["max"] == 7
+    f4 = j["fields"]["f4"]
+    assert (f4["id"], f4["max"]) == (4, 7)
+    inner = f4["children"][0]
+    assert inner["fields"]["f6"]["id"] == 7
+
+
+def test_parse_errors():
+    for bad in ["struct<f1:int", "foo", "decimal(39,1)", "char()",
+                "char(0)", "map<string>", "array<int,int>",
+                "struct<f1:int>x", "varchar"]:
+        with pytest.raises(ValueError):
+            orctypes.parse_orc_type(bad)
+
+
+def test_decimal_defaults():
+    # typedescription.go:355-356: bare decimal = decimal(38,10)
+    td = orctypes.parse_orc_type("decimal")
+    assert (td.precision, td.scale) == (38, 10)
+
+
+def test_whitespace_tolerated():
+    td = orctypes.parse_orc_type(
+        "struct< f1 : int , f2 : array< string > >")
+    assert td.orc_string() == "struct<f1:int,f2:array<string>>"
+
+
+def test_orc_overrides():
+    td = orctypes.parse_orc_type(
+        "struct<a:string,b:char(3),c:varchar(20)>")
+    assert td.orc_overrides() == {"b": ("char", 3),
+                                  "c": ("varchar", 20)}
+
+
+def test_to_arrow_and_back():
+    import pyarrow as pa
+    td = orctypes.parse_orc_type(
+        "struct<f1:int,f2:string,f3:decimal(12,2),"
+        "f4:array<struct<f5:int,f6:string>>,f7:map<string,bigint>>")
+    at = td.to_arrow()
+    assert at == pa.struct([
+        pa.field("f1", pa.int32()), pa.field("f2", pa.string()),
+        pa.field("f3", pa.decimal128(12, 2)),
+        pa.field("f4", pa.list_(pa.struct([
+            pa.field("f5", pa.int32()), pa.field("f6", pa.string())]))),
+        pa.field("f7", pa.map_(pa.string(), pa.int64()))])
+    # formatter over a pa.Schema agrees with the original string
+    schema = pa.schema([pa.field(f.name, f.type) for f in at])
+    assert orctypes.from_arrow(schema).orc_string() == td.orc_string()
+
+
+def test_to_spark_and_file_roundtrip(spark, tmp_path):
+    """Declare a schema ORC-first, build a DataFrame with it, write a
+    real .orc through our sink, and read the type string back from
+    the file footer — full reference-workflow parity."""
+    from orc_spark.sources.orcwriter import dataframe_to_orc_dir
+    import glob
+
+    s = ("struct<id:bigint,name:varchar(8),tag:char(2),"
+         "vals:array<int>,props:map<string,bigint>,"
+         "pos:struct<x:double,y:double>>")
+    td = orctypes.parse_orc_type(s)
+    schema = td.to_spark()
+    rows = [(1, "alpha", "ab", [1, 2], {"k": 10},  (0.5, 1.5)),
+            (2, "beta", "cd", [3], {"m": 20}, (2.5, 3.5))]
+    # Spark only keeps CharType/VarcharType in logical plans behind
+    # this flag (otherwise they must be pre-relaxed to string)
+    spark.conf.set("spark.sql.preserveCharVarcharTypeInfo", "true")
+    try:
+        df = spark.createDataFrame(rows, schema)
+        out = str(tmp_path / "typed_orc")
+        dataframe_to_orc_dir(df.coalesce(1), out,
+                             orc_types=td.orc_overrides())
+        files = glob.glob(out + "/*.orc")
+        assert files
+        assert orctypes.orc_string_from_file(files[0]) == s
+        # Spark's JVM ORC reader agrees on the data
+        back = spark.read.orc(out)
+        assert back.count() == 2
+        assert {r["name"] for r in back.collect()} == {"alpha", "beta"}
+        # orc_string_from_spark: everything except char/varchar
+        # round-trips through Spark's Arrow bridge
+        assert orctypes.orc_string_from_spark(df.select(
+            "id", "vals", "props", "pos")) == \
+            ("struct<id:bigint,vals:array<int>,props:map<string,bigint>,"
+             "pos:struct<x:double,y:double>>")
+    finally:
+        spark.conf.set("spark.sql.preserveCharVarcharTypeInfo", "false")
+
+
+def test_golden_file_type_strings():
+    """Reader-side: canonical strings for the Apache ORC example
+    corpus footers."""
+    assert orctypes.orc_string_from_file(
+        "/root/reference/examples/TestOrcFile.test1.orc") == (
+        "struct<boolean1:boolean,byte1:tinyint,short1:smallint,"
+        "int1:int,long1:bigint,float1:float,double1:double,"
+        "bytes1:binary,string1:string,"
+        "middle:struct<list:array<struct<int1:int,string1:string>>>,"
+        "list:array<struct<int1:int,string1:string>>,"
+        "map:map<string,struct<int1:int,string1:string>>>")
+    assert orctypes.orc_string_from_file(
+        "/root/reference/examples/decimal.orc") == \
+        "struct<_col0:decimal(10,5)>"
