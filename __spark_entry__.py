@@ -550,6 +550,27 @@ def _q_orc_file_roundtrip(spark, sf_dir):
         F.countDistinct("doc_id").alias("n_ids"))
 
 
+def _q_orc_scan_pruned(spark, sf_dir):
+    """Distributed ORC SOURCE (r3, sources/orcscan.py): the token
+    table is written to .orc range-partitioned by n_tok (disjoint
+    stripe [min,max] ranges), then read back WITHOUT the JVM ORC
+    reader — one Spark task per (file, stripe), footer
+    StripeStatistics pruning non-matching stripes at planning time,
+    predicate re-applied as a residual so the aggregate is exact."""
+    import tempfile
+    from orc_spark.sources import orcwriter
+    from orc_spark.sources.orcscan import orc_scan
+    tok = token_src.token_table(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="orcscanq_")
+    orcwriter.dataframe_to_orc_dir(
+        tok.repartitionByRange(4, "n_tok"), out, codec="zlib")
+    df = orc_scan(spark, out, predicate=("n_tok", ">=", 60))
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
+        F.countDistinct("doc_id").alias("n_ids"))
+
+
 def _q_stream_encode(spark, sf_dir):
     """Structured Streaming ingestion: stream the token table through
     the stripe-encode foreachBatch pipeline (availableNow trigger),
@@ -780,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
+        "orc_scan_pruned": _q_orc_scan_pruned,
         "stream_encode": _q_stream_encode,
         "stream_dedup": _q_stream_dedup,
         "stream_dedup_near": _q_stream_dedup_near,
@@ -1085,6 +1107,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
             f"count(DISTINCT doc_id) AS n_ids FROM documents"),
+        # same totals restricted to docs with >= 60 whitespace tokens
+        # (the scan's predicate); exactness despite stripe-granularity
+        # pruning is the point
+        "orc_scan_pruned": (
+            f"SELECT count(*) AS n_docs, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
+            f"count(DISTINCT doc_id) AS n_ids FROM documents "
+            f"WHERE {n_tok} >= 60"),
         "stream_encode": (
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok, "

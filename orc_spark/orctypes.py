@@ -311,18 +311,23 @@ def orc_string_from_spark(df_or_schema) -> str:
     return from_arrow(pa.schema(fields)).orc_string()
 
 
-def orc_string_from_file(path: str) -> str:
-    """ORC type string reconstructed from a ``.orc`` file's footer
-    type tree (reader parity: reference reader.go exposes the same
-    through Schema().String())."""
+def type_from_file(path: str) -> OrcType:
+    """OrcType tree reconstructed from a ``.orc`` file's footer
+    (opens only the tail via mmap)."""
     from .sources.orcfile import ORCFile
     f = ORCFile(path)
 
     def build(col: int) -> OrcType:
         t = f.types[col]
-        node = OrcType(t.kind,
+        return OrcType(t.kind,
                        [build(c) for c in t.children],
                        list(t.field_names), t.precision, t.scale,
                        getattr(t, "max_length", 0))
-        return node
-    return build(0).orc_string()
+    return build(0)
+
+
+def orc_string_from_file(path: str) -> str:
+    """ORC type string reconstructed from a ``.orc`` file's footer
+    type tree (reader parity: reference reader.go exposes the same
+    through Schema().String())."""
+    return type_from_file(path).orc_string()
