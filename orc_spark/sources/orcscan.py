@@ -175,6 +175,35 @@ def plan_tasks(files: list[str],
 # -------------------------------------------------------------------
 
 
+def _plan_distributed(spark, files: list[str], predicate) -> DataFrame:
+    """Executor-side planning for large file sets: each task opens its
+    files' TAILS (mmap, footer pages only) and emits kept (path,
+    stripe) rows — the driver never opens a file and the task list
+    never lives in driver memory.  Same pruning as ``plan_tasks``."""
+    import pyarrow as pa
+    fdf = spark.createDataFrame([(f,) for f in files], "path string") \
+        .repartition(min(len(files), 256))
+
+    def kern(batches):
+        for b in batches:
+            paths, stripes = [], []
+            for p in b.column("path").to_pylist():
+                kept, _ = plan_tasks([p], predicate)
+                for q, si in kept:
+                    paths.append(q)
+                    stripes.append(si)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(paths, pa.string()),
+                 pa.array(stripes, pa.int32())],
+                names=["path", "stripe"])
+
+    return fdf.mapInArrow(kern, "path string, stripe int")
+
+
+# files above this count plan on executors instead of the driver
+DRIVER_PLAN_MAX_FILES = 64
+
+
 def orc_scan(spark, path: str, columns: list[str] | None = None,
              predicate=None) -> DataFrame:
     """Read a ``.orc`` file or directory of ``.orc`` files into a
@@ -201,11 +230,19 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
     root_names = root.field_names
     sel = list(columns) if columns else None
 
-    tasks, _ = plan_tasks(files, predicate)
-    if not tasks:
-        return spark.createDataFrame([], schema)
-    tdf = spark.createDataFrame(tasks, "path string, stripe int") \
-        .repartition(len(tasks))
+    if len(files) > DRIVER_PLAN_MAX_FILES:
+        # validate the predicate grammar eagerly (executor planning
+        # would surface it as a task failure); pruning itself runs
+        # distributed and the task list never hits the driver
+        plan_tasks(files[:1], predicate)
+        tdf = _plan_distributed(spark, files, predicate) \
+            .repartition(F.col("path"), F.col("stripe"))
+    else:
+        tasks, _ = plan_tasks(files, predicate)
+        if not tasks:
+            return spark.createDataFrame([], schema)
+        tdf = spark.createDataFrame(tasks, "path string, stripe int") \
+            .repartition(len(tasks))
 
     arrow_schema = pa.schema([(fn, orc_arrow(c))
                               for fn, c in zip(root_names,

@@ -98,6 +98,32 @@ def test_orc_scan_predicate_exact_and_pruned(spark, tmp_path):
     assert proj.columns == ["tag"] and proj.count() == 4000
 
 
+def test_orc_scan_distributed_planning(spark, tmp_path, monkeypatch):
+    """Above DRIVER_PLAN_MAX_FILES the (file, stripe) task list is
+    built ON EXECUTORS (footer-only mmap per task) — results must be
+    identical to driver-side planning."""
+    for i in range(4):
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(np.arange(i * 100, (i + 1) * 100,
+                                dtype=np.int64))], names=["v"])
+        w = orcwriter.ORCFileWriter(str(tmp_path / f"p{i}.orc"),
+                                    codec="zlib", stripe_rows=50)
+        w.write_batch(batch)
+        w.close()
+    driver_rows = orcscan.orc_scan(
+        spark, str(tmp_path), predicate=("v", ">=", 170)) \
+        .orderBy("v").collect()
+    monkeypatch.setattr(orcscan, "DRIVER_PLAN_MAX_FILES", 2)
+    dist_rows = orcscan.orc_scan(
+        spark, str(tmp_path), predicate=("v", ">=", 170)) \
+        .orderBy("v").collect()
+    assert [r["v"] for r in driver_rows] == list(range(170, 400))
+    assert dist_rows == driver_rows
+    # bad predicate still fails fast (validated before planning)
+    with pytest.raises(ValueError):
+        orcscan.orc_scan(spark, str(tmp_path), predicate=("v", "~", 1))
+
+
 def test_orc_scan_union_file(spark):
     """Spark's JVM ORC reader cannot read uniontype at all; our scan
     surfaces it as the sparse (tag, _u0, _u1) struct."""
