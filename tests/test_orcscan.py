@@ -140,6 +140,100 @@ def test_orc_scan_union_file(spark):
     assert row["union"]["_u1"] is None
 
 
+def test_orc_scan_fuzz_vs_pyarrow(spark, tmp_path):
+    """Seeded fuzz: random nested schemas written by our sink must
+    read identically through orc_scan (Spark + our kernels) and
+    pyarrow's independent C++ ORC reader."""
+    from datetime import date, datetime
+    from pyarrow import orc as pa_orc
+    rng = np.random.default_rng(7)
+
+    def rand_col(n, depth=0):
+        k = int(rng.integers(0, 9 if depth >= 1 else 12))
+        null = lambda v: None if rng.random() < 0.12 else v  # noqa: E731
+        if k == 0:
+            return pa.array([null(int(rng.integers(-2**40, 2**40)))
+                             for _ in range(n)], pa.int64())
+        if k == 1:
+            return pa.array([null(float(rng.normal()))
+                             for _ in range(n)], pa.float64())
+        if k == 2:
+            return pa.array([null(bool(rng.random() < .5))
+                             for _ in range(n)], pa.bool_())
+        if k == 3:
+            return pa.array([null(f"v{int(rng.integers(0, 50))}")
+                             for _ in range(n)], pa.string())
+        if k == 4:
+            return pa.array(
+                [null(bytes(rng.integers(0, 256, rng.integers(0, 6))
+                            .astype("u1"))) for _ in range(n)],
+                pa.binary())
+        if k == 5:
+            return pa.array([null(int(rng.integers(0, 20000)))
+                             for _ in range(n)], pa.date32())
+        if k == 6:
+            return pa.array([null(int(rng.integers(0, 2**47)))
+                             for _ in range(n)], pa.timestamp("us"))
+        if k == 7:
+            return pa.array([null(int(rng.integers(-2**20, 2**20)))
+                             for _ in range(n)], pa.int32())
+        if k == 8:
+            return pa.array([null(float(rng.normal()))
+                             for _ in range(n)], pa.float32())
+        if k == 9:  # list
+            lens = [None if rng.random() < .1 else int(rng.integers(0, 4))
+                    for _ in range(n)]
+            child = rand_col(sum(x or 0 for x in lens), depth + 1)
+            out, off = [], 0
+            for ln in lens:
+                if ln is None:
+                    out.append(None)
+                else:
+                    out.append(child[off:off + ln].to_pylist())
+                    off += ln
+            return pa.array(out, pa.list_(child.type))
+        if k == 10:  # struct
+            a, b = rand_col(n, depth + 1), rand_col(n, depth + 1)
+            return pa.StructArray.from_arrays([a, b], ["x", "y"])
+        # map
+        out = [{f"k{j}": int(rng.integers(0, 99))
+                for j in range(int(rng.integers(0, 4)))}
+               for _ in range(n)]
+        return pa.array(out, pa.map_(pa.string(), pa.int64()))
+
+    def canon(v):
+        if isinstance(v, (date, datetime)):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        if isinstance(v, float):
+            return round(v, 9)
+        if isinstance(v, dict):
+            return sorted((str(k), canon(x)) for k, x in v.items())
+        if isinstance(v, (list, tuple)):
+            if v and isinstance(v[0], tuple) and len(v[0]) == 2:
+                # pyarrow map: list of (k, v) pairs
+                return sorted((str(k), canon(x)) for k, x in v)
+            return [canon(x) for x in v]
+        return v
+
+    for trial in range(4):
+        n = int(rng.integers(5, 600))
+        t = pa.table({"_rid": pa.array(np.arange(n, dtype=np.int64)),
+                      **{f"c{i}": rand_col(n) for i in range(3)}})
+        path = str(tmp_path / f"f{trial}.orc")
+        orcwriter.write_orc(t, path, codec="zlib",
+                            stripe_rows=max(8, n // 3))
+        want = sorted(pa_orc.read_table(path).to_pylist(),
+                      key=lambda r: r["_rid"])
+        got = [r.asDict(recursive=True) for r in
+               orcscan.orc_scan(spark, path).orderBy("_rid").collect()]
+        assert len(got) == len(want), trial
+        for g, w in zip(got, want):
+            for c in t.column_names:
+                assert canon(g[c]) == canon(w[c]), (trial, c, g, w)
+
+
 def test_orc_scan_nested_golden_matches_row_reader(spark):
     """test1.orc: struct/list/map/binary columns round through the
     scan identically to the direct row reader."""
