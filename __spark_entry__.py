@@ -478,11 +478,11 @@ def _q_sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(spark, path, list(query), k=10, nprobe=8)
 
 
-def _q_sim_knn_join(spark, sf_dir):
-    """kNN-join recall oracle: each probe p in 0..4 gets 3 planted
-    near-neighbors (0.85*v_p + 0.15*v_{100+3p+j}); the banded LSH join
-    must recover them as the exact top-3, verified against DuckDB's
-    exact window ranking."""
+def _knn_planted(spark, sf_dir):
+    """Shared planted corpus for BOTH knn-join queries (they share one
+    DuckDB oracle, so the geometry must stay identical): each probe p
+    in 0..4 gets 3 planted near-neighbors
+    (0.85*v_p + 0.15*v_{100+3p+j}).  Returns (table, probes)."""
     emb = _emb(spark, sf_dir)
     src = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 115)) \
         .select(F.col("vec_id").alias("sid"),
@@ -495,8 +495,14 @@ def _q_sim_knn_join(spark, sf_dir):
         (F.col("sid") - 100 + 1_000_000).alias("vec_id"),
         _mix_emb("ep", "esrc", 0.85, 0.15).alias("embedding"),
         F.lit(0).alias("label"))
-    table = emb.unionByName(planted)
-    probes = emb.where(F.col("vec_id") < 5)
+    return emb.unionByName(planted), emb.where(F.col("vec_id") < 5)
+
+
+def _q_sim_knn_join(spark, sf_dir):
+    """kNN-join recall oracle: the banded LSH join must recover the
+    planted neighbors as the exact top-3, verified against DuckDB's
+    exact window ranking."""
+    table, probes = _knn_planted(spark, sf_dir)
     return similarity.knn_join(table, probes, k=3) \
         .select("probe_id", "nn_id", "cosine", "rank")
 
@@ -508,23 +514,10 @@ def _q_sim_knn_join_index(spark, sf_dir):
     and exact-top-3 oracle as sim_knn_join — the index round-trip must
     not change a single neighbor."""
     import tempfile
-    emb = _emb(spark, sf_dir)
-    src = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 115)) \
-        .select(F.col("vec_id").alias("sid"),
-                F.col("embedding").alias("esrc"),
-                F.floor((F.col("vec_id") - 100) / 3).alias("pid"))
-    pr = emb.where(F.col("vec_id") < 5) \
-        .select(F.col("vec_id").alias("pid"),
-                F.col("embedding").alias("ep"))
-    planted = src.join(F.broadcast(pr), "pid").select(
-        (F.col("sid") - 100 + 1_000_000).alias("vec_id"),
-        _mix_emb("ep", "esrc", 0.85, 0.15).alias("embedding"),
-        F.lit(0).alias("label"))
-    table = emb.unionByName(planted)
-    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    table, probes = _knn_planted(spark, sf_dir)
+    dim = table.select(F.size("embedding").alias("d")).first()["d"]
     path = tempfile.mkdtemp(prefix="knnidx_") + "/idx"
     similarity.build_ann_index(table, path, dim)
-    probes = emb.where(F.col("vec_id") < 5)
     return similarity.knn_join_index(spark, path, probes, k=3) \
         .select("probe_id", "nn_id", "cosine", "rank")
 

@@ -527,7 +527,6 @@ def _emit_ops(out: bytearray, v: np.ndarray, ops: list, signed: bool) -> None:
     v_idx = [i for i, op in enumerate(ops) if op[0] == 0]
     decision = params = None
     zz = None
-    be = None
     dv = None
     if v_idx:
         starts = np.array([ops[i][1] for i in v_idx], dtype=np.int64)
@@ -568,7 +567,8 @@ def _emit_ops(out: bytearray, v: np.ndarray, ops: list, signed: bool) -> None:
                 # cold first-touch alloc dominated runs where variable
                 # segments are a tiny fraction (measured 742 ms cold
                 # for a 4M-value array with a 20-value tail)
-                seg_be = zz[s:e].astype(">u8").view(np.uint8)                     .reshape(ln, 8)
+                seg_be = zz[s:e].astype(">u8").view(np.uint8) \
+                    .reshape(ln, 8)
                 out.extend(seg_be[:, col:].tobytes())
             elif ln <= _SMALL_SEGMENT:
                 out.extend(_pack_bits_int(zz[s:e].tolist(), fb))

@@ -240,15 +240,23 @@ def _parse(cur: _Cursor) -> OrcType:
             node.field_names.append(cur.name())
             cur.take(":")
             node.children.append(_parse(cur))
-            if cur.peek() == ",":
+            if cur.peek() != ">":
+                # a separator must introduce ANOTHER field — trailing
+                # commas are invalid in the reference grammar
                 cur.take(",")
+                if cur.peek() == ">":
+                    raise ValueError(
+                        f"trailing comma in {cur.s!r} at {cur.i}")
         cur.take(">")
     elif k in ("list", "map", "union"):
         cur.take("<")
         while cur.peek() != ">":
             node.children.append(_parse(cur))
-            if cur.peek() == ",":
+            if cur.peek() != ">":
                 cur.take(",")
+                if cur.peek() == ">":
+                    raise ValueError(
+                        f"trailing comma in {cur.s!r} at {cur.i}")
         cur.take(">")
         want = {"list": (1, 1), "map": (2, 2), "union": (1, 64)}[k]
         if not want[0] <= len(node.children) <= want[1]:
@@ -311,19 +319,23 @@ def orc_string_from_spark(df_or_schema) -> str:
     return from_arrow(pa.schema(fields)).orc_string()
 
 
-def type_from_file(path: str) -> OrcType:
-    """OrcType tree reconstructed from a ``.orc`` file's footer
-    (opens only the tail via mmap)."""
-    from .sources.orcfile import ORCFile
-    f = ORCFile(path)
-
+def type_from_types(types: list) -> OrcType:
+    """OrcType tree from a reader's parsed footer ``types`` list
+    (``ORCFile.types``)."""
     def build(col: int) -> OrcType:
-        t = f.types[col]
+        t = types[col]
         return OrcType(t.kind,
                        [build(c) for c in t.children],
                        list(t.field_names), t.precision, t.scale,
                        getattr(t, "max_length", 0))
     return build(0)
+
+
+def type_from_file(path: str) -> OrcType:
+    """OrcType tree reconstructed from a ``.orc`` file's footer
+    (opens only the tail via mmap)."""
+    from .sources.orcfile import ORCFile
+    return type_from_types(ORCFile(path).types)
 
 
 def orc_string_from_file(path: str) -> str:

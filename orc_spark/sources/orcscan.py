@@ -133,21 +133,36 @@ def _stats_can_match(st: dict, op: str, val) -> bool:
     raise ValueError(f"orc_scan: unknown predicate op {op!r}")
 
 
-def plan_tasks(files: list[str],
-               predicate=None) -> tuple[list[tuple[str, int]], int]:
+def _pred_list(predicate) -> list[tuple]:
+    if predicate is None:
+        return []
+    preds = [predicate] if isinstance(predicate, tuple) \
+        else list(predicate)
+    for _, op, _ in preds:
+        if op not in _OPS:
+            raise ValueError(f"orc_scan: unknown op {op!r}")
+    return preds
+
+
+def plan_tasks(files: list[str], predicate=None,
+               expect_type: str | None = None
+               ) -> tuple[list[tuple[str, int]], int]:
     """(kept (file, stripe) tasks, total stripe count).  Opens only
-    file tails (mmap) — no stripe data is touched at planning time."""
-    preds = []
-    if predicate is not None:
-        preds = [predicate] if isinstance(predicate, tuple) \
-            else list(predicate)
-        for col, op, _ in preds:
-            if op not in _OPS:
-                raise ValueError(f"orc_scan: unknown op {op!r}")
+    file tails (mmap) — no stripe data is touched at planning time.
+    ``expect_type``: canonical ORC type string every file's footer
+    must match — schema drift inside a directory fails LOUDLY here
+    instead of silently null-filling columns at read time."""
+    preds = _pred_list(predicate)
     tasks: list[tuple[str, int]] = []
     total = 0
     for path in files:
         f = ORCFile(path)
+        if expect_type is not None:
+            got = orctypes.type_from_types(f.types).orc_string()
+            if got != expect_type:
+                raise ValueError(
+                    f"orc_scan: schema drift — {path} has {got}, "
+                    f"expected {expect_type}")
         root = f.types[0]
         col_ids = dict(zip(root.field_names, root.children))
         for col, _, _ in preds:
@@ -175,11 +190,14 @@ def plan_tasks(files: list[str],
 # -------------------------------------------------------------------
 
 
-def _plan_distributed(spark, files: list[str], predicate) -> DataFrame:
-    """Executor-side planning for large file sets: each task opens its
-    files' TAILS (mmap, footer pages only) and emits kept (path,
-    stripe) rows — the driver never opens a file and the task list
-    never lives in driver memory.  Same pruning as ``plan_tasks``."""
+def _plan_distributed(spark, files: list[str], predicate,
+                      expect_type: str) -> DataFrame:
+    """Executor-side planning for large file sets: each planning task
+    opens its files' TAILS (mmap, footer pages only) and emits kept
+    (path, stripe) rows — the driver opens only the FIRST file (for
+    the schema) and the task list never lives in driver memory.
+    Same pruning and schema-drift validation as ``plan_tasks``
+    (a drifted file fails the planning task loudly)."""
     import pyarrow as pa
     fdf = spark.createDataFrame([(f,) for f in files], "path string") \
         .repartition(min(len(files), 256))
@@ -188,7 +206,7 @@ def _plan_distributed(spark, files: list[str], predicate) -> DataFrame:
         for b in batches:
             paths, stripes = [], []
             for p in b.column("path").to_pylist():
-                kept, _ = plan_tasks([p], predicate)
+                kept, _ = plan_tasks([p], predicate, expect_type)
                 for q, si in kept:
                     paths.append(q)
                     stripes.append(si)
@@ -214,33 +232,50 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         if os.path.isdir(path) else [path]
     if not files:
         raise ValueError(f"orc_scan: no .orc files under {path}")
-    root = orctypes.type_from_file(files[0])
+    full_root = orctypes.type_from_file(files[0])
+    expect_type = full_root.orc_string()
+    preds = _pred_list(predicate)
+    for col, _, _ in preds:
+        if col not in full_root.field_names:
+            raise ValueError(
+                f"orc_scan: predicate column {col!r} not in "
+                f"{full_root.field_names}")
+    root = full_root
     if columns:
         missing = [c for c in columns if c not in root.field_names]
         if missing:
             raise ValueError(f"orc_scan: no such column(s) {missing}; "
                              f"file has {root.field_names}")
+        # the INTERNAL projection also carries predicate columns so
+        # the residual filter can run; they are dropped from the
+        # public result below
+        need = set(columns) | {c for c, _, _ in preds}
         keep = [(fn, c) for fn, c in
-                zip(root.field_names, root.children) if fn in columns]
+                zip(root.field_names, root.children) if fn in need]
         root = orctypes.OrcType(
             "struct", [c for _, c in keep], [fn for fn, _ in keep])
     schema = _spark_of(root)
     # plain-dict closure state for the kernel (no Spark objects)
     root_children = root.children
     root_names = root.field_names
-    sel = list(columns) if columns else None
+    sel = list(root_names) if columns else None
 
     if len(files) > DRIVER_PLAN_MAX_FILES:
-        # validate the predicate grammar eagerly (executor planning
-        # would surface it as a task failure); pruning itself runs
-        # distributed and the task list never hits the driver
-        plan_tasks(files[:1], predicate)
-        tdf = _plan_distributed(spark, files, predicate) \
-            .repartition(F.col("path"), F.col("stripe"))
+        # pruning + drift validation run distributed; the count() is a
+        # distributed aggregate (the task list never hits the driver)
+        # priced at one extra footer-only planning pass, and buys the
+        # same one-task-per-stripe fan-out as the driver path
+        tdf = _plan_distributed(spark, files, predicate, expect_type)
+        n_tasks = tdf.count()
+        if n_tasks == 0:
+            out = spark.createDataFrame([], schema)
+            return out.select(*columns) if columns else out
+        tdf = tdf.repartition(n_tasks)
     else:
-        tasks, _ = plan_tasks(files, predicate)
+        tasks, _ = plan_tasks(files, predicate, expect_type)
         if not tasks:
-            return spark.createDataFrame([], schema)
+            out = spark.createDataFrame([], schema)
+            return out.select(*columns) if columns else out
         tdf = spark.createDataFrame(tasks, "path string, stripe int") \
             .repartition(len(tasks))
 
@@ -268,16 +303,15 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                                                  schema=arrow_schema)
 
     out = tdf.mapInArrow(kernel, schema)
-    if predicate is not None:
-        preds = [predicate] if isinstance(predicate, tuple) \
-            else list(predicate)
-        for col, op, val in preds:
-            c = F.col(col)
-            cond = {">=": c >= val, ">": c > val, "<=": c <= val,
-                    "<": c < val, "==": c == val}.get(op)
-            if cond is None:  # between
-                cond = c.between(val[0], val[1])
-            out = out.where(cond)
+    for col, op, val in preds:
+        c = F.col(col)
+        cond = {">=": c >= val, ">": c > val, "<=": c <= val,
+                "<": c < val, "==": c == val}.get(op)
+        if cond is None:  # between
+            cond = c.between(val[0], val[1])
+        out = out.where(cond)
+    if columns:
+        out = out.select(*columns)
     return out
 
 

@@ -96,6 +96,21 @@ def test_orc_scan_predicate_exact_and_pruned(spark, tmp_path):
     proj = orcscan.orc_scan(spark, p, columns=["tag"],
                             predicate=None)
     assert proj.columns == ["tag"] and proj.count() == 4000
+    # projection + predicate on a NON-projected column: the residual
+    # filter runs on an internal projection, the output drops it
+    pp = orcscan.orc_scan(spark, p, columns=["tag"],
+                          predicate=("v", ">=", 3100))
+    assert pp.columns == ["tag"] and pp.count() == 900
+
+
+def test_orc_scan_schema_drift_fails_loudly(spark, tmp_path):
+    _write_sorted_orc(tmp_path / "a.orc")
+    w = orcwriter.ORCFileWriter(str(tmp_path / "b.orc"), codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array([1.5, 2.5])], names=["other"]))
+    w.close()
+    with pytest.raises(Exception, match="schema drift"):
+        orcscan.orc_scan(spark, str(tmp_path)).count()
 
 
 def test_orc_scan_distributed_planning(spark, tmp_path, monkeypatch):

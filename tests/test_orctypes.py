@@ -56,7 +56,8 @@ def test_to_json_nested_ids():
 def test_parse_errors():
     for bad in ["struct<f1:int", "foo", "decimal(39,1)", "char()",
                 "char(0)", "map<string>", "array<int,int>",
-                "struct<f1:int>x", "varchar"]:
+                "struct<f1:int>x", "varchar",
+                "struct<f1:int,>", "map<string,int,>"]:
         with pytest.raises(ValueError):
             orctypes.parse_orc_type(bad)
 
