@@ -137,6 +137,50 @@ def test_to_spark_and_file_roundtrip(spark, tmp_path):
         spark.conf.set("spark.sql.preserveCharVarcharTypeInfo", "false")
 
 
+def test_random_type_trees_roundtrip():
+    """Seeded random type trees: orc_string -> parse -> orc_string is
+    a fixed point, and to_json ids stay consistent (max == largest id
+    in every subtree)."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    PRIMS = ["boolean", "tinyint", "smallint", "int", "bigint",
+             "float", "double", "string", "date", "timestamp",
+             "binary", "decimal(12,3)", "char(7)", "varchar(99)"]
+
+    def rand_type(depth):
+        k = int(rng.integers(0, 8 if depth < 3 else 1))
+        if k <= 3:
+            return PRIMS[int(rng.integers(0, len(PRIMS)))]
+        if k == 4:
+            return f"array<{rand_type(depth + 1)}>"
+        if k == 5:
+            return f"map<{rand_type(depth + 1)},{rand_type(depth + 1)}>"
+        if k == 6:
+            nf = int(rng.integers(1, 4))
+            inner = ",".join(f"f{i}:{rand_type(depth + 1)}"
+                             for i in range(nf))
+            return f"struct<{inner}>"
+        nf = int(rng.integers(1, 4))
+        return "uniontype<" + ",".join(rand_type(depth + 1)
+                                       for _ in range(nf)) + ">"
+
+    def check_ids(j):
+        kids = list(j.get("fields", {}).values()) + j.get("children", [])
+        sub_max = j["id"]
+        for c in kids:
+            assert c["id"] > j["id"]
+            sub_max = max(sub_max, check_ids(c))
+        assert j["max"] == sub_max, j
+        return sub_max
+
+    for _ in range(120):
+        s = rand_type(0)
+        td = orctypes.parse_orc_type(s)
+        assert td.orc_string() == s
+        assert orctypes.parse_orc_type(td.orc_string()).orc_string() == s
+        check_ids(td.to_json())
+
+
 def test_golden_file_type_strings():
     """Reader-side: canonical strings for the Apache ORC example
     corpus footers."""
