@@ -328,13 +328,18 @@ def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
 def knn_join_index(spark, path: str, probes: DataFrame, k: int = 5,
                    emb_col: str = "embedding",
                    id_col: str = "vec_id",
-                   exclude_self: bool = True) -> DataFrame:
+                   exclude_self: bool = True,
+                   max_bucket: int | None = 100_000) -> DataFrame:
     """knn_join against a MATERIALIZED index (build_ann_index): the
     base table's signatures are read back instead of re-hashed, so a
     repeated/incremental probe workload pays only the probe-side
     hashing — the scale path when the base is large and probes arrive
     in batches.  Build parameters come from the index's _meta.json
-    (mismatched planes/bands/seed are impossible by construction)."""
+    (mismatched planes/bands/seed are impossible by construction).
+    ``max_bucket``: index buckets above the cap are dropped before
+    the probe join (same guard as the ad-hoc ``knn_join`` — a viral
+    bucket would otherwise become a straggler for EVERY probe that
+    hashes into it)."""
     import json as _json
     import os as _os
     from pyspark.sql.window import Window
@@ -344,6 +349,13 @@ def knn_join_index(spark, path: str, probes: DataFrame, k: int = 5,
     base_b = idx.select(F.col(id_col).alias("nn_id"),
                         F.col(emb_col).alias("nn_emb"),
                         "band", "bsig")
+    if max_bucket is not None:
+        hot = (base_b.groupBy("band", "bsig")
+               .agg(F.count("*").alias("_bsz"))
+               .where(F.col("_bsz") > max_bucket)
+               .select("band", "bsig"))
+        base_b = base_b.join(F.broadcast(hot), ["band", "bsig"],
+                             "left_anti")
     probe_b = band_explode(
         add_lsh_signature(probes, meta["dim"], meta["n_planes"],
                           meta["seed"], emb_col),

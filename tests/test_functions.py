@@ -550,3 +550,8 @@ def test_knn_join_index_matches_adhoc(spark, emb, tmp_path):
     want = {(r["probe_id"], r["rank"]): r["nn_id"]
             for r in similarity.knn_join(emb, probes, k=3).collect()}
     assert got == want and len(want) == 30
+    # hot-bucket cap: with a tiny cap most index buckets drop, so the
+    # probe fan-out is bounded (results shrink, never error)
+    capped = similarity.knn_join_index(spark, path, probes, k=3,
+                                       max_bucket=2).collect()
+    assert len(capped) <= len(want)
