@@ -214,6 +214,35 @@ class ORCFile:
     # ------------------------------------------------------------------
     def read_stripe(self, si: int) -> list:
         """Decode stripe si -> list of python row values for the root."""
+        n_rows = self._load_stripe_directory(si)
+        return self._read_column(0, n_rows)
+
+    def read_stripe_columns(self, si: int) -> tuple[dict, int]:
+        """Column-major stripe decode: ({root field -> value list},
+        n_rows), honoring ``select()``.  Skips the per-row dict
+        assembly of ``read_stripe`` — the fast path for columnar
+        consumers (orc_scan builds Arrow arrays straight from these
+        lists).  Falls back to the row path if the root struct itself
+        carries nulls (pathological; never written by our sink)."""
+        n_rows = self._load_stripe_directory(si)
+        root = self.types[0]
+        valid, n_valid = self._present(0, n_rows)
+        if valid is not None and n_valid != n_rows:
+            rows = self._read_column(0, n_rows)
+            names = root.field_names
+            return ({fn: [None if r is None else r.get(fn)
+                          for r in rows] for fn in names}, n_rows)
+        selected = getattr(self, "_selected", None)
+        out = {}
+        for c, fn in zip(root.children, root.field_names):
+            if selected is not None and fn not in selected:
+                continue
+            out[fn] = self._read_column(c, n_rows)
+        return out, n_rows
+
+    def _load_stripe_directory(self, si: int) -> int:
+        """Parse stripe si's footer: set encodings/dict sizes/writer
+        tz and the stream directory; returns the stripe row count."""
         info = self.stripes[si]
         offset = info.get(1, [0])[0]
         index_len = info.get(2, [0])[0]
@@ -243,7 +272,7 @@ class ORCFile:
                 streams[(col, kind)] = self.data[pos:pos + ln]
             pos += ln
         self._streams = streams
-        return self._read_column(0, n_rows)
+        return n_rows
 
     # ------------------------------------------------------------------
     def _stream(self, col: int, kind: str) -> bytes | None:

@@ -75,6 +75,18 @@ def _spark_of(node: orctypes.OrcType):
     raise ValueError(f"orc_scan: unsupported ORC kind {k}")
 
 
+def _needs_conv(node: orctypes.OrcType) -> bool:
+    """True if values of this type require Python-side conversion
+    before pa.array() — identity kinds (bools/ints/floats/strings)
+    and containers of identity kinds skip ``_conv`` entirely."""
+    k = node.kind
+    if k in ("binary", "date", "timestamp", "map", "union"):
+        return True
+    if k in ("struct", "list"):
+        return any(_needs_conv(c) for c in node.children)
+    return False
+
+
 def _conv(node: orctypes.OrcType, v):
     """Row-reader value -> Spark-native value (recursive over the
     type tree; None passes through at every level)."""
@@ -283,6 +295,8 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                               for fn, c in zip(root_names,
                                                root_children)])
 
+    conv_flags = [_needs_conv(c) for c in root_children]
+
     def kernel(batches):
         readers: dict[str, ORCFile] = {}
         for b in batches:
@@ -294,12 +308,20 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                     if sel:
                         f.select(*sel)
                     readers[p] = f
-                rows = f.read_stripe(si)
-                pylist = [
-                    {fn: _conv(c, r.get(fn))
-                     for fn, c in zip(root_names, root_children)}
-                    for r in rows]
-                yield pa.RecordBatch.from_pylist(pylist,
+                # column-major decode: Arrow arrays built straight
+                # from the per-column value lists; identity-typed
+                # columns (ints/floats/strings and containers
+                # thereof) skip Python conversion entirely
+                cols, _ = f.read_stripe_columns(si)
+                arrays = []
+                for fn, node, needs in zip(root_names, root_children,
+                                           conv_flags):
+                    vals = cols[fn]
+                    if needs:
+                        vals = [_conv(node, v) for v in vals]
+                    arrays.append(pa.array(
+                        vals, type=arrow_schema.field(fn).type))
+                yield pa.RecordBatch.from_arrays(arrays,
                                                  schema=arrow_schema)
 
     out = tdf.mapInArrow(kernel, schema)
