@@ -13,6 +13,11 @@ Open/Select/Stripes/Next cursor loop, re-expressed as a Spark scan):
   list, same grammar as ``operators.encode.decode``) BEFORE any task
   launches; the predicate is re-applied as a residual row filter so
   results are exact.
+* **row-group skipping inside stripes** — on stride-restart files
+  (our writer's ROW_INDEX), each task consults per-stride stats
+  (+ per-stride bloom filters for ``==``) and decompresses only
+  strides that can match; Java-written files fall back to
+  whole-stripe decode transparently.
 * **column projection** — ``columns=[...]`` maps to ``ORCFile.select``
   (only those streams are decompressed).
 * reads files Spark's built-in reader rejects: ``uniontype`` columns
@@ -202,6 +207,32 @@ def plan_tasks(files: list[str], predicate=None,
 # -------------------------------------------------------------------
 
 
+def stride_keep(f: ORCFile, si: int, preds: list[tuple],
+                col_ids: dict[str, int]) -> list[int] | None:
+    """Row-group strides of stripe ``si`` that can match ``preds``,
+    from ROW_INDEX per-stride stats (intersected with per-stride
+    bloom filters for ``==`` predicates when present).  None = no
+    usable index (decode the whole stripe)."""
+    if not f.row_index_stride or not preds:
+        return None
+    n_rows = f.stripes[si].get(5, [0])[0]
+    stride = f.row_index_stride
+    n_strides = (n_rows + stride - 1) // stride
+    all_idx = f._row_indexes(si)
+    keep = set(range(n_strides))
+    for col, op, val in preds:
+        entries = all_idx.get(col_ids[col], [])
+        if len(entries) < n_strides:
+            return None  # index missing/short: no stride pruning
+        keep = {t for t in keep
+                if _stats_can_match(entries[t]["stats"], op, val)}
+        if op == "==":
+            bs = f.bloom_strides(si, col_ids[col], val)
+            if bs is not None:
+                keep &= set(bs)
+    return sorted(keep)
+
+
 def _plan_distributed(spark, files: list[str], predicate,
                       expect_type: str) -> DataFrame:
     """Executor-side planning for large file sets: each planning task
@@ -296,6 +327,7 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                                                root_children)])
 
     conv_flags = [_needs_conv(c) for c in root_children]
+    pred_cols = {c for c, _, _ in preds}
 
     def kernel(batches):
         readers: dict[str, ORCFile] = {}
@@ -308,11 +340,33 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                     if sel:
                         f.select(*sel)
                     readers[p] = f
-                # column-major decode: Arrow arrays built straight
-                # from the per-column value lists; identity-typed
-                # columns (ints/floats/strings and containers
-                # thereof) skip Python conversion entirely
-                cols, _ = f.read_stripe_columns(si)
+                cols = None
+                if pred_cols:
+                    # row-group skip INSIDE the stripe: ROW_INDEX
+                    # per-stride stats (+ bloom for ==) decide which
+                    # strides to decompress; stride-restart files
+                    # slice streams, others fall back whole-stripe
+                    root = f.types[0]
+                    cids = dict(zip(root.field_names, root.children))
+                    ks = stride_keep(f, si, preds, cids)
+                    if ks is not None:
+                        n_rows = f.stripes[si].get(5, [0])[0]
+                        n_str = -(-n_rows // f.row_index_stride)
+                        if not ks:
+                            continue  # no stride can match
+                        if len(ks) < n_str:
+                            try:
+                                rows = f.read_stripe_strides(si, ks)
+                                cols = {fn: [r.get(fn) for r in rows]
+                                        for fn in root_names}
+                            except ValueError:
+                                cols = None
+                if cols is None:
+                    # column-major decode: Arrow arrays built straight
+                    # from the per-column value lists; identity-typed
+                    # columns (ints/floats/strings and containers
+                    # thereof) skip Python conversion entirely
+                    cols, _ = f.read_stripe_columns(si)
                 arrays = []
                 for fn, node, needs in zip(root_names, root_children,
                                            conv_flags):

@@ -113,6 +113,34 @@ def test_orc_scan_schema_drift_fails_loudly(spark, tmp_path):
         orcscan.orc_scan(spark, str(tmp_path)).count()
 
 
+def test_stride_keep_and_scan_row_group_skip(spark, tmp_path):
+    """Inside a kept stripe, only ROW_INDEX strides whose stats can
+    match are decoded (stride-restart slicing); results stay exact."""
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(4000, dtype=np.int64))], names=["v"])
+    p = str(tmp_path / "s.orc")
+    w = orcwriter.ORCFileWriter(p, codec="zlib", stripe_rows=2000,
+                                row_index_stride=512)
+    w.write_batch(batch)
+    w.close()
+    f = ORCFile(p)
+    root = f.types[0]
+    cids = dict(zip(root.field_names, root.children))
+    # stripe 1 holds rows 2000-3999 in strides of 512 starting at
+    # 2000: v >= 3600 can only live in the last stride (3536-3999)
+    ks = orcscan.stride_keep(f, 1, [("v", ">=", 3600)], cids)
+    assert ks == [3]
+    ks = orcscan.stride_keep(f, 0, [("v", "==", 777)], cids)
+    assert ks == [1]  # 512 <= 777 < 1024
+    # end-to-end exactness through the stride-sliced kernel path
+    rows = orcscan.orc_scan(spark, p, predicate=("v", ">=", 3600)) \
+        .orderBy("v").collect()
+    assert [r["v"] for r in rows] == list(range(3600, 4000))
+    rows = orcscan.orc_scan(spark, p, predicate=("v", "==", 777)) \
+        .collect()
+    assert [r["v"] for r in rows] == [777]
+
+
 def test_orc_scan_distributed_planning(spark, tmp_path, monkeypatch):
     """Above DRIVER_PLAN_MAX_FILES the (file, stripe) task list is
     built ON EXECUTORS (footer-only mmap per task) — results must be
