@@ -38,6 +38,28 @@ def test_orc2csv_missing_column_errors():
     assert "no such column" in str(e.value)
 
 
+def test_orc2csv_whole_golden_corpus_row_counts():
+    """Every golden example with an expected output streams through
+    orc2csv with the expected row count (smoke over all types,
+    compressions, and RLE versions the corpus covers)."""
+    import csv
+    import glob
+    import os
+    from orc_spark.sources.orcfile import load_expected
+    expected_files = sorted(glob.glob(f"{EX}/expected/*.jsn.gz"))
+    assert len(expected_files) >= 20
+    for exp in expected_files:
+        name = os.path.basename(exp)[:-7]
+        orc = f"{EX}/{name}.orc"
+        if not os.path.exists(orc):
+            continue
+        buf = io.StringIO()
+        orc2csv.main(["-f", orc], out=buf)
+        buf.seek(0)
+        n_rows = sum(1 for _ in csv.reader(buf))
+        assert n_rows == len(load_expected(exp)), name
+
+
 def test_orc2csv_module_entrypoint():
     res = subprocess.run(
         [sys.executable, "-m", "orc_spark.tools.orc2csv",
