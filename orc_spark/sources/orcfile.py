@@ -229,7 +229,9 @@ class ORCFile:
         valid, n_valid = self._present(0, n_rows)
         if valid is not None and n_valid != n_rows:
             rows = self._read_column(0, n_rows)
-            names = root.field_names
+            sel_rn = getattr(self, "_selected", None)
+            names = [fn for fn in root.field_names
+                     if sel_rn is None or fn in sel_rn]
             return ({fn: [None if r is None else r.get(fn)
                           for r in rows] for fn in names}, n_rows)
         selected = getattr(self, "_selected", None)
@@ -594,7 +596,14 @@ class ORCFile:
     def _row_indexes(self, si: int) -> dict[int, list[dict]]:
         """ALL columns' ROW_INDEX entries in one stripe-footer parse +
         one directory pass (per-column row_index() calls re-parsed the
-        footer O(cols) times on wide schemas)."""
+        footer O(cols) times on wide schemas).  The LAST stripe's
+        result is memoized: pruning + slicing consult the index
+        several times per stripe (stride_keep, read_stripe_strides),
+        and a one-entry cache bounds memory while a scan task walks
+        stripes sequentially."""
+        cached = getattr(self, "_ri_cache", None)
+        if cached is not None and cached[0] == si:
+            return cached[1]
         info = self.stripes[si]
         offset = info.get(1, [0])[0]
         footer_len = info.get(4, [0])[0]
@@ -622,6 +631,7 @@ class ORCFile:
                          "stats": stats})
                 out[c] = entries
             pos += ln
+        self._ri_cache = (si, out)
         return out
 
     def row_index(self, si: int, col: int) -> list[dict]:

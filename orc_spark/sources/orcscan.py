@@ -208,11 +208,14 @@ def plan_tasks(files: list[str], predicate=None,
 
 
 def stride_keep(f: ORCFile, si: int, preds: list[tuple],
-                col_ids: dict[str, int]) -> list[int] | None:
-    """Row-group strides of stripe ``si`` that can match ``preds``,
-    from ROW_INDEX per-stride stats (intersected with per-stride
-    bloom filters for ``==`` predicates when present).  None = no
-    usable index (decode the whole stripe)."""
+                col_ids: dict[str, int]
+                ) -> tuple[list[int], int] | None:
+    """(row-group strides of stripe ``si`` that can match ``preds``,
+    total stride count), from ROW_INDEX per-stride stats —
+    intersected with per-stride bloom filters for ``==`` predicates
+    on STRING-family columns (BLOOM_FILTER_UTF8 hashes UTF-8 bytes;
+    numeric columns use a different hash family and must not be
+    consulted).  None = no usable index (decode the whole stripe)."""
     if not f.row_index_stride or not preds:
         return None
     n_rows = f.stripes[si].get(5, [0])[0]
@@ -221,16 +224,18 @@ def stride_keep(f: ORCFile, si: int, preds: list[tuple],
     all_idx = f._row_indexes(si)
     keep = set(range(n_strides))
     for col, op, val in preds:
-        entries = all_idx.get(col_ids[col], [])
+        cid = col_ids[col]
+        entries = all_idx.get(cid, [])
         if len(entries) < n_strides:
             return None  # index missing/short: no stride pruning
         keep = {t for t in keep
                 if _stats_can_match(entries[t]["stats"], op, val)}
-        if op == "==":
-            bs = f.bloom_strides(si, col_ids[col], val)
+        if op == "==" and isinstance(val, (str, bytes)) and \
+                f.types[cid].kind in ("string", "varchar", "char"):
+            bs = f.bloom_strides(si, cid, val)
             if bs is not None:
                 keep &= set(bs)
-    return sorted(keep)
+    return sorted(keep), n_strides
 
 
 def _plan_distributed(spark, files: list[str], predicate,
@@ -327,7 +332,6 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                                                root_children)])
 
     conv_flags = [_needs_conv(c) for c in root_children]
-    pred_cols = {c for c, _, _ in preds}
 
     def kernel(batches):
         readers: dict[str, ORCFile] = {}
@@ -341,23 +345,24 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                         f.select(*sel)
                     readers[p] = f
                 cols = None
-                if pred_cols:
+                if preds:
                     # row-group skip INSIDE the stripe: ROW_INDEX
                     # per-stride stats (+ bloom for ==) decide which
                     # strides to decompress; stride-restart files
                     # slice streams, others fall back whole-stripe
                     root = f.types[0]
                     cids = dict(zip(root.field_names, root.children))
-                    ks = stride_keep(f, si, preds, cids)
-                    if ks is not None:
-                        n_rows = f.stripes[si].get(5, [0])[0]
-                        n_str = -(-n_rows // f.row_index_stride)
+                    kept = stride_keep(f, si, preds, cids)
+                    if kept is not None:
+                        ks, n_str = kept
                         if not ks:
                             continue  # no stride can match
                         if len(ks) < n_str:
                             try:
                                 rows = f.read_stripe_strides(si, ks)
-                                cols = {fn: [r.get(fn) for r in rows]
+                                cols = {fn: [None if r is None
+                                             else r.get(fn)
+                                             for r in rows]
                                         for fn in root_names}
                             except ValueError:
                                 cols = None

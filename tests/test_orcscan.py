@@ -128,9 +128,9 @@ def test_stride_keep_and_scan_row_group_skip(spark, tmp_path):
     cids = dict(zip(root.field_names, root.children))
     # stripe 1 holds rows 2000-3999 in strides of 512 starting at
     # 2000: v >= 3600 can only live in the last stride (3536-3999)
-    ks = orcscan.stride_keep(f, 1, [("v", ">=", 3600)], cids)
-    assert ks == [3]
-    ks = orcscan.stride_keep(f, 0, [("v", "==", 777)], cids)
+    ks, n_str = orcscan.stride_keep(f, 1, [("v", ">=", 3600)], cids)
+    assert ks == [3] and n_str == 4
+    ks, _ = orcscan.stride_keep(f, 0, [("v", "==", 777)], cids)
     assert ks == [1]  # 512 <= 777 < 1024
     # end-to-end exactness through the stride-sliced kernel path
     rows = orcscan.orc_scan(spark, p, predicate=("v", ">=", 3600)) \
@@ -139,6 +139,44 @@ def test_stride_keep_and_scan_row_group_skip(spark, tmp_path):
     rows = orcscan.orc_scan(spark, p, predicate=("v", "==", 777)) \
         .collect()
     assert [r["v"] for r in rows] == [777]
+
+
+def test_stride_keep_bloom_intersection(spark, tmp_path):
+    """== on a bloom-indexed STRING column intersects per-stride
+    bloom membership with the stats keep-set; numeric == predicates
+    must NOT consult the (UTF-8-hashed) bloom."""
+    n = 2048
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(n, dtype=np.int64)),
+         pa.array([f"k{i:05d}" for i in range(n)])],
+        names=["v", "key"])
+    p = str(tmp_path / "b.orc")
+    w = orcwriter.ORCFileWriter(p, codec="zlib", stripe_rows=n,
+                                row_index_stride=512,
+                                bloom_columns=["key"])
+    w.write_batch(batch)
+    w.close()
+    f = ORCFile(p)
+    cids = dict(zip(f.types[0].field_names, f.types[0].children))
+    # every stride's string [min,max] could contain "k00700" is false
+    # — stats alone already narrow to stride 1; the bloom agrees
+    ks, n_str = orcscan.stride_keep(f, 0, [("key", "==", "k00700")],
+                                    cids)
+    assert n_str == 4 and ks == [1]
+    # a value inside stride-1's [min,max] range but ABSENT from the
+    # data: stats keep stride 1, the bloom kills it
+    ks, _ = orcscan.stride_keep(f, 0, [("key", "==", "k00700x")], cids)
+    assert ks == []
+    # numeric == on the long column: bloom not consulted (no crash,
+    # stats-only pruning)
+    ks, _ = orcscan.stride_keep(f, 0, [("v", "==", 700)], cids)
+    assert ks == [1]
+    # end-to-end through the scan
+    got = orcscan.orc_scan(spark, p,
+                           predicate=("key", "==", "k00700")).collect()
+    assert [r["v"] for r in got] == [700]
+    assert orcscan.orc_scan(
+        spark, p, predicate=("key", "==", "k00700x")).count() == 0
 
 
 def test_orc_scan_distributed_planning(spark, tmp_path, monkeypatch):
