@@ -207,6 +207,49 @@ def plan_tasks(files: list[str], predicate=None,
 # -------------------------------------------------------------------
 
 
+def _fast_column(f: ORCFile, cid: int, n: int):
+    """Whole-array form of a NULL-free numeric column: np.ndarray for
+    int-family/float/double, ("list", lengths, values) for
+    list<numeric> — decoded without ANY per-row Python (the generic
+    ``_read_column`` path builds python lists; at scan rates that
+    allocation storm dominates and anti-scales on fault-contended
+    kernels).  None = unsupported shape (caller takes the list path)."""
+    import numpy as np
+    t = f.types[cid]
+    valid, _ = f._present(cid, n)
+    if valid is not None:
+        return None
+    k = t.kind
+    if k in ("short", "int", "long"):
+        return f._ints(cid, "DATA", n, signed=True)
+    if k in ("float", "double"):
+        raw = f._stream(cid, "DATA") or b""
+        return np.frombuffer(raw, dtype="<f4" if k == "float"
+                             else "<f8")[:n]
+    if k == "list":
+        lengths = f._ints(cid, "LENGTH", n, signed=False)
+        cvals = _fast_column(f, t.children[0], int(lengths.sum()))
+        if cvals is None or isinstance(cvals, tuple):
+            return None  # nested lists: generic path
+        return ("list", lengths, cvals)
+    return None
+
+
+def _fast_to_arrow(fast, field_type):
+    """numpy fast form -> pa.Array of ``field_type`` (zero-copy where
+    dtypes already match)."""
+    import numpy as np
+    import pyarrow as pa
+    if isinstance(fast, tuple):
+        _, lengths, values = fast
+        offsets = np.concatenate(
+            ([0], np.cumsum(lengths))).astype(np.int32)
+        child = pa.array(values).cast(field_type.value_type)
+        return pa.ListArray.from_arrays(pa.array(offsets,
+                                                 pa.int32()), child)
+    return pa.array(fast).cast(field_type)
+
+
 def stride_keep(f: ORCFile, si: int, preds: list[tuple],
                 col_ids: dict[str, int]
                 ) -> tuple[list[int], int] | None:
@@ -334,6 +377,8 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
     conv_flags = [_needs_conv(c) for c in root_children]
 
     def kernel(batches):
+        from orc_spark._alloc import tune_worker
+        tune_worker()  # mallopt thresholds: heap reuse across stripes
         readers: dict[str, ORCFile] = {}
         for b in batches:
             for p, si in zip(b.column("path").to_pylist(),
@@ -366,20 +411,45 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                                         for fn in root_names}
                             except ValueError:
                                 cols = None
-                if cols is None:
-                    # column-major decode: Arrow arrays built straight
-                    # from the per-column value lists; identity-typed
-                    # columns (ints/floats/strings and containers
-                    # thereof) skip Python conversion entirely
-                    cols, _ = f.read_stripe_columns(si)
                 arrays = []
-                for fn, node, needs in zip(root_names, root_children,
-                                           conv_flags):
+                if cols is None:
+                    # column-major decode: NULL-free numeric columns
+                    # (incl. list<numeric> — the token arrays) go
+                    # whole-array numpy -> Arrow with zero per-row
+                    # Python; the rest build from per-column value
+                    # lists, with _conv skipped for identity types
+                    n_rows = f._load_stripe_directory(si)
+                    v0, nv0 = f._present(0, n_rows)
+                    if v0 is not None and nv0 != n_rows:
+                        cols, _ = f.read_stripe_columns(si)
+                    else:
+                        root = f.types[0]
+                        cids = dict(zip(root.field_names,
+                                        root.children))
+                        cols = {}
+                        for fn, node, needs in zip(root_names,
+                                                   root_children,
+                                                   conv_flags):
+                            ft = arrow_schema.field(fn).type
+                            fast = None if needs else \
+                                _fast_column(f, cids[fn], n_rows)
+                            if fast is not None:
+                                arrays.append(_fast_to_arrow(fast, ft))
+                            else:
+                                cols[fn] = f._read_column(cids[fn],
+                                                          n_rows)
+                                arrays.append(None)
+                if not arrays:
+                    arrays = [None] * len(root_names)
+                for i, (fn, node, needs) in enumerate(
+                        zip(root_names, root_children, conv_flags)):
+                    if arrays[i] is not None:
+                        continue
                     vals = cols[fn]
                     if needs:
                         vals = [_conv(node, v) for v in vals]
-                    arrays.append(pa.array(
-                        vals, type=arrow_schema.field(fn).type))
+                    arrays[i] = pa.array(
+                        vals, type=arrow_schema.field(fn).type)
                 yield pa.RecordBatch.from_arrays(arrays,
                                                  schema=arrow_schema)
 
