@@ -228,7 +228,10 @@ def _fast_column(f: ORCFile, cid: int, n: int):
                              else "<f8")[:n]
     if k == "list":
         lengths = f._ints(cid, "LENGTH", n, signed=False)
-        cvals = _fast_column(f, t.children[0], int(lengths.sum()))
+        total = int(lengths.sum())
+        if total > 2**31 - 1:
+            return None  # would overflow int32 ListArray offsets
+        cvals = _fast_column(f, t.children[0], total)
         if cvals is None or isinstance(cvals, tuple):
             return None  # nested lists: generic path
         return ("list", lengths, cvals)
