@@ -315,6 +315,33 @@ def test_orc_scan_fuzz_vs_pyarrow(spark, tmp_path):
                 assert canon(g[c]) == canon(w[c]), (trial, c, g, w)
 
 
+def test_orc_scan_date1900_values_match_row_reader(spark):
+    """Pre-1970 timestamps (the secs-1 truncation quirk) and 1900
+    dates survive the scan's string->datetime/date conversion: every
+    distinct (time, date) pair matches the golden-verified row
+    reader rendering."""
+    path = f"{EX}/TestOrcFile.testDate1900.orc"
+    df = orcscan.orc_scan(spark, path)
+    assert df.count() == 70000
+    got = {(r["time"].isoformat(sep=" "), r["date"].isoformat())
+           for r in df.dropDuplicates(["time", "date"]).collect()}
+    f = ORCFile(path)
+    want = set()
+    for r in f.read_all():
+        # scan truncates to microseconds and renders full precision;
+        # the row reader trims trailing zeros — normalize both
+        main, _, frac = r["time"].partition(".")
+        us = (frac + "000000")[:6].rstrip("0") or "0"
+        want.add((f"{main}.{us}" if us != "0" else main + ".0",
+                  r["date"]))
+    norm_got = set()
+    for t, d in got:
+        main, _, frac = t.partition(".")
+        us = frac.rstrip("0") or "0"
+        norm_got.add((f"{main}.{us}" if us != "0" else main + ".0", d))
+    assert norm_got == want
+
+
 def test_orc_scan_nested_golden_matches_row_reader(spark):
     """test1.orc: struct/list/map/binary columns round through the
     scan identically to the direct row reader."""
