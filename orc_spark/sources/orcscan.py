@@ -44,6 +44,9 @@ from .. import orctypes
 from .orcfile import ORCFile
 
 _OPS = (">=", ">", "<=", "<", "==", "between")
+# max rows per Arrow batch yielded to the JVM (stripes are sliced
+# zero-copy; bounds per-batch bridge memory at ~tens of MB)
+_BATCH_ROWS = 65536
 
 
 # -------------------------------------------------------------------
@@ -453,8 +456,12 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                         vals = [_conv(node, v) for v in vals]
                     arrays[i] = pa.array(
                         vals, type=arrow_schema.field(fn).type)
-                yield pa.RecordBatch.from_arrays(arrays,
-                                                 schema=arrow_schema)
+                batch = pa.RecordBatch.from_arrays(
+                    arrays, schema=arrow_schema)
+                # zero-copy slices: a 1M-row stripe must not cross
+                # the Arrow bridge as one multi-hundred-MB batch
+                for off in range(0, batch.num_rows, _BATCH_ROWS):
+                    yield batch.slice(off, _BATCH_ROWS)
 
     out = tdf.mapInArrow(kernel, schema)
     for col, op, val in preds:
