@@ -60,6 +60,40 @@ def test_orc2csv_whole_golden_corpus_row_counts():
         assert n_rows == len(load_expected(exp)), name
 
 
+def test_orcmeta_golden_and_own_file(tmp_path):
+    import json
+    import numpy as np
+    import pyarrow as pa
+    from orc_spark.tools import orcmeta
+    from orc_spark.sources import orcwriter
+
+    m = orcmeta.gather(f"{EX}/TestOrcFile.test1.orc")
+    assert m["schema"].startswith("struct<boolean1:boolean,")
+    assert m["n_rows"] == 2 and m["compression"] == "zlib"
+    assert m["encodings"]["string1"] == "DIRECT_V2"
+    assert m["column_statistics"]["byte1"]["max"] == 100
+
+    p = str(tmp_path / "own.orc")
+    w = orcwriter.ORCFileWriter(p, codec="zlib", stripe_rows=512,
+                                row_index_stride=256,
+                                bloom_columns=["k"])
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(1000, dtype=np.int64)),
+         pa.array([f"k{i}" for i in range(1000)])],
+        names=["v", "k"]))
+    w.close()
+    m = orcmeta.gather(p)
+    assert m["n_stripes"] == 2 and m["bloom_columns"] == ["k"]
+    assert m["row_index_stride"] == 256
+    assert m["column_statistics"]["v"] == {
+        "n": 1000, "has_null": False, "min": 0, "max": 999,
+        "sum": 499500}
+    # JSON mode emits one parseable object
+    buf = io.StringIO()
+    assert orcmeta.main(["-f", p, "-j"], out=buf) == 0
+    assert json.loads(buf.getvalue())["n_rows"] == 1000
+
+
 def test_orc2csv_module_entrypoint():
     res = subprocess.run(
         [sys.executable, "-m", "orc_spark.tools.orc2csv",
