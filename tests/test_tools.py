@@ -94,6 +94,26 @@ def test_orcmeta_golden_and_own_file(tmp_path):
     assert json.loads(buf.getvalue())["n_rows"] == 1000
 
 
+def test_orcmeta_whole_golden_corpus():
+    """gather() parses every golden example's metadata (all
+    compressions, RLE versions, and type shapes) with consistent
+    row accounting."""
+    import glob
+    from orc_spark.tools import orcmeta
+    files = sorted(glob.glob(f"{EX}/*.orc"))
+    assert len(files) >= 24
+    for p in files:
+        m = orcmeta.gather(p)
+        assert m["n_rows"] == sum(s["rows"] for s in m["stripes"]), p
+        # every footer schema round-trips through the type grammar
+        # (testTimestamp.orc has a bare non-struct root)
+        from orc_spark import orctypes
+        assert orctypes.parse_orc_type(
+            m["schema"]).orc_string() == m["schema"], p
+        assert m["compression"] in ("none", "zlib", "snappy",
+                                    "lzo", "lz4", "zstd"), p
+
+
 def test_orc2csv_module_entrypoint():
     res = subprocess.run(
         [sys.executable, "-m", "orc_spark.tools.orc2csv",
