@@ -226,6 +226,10 @@ class ORCFile:
         carries nulls (pathological; never written by our sink)."""
         n_rows = self._load_stripe_directory(si)
         root = self.types[0]
+        if root.kind != "struct":
+            # bare non-struct root (e.g. testTimestamp.orc): one
+            # synthetic column named "value"
+            return {"value": self._read_column(0, n_rows)}, n_rows
         valid, n_valid = self._present(0, n_rows)
         if valid is not None and n_valid != n_rows:
             rows = self._read_column(0, n_rows)

@@ -153,6 +153,15 @@ def _stats_can_match(st: dict, op: str, val) -> bool:
     raise ValueError(f"orc_scan: unknown predicate op {op!r}")
 
 
+def _root_col_ids(f: ORCFile) -> dict[str, int]:
+    """{root field -> column id}; a bare non-struct root surfaces as
+    one synthetic column named "value" (column id 0)."""
+    root = f.types[0]
+    if root.kind != "struct":
+        return {"value": 0}
+    return dict(zip(root.field_names, root.children))
+
+
 def _pred_list(predicate) -> list[tuple]:
     if predicate is None:
         return []
@@ -183,13 +192,12 @@ def plan_tasks(files: list[str], predicate=None,
                 raise ValueError(
                     f"orc_scan: schema drift — {path} has {got}, "
                     f"expected {expect_type}")
-        root = f.types[0]
-        col_ids = dict(zip(root.field_names, root.children))
+        col_ids = _root_col_ids(f)
         for col, _, _ in preds:
             if col not in col_ids:
                 raise ValueError(
                     f"orc_scan: predicate column {col!r} not in "
-                    f"{root.field_names} ({path})")
+                    f"{sorted(col_ids)} ({path})")
         for si in range(len(f.stripes)):
             total += 1
             keep = True
@@ -331,6 +339,10 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         raise ValueError(f"orc_scan: no .orc files under {path}")
     full_root = orctypes.type_from_file(files[0])
     expect_type = full_root.orc_string()
+    if full_root.kind != "struct":
+        # bare non-struct root: surface as one column named "value"
+        # (mirrors read_stripe_columns / _root_col_ids)
+        full_root = orctypes.OrcType("struct", [full_root], ["value"])
     preds = _pred_list(predicate)
     for col, _, _ in preds:
         if col not in full_root.field_names:
@@ -401,8 +413,7 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                     # per-stride stats (+ bloom for ==) decide which
                     # strides to decompress; stride-restart files
                     # slice streams, others fall back whole-stripe
-                    root = f.types[0]
-                    cids = dict(zip(root.field_names, root.children))
+                    cids = _root_col_ids(f)
                     kept = stride_keep(f, si, preds, cids)
                     if kept is not None:
                         ks, n_str = kept
@@ -411,10 +422,13 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                         if len(ks) < n_str:
                             try:
                                 rows = f.read_stripe_strides(si, ks)
-                                cols = {fn: [None if r is None
-                                             else r.get(fn)
-                                             for r in rows]
-                                        for fn in root_names}
+                                if f.types[0].kind != "struct":
+                                    cols = {"value": rows}
+                                else:
+                                    cols = {fn: [None if r is None
+                                                 else r.get(fn)
+                                                 for r in rows]
+                                            for fn in root_names}
                             except ValueError:
                                 cols = None
                 arrays = []
@@ -429,9 +443,7 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                     if v0 is not None and nv0 != n_rows:
                         cols, _ = f.read_stripe_columns(si)
                     else:
-                        root = f.types[0]
-                        cids = dict(zip(root.field_names,
-                                        root.children))
+                        cids = _root_col_ids(f)
                         cols = {}
                         for fn, node, needs in zip(root_names,
                                                    root_children,

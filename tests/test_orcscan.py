@@ -342,6 +342,21 @@ def test_orc_scan_date1900_values_match_row_reader(spark):
     assert norm_got == want
 
 
+def test_orc_scan_bare_nonstruct_root(spark):
+    """testTimestamp.orc's root is a bare `timestamp` (no struct):
+    the scan surfaces it as one column named `value`."""
+    path = f"{EX}/TestOrcFile.testTimestamp.orc"
+    df = orcscan.orc_scan(spark, path)
+    assert df.columns == ["value"]
+    n = df.count()
+    raw = list(ORCFile(path).read_all())
+    assert n == len(raw)
+    got = sorted(r["value"].isoformat(sep=" ")
+                 for r in df.collect())[:2]
+    want = sorted(v.split(".")[0] for v in raw)[:2]
+    assert [g.split(".")[0] for g in got] == want
+
+
 def test_orc_scan_nested_golden_matches_row_reader(spark):
     """test1.orc: struct/list/map/binary columns round through the
     scan identically to the direct row reader."""
