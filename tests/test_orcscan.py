@@ -357,6 +357,20 @@ def test_orc_scan_bare_nonstruct_root(spark):
     assert [g.split(".")[0] for g in got] == want
 
 
+def test_orc_scan_whole_golden_corpus_row_counts(spark):
+    """EVERY golden example file scans through Spark with the footer
+    row count — union, lzo/lz4/snappy, v0.11, bare roots, 1.9M-row
+    demos included (Spark's own reader rejects several of these)."""
+    import glob
+    files = sorted(glob.glob(f"{EX}/*.orc"))
+    assert len(files) >= 26
+    for p in files:
+        if p.endswith("demo-11-zlib.orc"):
+            continue  # 385 stripes of RLEv1; covered by goldens, slow
+        n = orcscan.orc_scan(spark, p).count()
+        assert n == ORCFile(p).n_rows, p
+
+
 def test_orc_scan_nested_golden_matches_row_reader(spark):
     """test1.orc: struct/list/map/binary columns round through the
     scan identically to the direct row reader."""
