@@ -47,6 +47,10 @@ _OPS = (">=", ">", "<=", "<", "==", "between")
 # max rows per Arrow batch yielded to the JVM (stripes are sliced
 # zero-copy; bounds per-batch bridge memory at ~tens of MB)
 _BATCH_ROWS = 65536
+# target decoded rows per scan task: files with many TINY stripes
+# (legacy writers flush small) coalesce several stripes per task so
+# scheduling overhead doesn't dominate; big-stripe files stay 1:1
+_TARGET_ROWS_PER_TASK = 1 << 20
 
 
 # -------------------------------------------------------------------
@@ -309,18 +313,23 @@ def _plan_distributed(spark, files: list[str], predicate,
 
     def kern(batches):
         for b in batches:
-            paths, stripes = [], []
+            paths, stripes, rows = [], [], []
             for p in b.column("path").to_pylist():
                 kept, _ = plan_tasks([p], predicate, expect_type)
+                if not kept:
+                    continue
+                f = ORCFile(p)
                 for q, si in kept:
                     paths.append(q)
                     stripes.append(si)
+                    rows.append(f.stripes[si].get(5, [0])[0])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(paths, pa.string()),
-                 pa.array(stripes, pa.int32())],
-                names=["path", "stripe"])
+                 pa.array(stripes, pa.int32()),
+                 pa.array(rows, pa.int64())],
+                names=["path", "stripe", "rows"])
 
-    return fdf.mapInArrow(kern, "path string, stripe int")
+    return fdf.mapInArrow(kern, "path string, stripe int, rows long")
 
 
 # files above this count plan on executors instead of the driver
@@ -369,24 +378,36 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
     root_names = root.field_names
     sel = list(root_names) if columns else None
 
+    def n_parts(n_tasks: int, total_rows: int) -> int:
+        # one task per stripe unless stripes are tiny: then group
+        # toward _TARGET_ROWS_PER_TASK rows/task (never below the
+        # cluster's parallelism) so scheduling overhead stays small
+        want = max(-(-total_rows // _TARGET_ROWS_PER_TASK),
+                   spark.sparkContext.defaultParallelism)
+        return max(1, min(n_tasks, want))
+
     if len(files) > DRIVER_PLAN_MAX_FILES:
-        # pruning + drift validation run distributed; the count() is a
-        # distributed aggregate (the task list never hits the driver)
-        # priced at one extra footer-only planning pass, and buys the
-        # same one-task-per-stripe fan-out as the driver path
+        # pruning + drift validation run distributed; the aggregate
+        # is distributed (the task list never hits the driver) priced
+        # at one extra footer-only planning pass
         tdf = _plan_distributed(spark, files, predicate, expect_type)
-        n_tasks = tdf.count()
+        agg = tdf.agg(F.count("*").alias("n"),
+                      F.sum("rows").alias("r")).first()
+        n_tasks = agg["n"]
         if n_tasks == 0:
             out = spark.createDataFrame([], schema)
             return out.select(*columns) if columns else out
-        tdf = tdf.repartition(n_tasks)
+        tdf = tdf.drop("rows") \
+            .repartition(n_parts(n_tasks, agg["r"] or 0))
     else:
         tasks, _ = plan_tasks(files, predicate, expect_type)
         if not tasks:
             out = spark.createDataFrame([], schema)
             return out.select(*columns) if columns else out
+        total_rows = sum(ORCFile(p).n_rows for p in set(
+            t[0] for t in tasks))
         tdf = spark.createDataFrame(tasks, "path string, stripe int") \
-            .repartition(len(tasks))
+            .repartition(n_parts(len(tasks), total_rows))
 
     arrow_schema = pa.schema([(fn, orc_arrow(c))
                               for fn, c in zip(root_names,
