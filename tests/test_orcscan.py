@@ -365,8 +365,6 @@ def test_orc_scan_whole_golden_corpus_row_counts(spark):
     files = sorted(glob.glob(f"{EX}/*.orc"))
     assert len(files) >= 26
     for p in files:
-        if p.endswith("demo-11-zlib.orc"):
-            continue  # 385 stripes of RLEv1; covered by goldens, slow
         n = orcscan.orc_scan(spark, p).count()
         assert n == ORCFile(p).n_rows, p
 
