@@ -241,6 +241,18 @@ def _fast_column(f: ORCFile, cid: int, n: int):
         raw = f._stream(cid, "DATA") or b""
         return np.frombuffer(raw, dtype="<f4" if k == "float"
                              else "<f8")[:n]
+    if k in ("string", "varchar", "char"):
+        enc = f.encodings[cid]
+        if enc.startswith("DICTIONARY"):
+            n_keys = f.dict_sizes[cid]
+            key_lengths = f._ints(cid, "LENGTH", n_keys, signed=False)
+            blob = f._stream(cid, "DICTIONARY_DATA") or b""
+            idxs = f._ints(cid, "DATA", n, signed=False)
+            return ("dict", idxs, (key_lengths, blob))
+        lengths = f._ints(cid, "LENGTH", n, signed=False)
+        if int(lengths.sum()) > 2**31 - 1:
+            return None
+        return ("str", lengths, f._stream(cid, "DATA") or b"")
     if k == "list":
         lengths = f._ints(cid, "LENGTH", n, signed=False)
         total = int(lengths.sum())
@@ -248,9 +260,26 @@ def _fast_column(f: ORCFile, cid: int, n: int):
             return None  # would overflow int32 ListArray offsets
         cvals = _fast_column(f, t.children[0], total)
         if cvals is None or isinstance(cvals, tuple):
-            return None  # nested lists: generic path
+            return None  # nested lists / strings: generic path
         return ("list", lengths, cvals)
     return None
+
+
+def _str_from_buffers(lengths, blob):
+    """Zero-copy utf8 array straight from LENGTH + concatenated DATA
+    (validated in C++; raises on malformed bytes — caller falls back
+    to the replace-decoding list path)."""
+    import numpy as np
+    import pyarrow as pa
+    n = len(lengths)
+    offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+    if len(blob) < int(offsets[-1]):
+        raise ValueError("string DATA stream shorter than lengths")
+    arr = pa.Array.from_buffers(
+        pa.utf8(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)])
+    arr.validate(full=True)
+    return arr
 
 
 def _fast_to_arrow(fast, field_type):
@@ -259,6 +288,14 @@ def _fast_to_arrow(fast, field_type):
     import numpy as np
     import pyarrow as pa
     if isinstance(fast, tuple):
+        tag = fast[0]
+        if tag == "str":
+            _, lengths, blob = fast
+            return _str_from_buffers(lengths, blob)
+        if tag == "dict":
+            _, idxs, (key_lengths, blob) = fast
+            keys = _str_from_buffers(key_lengths, blob)
+            return keys.take(pa.array(idxs.astype(np.int64)))
         _, lengths, values = fast
         offsets = np.concatenate(
             ([0], np.cumsum(lengths))).astype(np.int32)
@@ -473,8 +510,14 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                             fast = None if needs else \
                                 _fast_column(f, cids[fn], n_rows)
                             if fast is not None:
-                                arrays.append(_fast_to_arrow(fast, ft))
-                            else:
+                                try:
+                                    arrays.append(
+                                        _fast_to_arrow(fast, ft))
+                                except Exception:
+                                    # e.g. malformed UTF-8: the list
+                                    # path replace-decodes instead
+                                    fast = None
+                            if fast is None:
                                 cols[fn] = f._read_column(cids[fn],
                                                           n_rows)
                                 arrays.append(None)

@@ -78,10 +78,17 @@ def test_orc_scan_roundtrip_token_table(spark, token_table, tmp_path):
     got = back.agg(
         F.sum("n_tok").alias("s"),
         F.sum(F.size("tokens")).alias("st"),
-        F.countDistinct("doc_id").alias("d")).first()
+        F.countDistinct("doc_id").alias("d"),
+        F.countDistinct("source").alias("src")).first()
     assert got["s"] == sum(token_table.column("n_tok").to_pylist())
     assert got["st"] == got["s"]
     assert got["d"] == token_table.num_rows
+    # source is low-cardinality -> DICTIONARY_V2: exercises the
+    # dictionary-string fast path end to end
+    assert got["src"] == 3
+    first = back.orderBy("doc_id").first()
+    assert first["doc_id"] == "doc-000000000000"
+    assert first["source"] == "cc"
 
 
 def test_orc_scan_predicate_exact_and_pruned(spark, tmp_path):
