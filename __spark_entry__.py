@@ -894,11 +894,11 @@ def _stratified_oracle() -> str:
     expectation."""
     h = "md5(CAST(doc_id AS VARCHAR))"
     conds = [
-        f"(source = '{s}' AND {h} < '{sampling.rate_to_threshold(r)}')"
+        f"(source = '{s}' AND {sampling.rate_sql_cond(h, r)})"
         for s, r in _SAMPLE_RATES.items()]
     not_in = ", ".join(f"'{s}'" for s in _SAMPLE_RATES)
-    conds.append(f"(source NOT IN ({not_in}) AND {h} < "
-                 f"'{sampling.rate_to_threshold(_SAMPLE_DEFAULT)}')")
+    conds.append(f"(source NOT IN ({not_in}) AND "
+                 f"{sampling.rate_sql_cond(h, _SAMPLE_DEFAULT)})")
     return f"""
         SELECT source, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -156,8 +156,13 @@ class BloomFilterUtf8:
         # Java quirk: always rounds UP by (64 - nb % 64), adding a
         # whole word when nb is already 64-aligned
         self.num_bits = nb + (64 - (nb % 64))
+        # Java Math.round is floor(x + 0.5) (half-up), NOT Python's
+        # banker's round() — at an exact .5 boundary they differ by 1
+        # (r4 / ADVICE fix; k is also stored in the stream, so only
+        # filter SIZING parity was at stake, not readability)
         self.num_hash_functions = max(
-            1, round(self.num_bits / expected_entries * math.log(2)))
+            1, int(math.floor(
+                self.num_bits / expected_entries * math.log(2) + 0.5)))
         self.bitset = np.zeros(self.num_bits >> 6, dtype=np.uint64)
 
     def _positions(self, h64: int) -> list[int]:

@@ -426,7 +426,15 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     (r3: no explode+groupBy shuffle): per bit k the +/-1 contribution
     sum over N word hashes equals 2*count(bit set) - N, so the sign
     test is a filter+size over the hashed word array.  Values are
-    identical to the classic exploded formulation."""
+    identical to the classic exploded formulation.
+
+    NULL text yields a NULL signature (r4 / ADVICE fix): the map-side
+    rewrite's when() used to fall to otherwise(0) for every bit of a
+    NULL word array, giving every NULL-text doc signature 0 — a
+    sentinel that pairs them all at hamming 0 and collides with docs
+    whose words genuinely hash to 0 (the exploded formulation simply
+    dropped those rows).  Mirrors the _shingle_hashes empty-set
+    guard; simhash_near_pairs drops NULL signatures before banding."""
     hs = F.transform(F.split(F.trim("text"), r"\s+"),
                      lambda w: F.xxhash64(w))
     base = docs.select("doc_id", hs.alias("_hs"),
@@ -443,6 +451,8 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
                      F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, k)
         sig = term if sig is None else sig.bitwiseXOR(term)
+    sig = F.when(F.col("_hs").isNull(),
+                 F.lit(None).cast("long")).otherwise(sig)
     return base.select("doc_id", sig.alias("simhash"))
 
 
@@ -475,8 +485,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6,
         docs = collapse_exact(docs)
     bs = 64 // blocks
     # map-side simhash (no shuffle in its lineage) — recompute is a
-    # projection, so no persist is needed and none leaks (r2 fix)
-    sigs = simhash(docs)
+    # projection, so no persist is needed and none leaks (r2 fix);
+    # NULL signatures (NULL-text docs) are dropped here, matching the
+    # exploded formulation that never produced a row for them
+    sigs = simhash(docs).where(F.col("simhash").isNotNull())
 
     def block_key(blk):
         return F.shiftright("simhash", blk * bs) \

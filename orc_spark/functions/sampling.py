@@ -30,13 +30,35 @@ def rate_to_threshold(rate: float, digits: int = 8) -> str:
     return format(scaled, f"0{digits}x")
 
 
+def _rate_cond(h, rate: float):
+    """Keep-condition for one rate over an md5-hex Column ``h``.
+    rate >= 1.0 short-circuits to TRUE (the clamped 'ffffffff'
+    threshold would silently drop rows whose md5 starts with ffffffff
+    — ~2^-32 of rows, a handful at 100 TB); rate <= 0.0 to FALSE."""
+    if rate >= 1.0:
+        return F.lit(True)
+    if rate <= 0.0:
+        return F.lit(False)
+    return h < rate_to_threshold(rate)
+
+
+def rate_sql_cond(h_sql: str, rate: float) -> str:
+    """SQL twin of _rate_cond for the DuckDB oracles — MUST stay
+    condition-equivalent or the oracle checks a different sample."""
+    if rate >= 1.0:
+        return "TRUE"
+    if rate <= 0.0:
+        return "FALSE"
+    return f"{h_sql} < '{rate_to_threshold(rate)}'"
+
+
 def sample_predicate(rate: float, key_col: str = "doc_id"):
     """The deterministic keep-predicate itself (Column) — THE single
     definition of the sampling hash, shared by hash_sample,
     stratified_sample's default path, and verify.roundtrip_check's
     audit sampling (a drifted copy would silently audit a different
     row set than the sample selects)."""
-    return F.md5(F.col(key_col).cast("string")) < rate_to_threshold(rate)
+    return _rate_cond(F.md5(F.col(key_col).cast("string")), rate)
 
 
 def hash_sample(df: DataFrame, rate: float,
@@ -56,14 +78,13 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     h = F.md5(F.col(key_col).cast("string"))
     expr = None
     for stratum, rate in rates.items():
-        cond = (F.col(stratum_col) == stratum) & \
-            (h < rate_to_threshold(rate))
+        cond = (F.col(stratum_col) == stratum) & _rate_cond(h, rate)
         expr = cond if expr is None else expr | cond
     # NULL strata take the default rate: a bare ~isin() evaluates to
     # NULL for them (three-valued logic) and would silently drop every
     # NULL-stratum row regardless of default_rate
     others = (F.col(stratum_col).isNull() |
               ~F.col(stratum_col).isin(list(rates))) & \
-        (h < rate_to_threshold(default_rate))
+        _rate_cond(h, default_rate)
     expr = others if expr is None else expr | others
     return df.where(expr)

@@ -176,25 +176,44 @@ def build_ann_index(df: DataFrame, path: str, dim: int,
 
 
 def ann_index_topk(spark, path: str, query: list[float], k: int = 10,
-                   n_planes: int = DEFAULT_PLANES,
-                   bands: int = DEFAULT_BANDS,
-                   buckets: int = DEFAULT_INDEX_BUCKETS,
-                   seed: int = 42, emb_col: str = "embedding",
+                   n_planes: int | None = None,
+                   bands: int | None = None,
+                   buckets: int | None = None,
+                   seed: int | None = None, emb_col: str = "embedding",
                    id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k against a materialized index: the scan reads
     ONLY the query's (band, bkt) partitions (partition pruning — check
     ``.explain()`` PartitionFilters), then exact-bsig filters and
-    exact cosine rank within."""
+    exact cosine rank within.
+
+    LSH parameters come from the index's ``_meta.json`` (the values it
+    was BUILT with — a mismatch probes non-existent partitions).  An
+    explicitly passed parameter that conflicts with the stored
+    metadata raises rather than being silently overwritten (r4 /
+    ADVICE fix); pass them only for a bare index with no _meta.json."""
     import json as _json
     import os as _os
     meta_path = _os.path.join(path, "_meta.json")
     if _os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = _json.load(fh)
+        for name, val in (("n_planes", n_planes), ("bands", bands),
+                          ("buckets", buckets), ("seed", seed)):
+            if val is not None and val != meta[name]:
+                raise ValueError(
+                    f"ann_index_topk: explicit {name}={val} conflicts "
+                    f"with index metadata {name}={meta[name]} at "
+                    f"{meta_path}; omit the argument (the index can "
+                    f"only be probed with its build parameters)")
         n_planes = meta["n_planes"]
         bands = meta["bands"]
         buckets = meta["buckets"]
         seed = meta["seed"]
+    else:
+        n_planes = DEFAULT_PLANES if n_planes is None else n_planes
+        bands = DEFAULT_BANDS if bands is None else bands
+        buckets = DEFAULT_INDEX_BUCKETS if buckets is None else buckets
+        seed = 42 if seed is None else seed
     qb = _query_band_sigs(query, n_planes, bands, seed)
     idx = spark.read.parquet(path)
     cond = None
