@@ -564,6 +564,117 @@ def _q_orc_scan_pruned(spark, sf_dir):
         F.countDistinct("doc_id").alias("n_ids"))
 
 
+def _q_orc_scan_decimal(spark, sf_dir):
+    """Exact DECIMAL(38,10) through the full .orc write -> orc_scan
+    path (r4): values are built with >15 significant digits (so any
+    float64 detour would corrupt them), written to .orc through our
+    writer, scanned back WITHOUT the JVM reader, and aggregated as
+    decimals.  The DuckDB oracle recomputes the identical values from
+    the raw documents — a single lost digit fails the hash.
+    Reference parity: decimal.go:53-79 / treereader.go:880-948 keep
+    exact big.Int mantissas; so do we now (orcfile.py decimal branch,
+    orcscan decimal128 mapping)."""
+    import tempfile
+    from orc_spark.sources import orcwriter
+    from orc_spark.sources.orcscan import orc_scan
+    dec = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CAST(concat(CAST(doc_id + 1 AS STRING), "
+            "'234567890.123456789', CAST(doc_id % 10 AS STRING)) "
+            "AS DECIMAL(38,10))").alias("val"))
+    out = tempfile.mkdtemp(prefix="orcdecq_")
+    orcwriter.dataframe_to_orc_dir(dec.repartition(4), out, codec="zlib")
+    df = orc_scan(spark, out)
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("val").cast("string").alias("sum_val"),
+        F.min("val").cast("string").alias("min_val"),
+        F.max("val").cast("string").alias("max_val"))
+
+
+# Golden-corpus scans (r4): the oracles are CONSTANTS derived from the
+# reference's own expected outputs (examples/expected/*.jsn.gz, the
+# corpus orc_test.go:14-131 checks against) — NOT from our reader — so
+# they are an independent end-to-end check of codecs the driver
+# oracles couldn't otherwise reach: RLE v1 + dictionary v1 + v0.11
+# layout (orc-file-11-format), pure-Python snappy chunk decode
+# (testSnappy), and uniontype (testUnionAndTimestamp — a file Spark's
+# own JVM reader refuses to open).
+_GOLDEN_DIR = "/root/reference/examples"
+
+
+def _q_orc_scan_golden_v11(spark, sf_dir):
+    """ORC v0.11 file through orc_scan: RLE v1 integer streams,
+    insertion-order dictionary v1 strings, v0.11 decimal — aggregated
+    scalars vs constants from the reference's expected JSON."""
+    from orc_spark.sources.orcscan import orc_scan
+    df = orc_scan(spark, f"{_GOLDEN_DIR}/orc-file-11-format.orc",
+                  columns=["boolean1", "byte1", "short1", "int1",
+                           "string1", "decimal1"])
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("boolean1").cast("int")).cast("long").alias("n_true"),
+        F.sum("byte1").cast("long").alias("sum_byte1"),
+        F.sum("short1").cast("long").alias("sum_short1"),
+        F.sum("int1").cast("long").alias("sum_int1"),
+        F.countDistinct("string1").alias("n_strings"),
+        F.sum("decimal1").cast("string").alias("sum_dec"))
+
+
+def _q_orc_scan_golden_snappy(spark, sf_dir):
+    """Snappy-compressed file through orc_scan (pure-Python snappy
+    chunk decode — the reference reads these; its writer and Spark's
+    planner never exercise ours end-to-end otherwise)."""
+    from orc_spark.sources.orcscan import orc_scan
+    df = orc_scan(spark, f"{_GOLDEN_DIR}/TestOrcFile.testSnappy.orc")
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("int1").cast("long").alias("sum_int1"),
+        F.countDistinct("string1").alias("n_strings"),
+        F.min("string1").alias("min_str"),
+        F.max("string1").alias("max_str"))
+
+
+def _q_orc_scan_golden_union(spark, sf_dir):
+    """uniontype column through orc_scan (sparse tag/_u* struct) — a
+    file Spark's built-in ORC reader rejects outright; per-tag counts
+    and branch aggregates vs expected-JSON constants."""
+    from orc_spark.sources.orcscan import orc_scan
+    df = orc_scan(spark,
+                  f"{_GOLDEN_DIR}/TestOrcFile.testUnionAndTimestamp.orc")
+    u = F.col("union")
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum((u.getField("tag") == 0).cast("int"))
+        .cast("long").alias("n_tag0"),
+        F.sum((u.getField("tag") == 1).cast("int"))
+        .cast("long").alias("n_tag1"),
+        F.sum(u.isNull().cast("int")).cast("long").alias("n_null"),
+        F.sum(u.getField("_u0")).cast("long").alias("sum_u0"),
+        F.countDistinct(u.getField("_u1")).alias("n_u1"),
+        F.sum(F.col("decimal").isNotNull().cast("int"))
+        .cast("long").alias("n_dec"),
+        F.sum("decimal").cast("string").alias("sum_dec"))
+
+
+def _q_orc_scan_ts_nanos(spark, sf_dir):
+    """Nanosecond timestamp fidelity (r4): testTimestamp.orc read with
+    ``timestamp_nanos=True`` surfaces LONG wall-clock nanos; frac_sum
+    aggregates the sub-second nano fields — any microsecond truncation
+    (the default Spark surface) changes it.  Constants from the
+    reference's expected JSON (formatNanos, utils.go:1206-1220)."""
+    from orc_spark.sources.orcscan import orc_scan
+    df = orc_scan(spark, f"{_GOLDEN_DIR}/TestOrcFile.testTimestamp.orc",
+                  timestamp_nanos=True)
+    return df.agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_ns"),
+        F.max("value").alias("max_ns"),
+        F.sum(F.col("value") % F.lit(1_000_000_000))
+        .cast("long").alias("frac_sum"))
+
+
 def _q_stream_encode(spark, sf_dir):
     """Structured Streaming ingestion: stream the token table through
     the stripe-encode foreachBatch pipeline (availableNow trigger),
@@ -795,6 +906,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "orc_scan_pruned": _q_orc_scan_pruned,
+        "orc_scan_decimal": _q_orc_scan_decimal,
+        "orc_scan_golden_v11": _q_orc_scan_golden_v11,
+        "orc_scan_golden_snappy": _q_orc_scan_golden_snappy,
+        "orc_scan_golden_union": _q_orc_scan_golden_union,
+        "orc_scan_ts_nanos": _q_orc_scan_ts_nanos,
         "stream_encode": _q_stream_encode,
         "stream_dedup": _q_stream_dedup,
         "stream_dedup_near": _q_stream_dedup_near,
@@ -1108,6 +1224,51 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
             f"count(DISTINCT doc_id) AS n_ids FROM documents "
             f"WHERE {n_tok} >= 60"),
+        # full recompute of the >15-significant-digit decimals: every
+        # digit of sum/min/max must survive the .orc round-trip
+        "orc_scan_decimal": (
+            "WITH d AS (SELECT CAST(concat("
+            "CAST(doc_id + 1 AS VARCHAR), '234567890.123456789', "
+            "CAST(doc_id % 10 AS VARCHAR)) AS DECIMAL(38,10)) AS val "
+            "FROM documents) "
+            "SELECT count(*) AS n, "
+            "CAST(sum(val) AS VARCHAR) AS sum_val, "
+            "CAST(min(val) AS VARCHAR) AS min_val, "
+            "CAST(max(val) AS VARCHAR) AS max_val FROM d"),
+        # constants below are derived from the reference's OWN
+        # expected outputs (examples/expected/*.jsn.gz) — independent
+        # of our reader; see _q_orc_scan_golden_* docstrings
+        "orc_scan_golden_v11": (
+            "SELECT CAST(7500 AS BIGINT) AS n, "
+            "CAST(3750 AS BIGINT) AS n_true, "
+            "CAST(378750 AS BIGINT) AS sum_byte1, "
+            "CAST(11520000 AS BIGINT) AS sum_short1, "
+            "CAST(491520000 AS BIGINT) AS sum_int1, "
+            "CAST(2 AS BIGINT) AS n_strings, "
+            "CAST(CAST('92592589910.5923750' AS DECIMAL(38,10)) "
+            "AS VARCHAR) AS sum_dec"),
+        "orc_scan_golden_snappy": (
+            "SELECT CAST(10000 AS BIGINT) AS n, "
+            "CAST(-60390886051 AS BIGINT) AS sum_int1, "
+            "CAST(10000 AS BIGINT) AS n_strings, "
+            "'100105e0' AS min_str, 'fffee5c6' AS max_str"),
+        "orc_scan_golden_union": (
+            "SELECT CAST(5077 AS BIGINT) AS n, "
+            "CAST(5040 AS BIGINT) AS n_tag0, "
+            "CAST(36 AS BIGINT) AS n_tag1, "
+            "CAST(1 AS BIGINT) AS n_null, "
+            "CAST(8660390656586 AS BIGINT) AS sum_u0, "
+            # 35: one tag-1 row carries a NULL string (count distinct
+            # of non-null values)
+            "CAST(35 AS BIGINT) AS n_u1, "
+            "CAST(71 AS BIGINT) AS n_dec, "
+            "CAST(CAST('53246247702808099200.531856403454526690' "
+            "AS DECIMAL(38,18)) AS VARCHAR) AS sum_dec"),
+        "orc_scan_ts_nanos": (
+            "SELECT CAST(12 AS BIGINT) AS n, "
+            "CAST(788918400688888888 AS BIGINT) AS min_ns, "
+            "CAST(2114380800000999000 AS BIGINT) AS max_ns, "
+            "CAST(5070543801 AS BIGINT) AS frac_sum"),
         "stream_encode": (
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok, "

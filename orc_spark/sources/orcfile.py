@@ -392,10 +392,19 @@ class ORCFile:
                 off += ln
             return self._weave(out, valid, n)
         if k == "decimal":
+            # EXACT values (r4): Decimal from the raw mantissa at the
+            # per-value scale — the old mantissa/10.0**scale float64
+            # rendering silently lost precision above 15 significant
+            # digits (reference decimal.go:53-79 keeps big.Int
+            # mantissas; our stripe-table path at stripe.py:701 was
+            # already exact).  String construction is context-exempt
+            # (Decimal(m).scaleb(-s) would round >28-digit mantissas
+            # under the default context).
+            from decimal import Decimal
             streams = {"DATA": self._stream(col, "DATA") or b""}
             mants = dec_codec.decode_mantissas(streams["DATA"], n_valid)
             scales = self._ints(col, "SECONDARY", n_valid, signed=True)
-            vals = [m / (10.0 ** int(s))
+            vals = [Decimal(f"{m}E-{int(s)}")
                     for m, s in zip(mants, scales.tolist())]
             return self._weave(vals, valid, n)
         if k == "timestamp":

@@ -24,12 +24,14 @@ Open/Select/Stripes/Next cursor loop, re-expressed as a Spark scan):
   surface as the standard sparse struct (``tag`` + one nullable field
   per branch).
 
-Fidelity notes: decimals surface as doubles (the row reader renders
-mantissa/scale as floats); timestamps surface as TIMESTAMP_NTZ (ORC
-stores writer-zone wall clock — no instant is implied) truncated to
-microseconds.  The scan is the COMPATIBILITY path (per-row Python by
-nature of row-major .orc streams); the columnar stripe table is the
-performance path.
+Fidelity notes: decimals surface EXACTLY as DECIMAL(p,s) (r4 — the
+row reader yields Decimal mantissas, matching reference
+decimal.go:53-79); timestamps surface as TIMESTAMP_NTZ (ORC stores
+writer-zone wall clock — no instant is implied) truncated to
+microseconds, or as lossless LONG wall-clock nanos-since-epoch under
+``timestamp_nanos=True``.  The scan is the COMPATIBILITY path
+(per-row Python by nature of row-major .orc streams); the columnar
+stripe table is the performance path.
 """
 
 from __future__ import annotations
@@ -54,34 +56,42 @@ _TARGET_ROWS_PER_TASK = 1 << 20
 
 
 # -------------------------------------------------------------------
-# schema mapping (union -> sparse struct; decimal -> double)
+# schema mapping (union -> sparse struct; decimal -> decimal128)
 # -------------------------------------------------------------------
 
 
-def _spark_of(node: orctypes.OrcType):
+def _spark_of(node: orctypes.OrcType, ts_nanos: bool = False):
     k = node.kind
+    if k == "decimal":
+        # exact (r4): DecimalType at the DECLARED precision/scale —
+        # the old DoubleType mapping lost digits above float53
+        return T.DecimalType(node.precision, node.scale)
+    if k == "timestamp":
+        # ts_nanos (opt-in): nanoseconds-since-epoch LONG of the
+        # writer-zone wall clock — Spark timestamps are microsecond
+        # precision, so this is the only lossless Spark surface for
+        # ORC's nano field (reference formatNanos, utils.go:1206)
+        return T.LongType() if ts_nanos else T.TimestampNTZType()
     prim = {"boolean": T.BooleanType(), "byte": T.ByteType(),
             "short": T.ShortType(), "int": T.IntegerType(),
             "long": T.LongType(), "float": T.FloatType(),
             "double": T.DoubleType(), "string": T.StringType(),
             "char": T.StringType(), "varchar": T.StringType(),
-            "binary": T.BinaryType(), "date": T.DateType(),
-            "timestamp": T.TimestampNTZType(),
-            "decimal": T.DoubleType()}
+            "binary": T.BinaryType(), "date": T.DateType()}
     if k in prim:
         return prim[k]
     if k == "list":
-        return T.ArrayType(_spark_of(node.children[0]))
+        return T.ArrayType(_spark_of(node.children[0], ts_nanos))
     if k == "map":
-        return T.MapType(_spark_of(node.children[0]),
-                         _spark_of(node.children[1]))
+        return T.MapType(_spark_of(node.children[0], ts_nanos),
+                         _spark_of(node.children[1], ts_nanos))
     if k == "struct":
         return T.StructType([
-            T.StructField(fn, _spark_of(c))
+            T.StructField(fn, _spark_of(c, ts_nanos))
             for fn, c in zip(node.field_names, node.children)])
     if k == "union":
         fields = [T.StructField("tag", T.ByteType())]
-        fields += [T.StructField(f"_u{i}", _spark_of(c))
+        fields += [T.StructField(f"_u{i}", _spark_of(c, ts_nanos))
                    for i, c in enumerate(node.children)]
         return T.StructType(fields)
     raise ValueError(f"orc_scan: unsupported ORC kind {k}")
@@ -99,25 +109,29 @@ def _needs_conv(node: orctypes.OrcType) -> bool:
     return False
 
 
-def _conv(node: orctypes.OrcType, v):
+_EPOCH = datetime(1970, 1, 1)
+
+
+def _conv(node: orctypes.OrcType, v, ts_nanos: bool = False):
     """Row-reader value -> Spark-native value (recursive over the
     type tree; None passes through at every level)."""
     if v is None:
         return None
     k = node.kind
     if k == "struct":
-        return {fn: _conv(c, v.get(fn))
+        return {fn: _conv(c, v.get(fn), ts_nanos)
                 for fn, c in zip(node.field_names, node.children)}
     if k == "list":
         c = node.children[0]
-        return [_conv(c, x) for x in v]
+        return [_conv(c, x, ts_nanos) for x in v]
     if k == "map":
         ck, cv = node.children
-        return {_conv(ck, p["key"]): _conv(cv, p["value"]) for p in v}
+        return {_conv(ck, p["key"], ts_nanos):
+                _conv(cv, p["value"], ts_nanos) for p in v}
     if k == "union":
         tag = v["tag"]
         out = {"tag": tag}
-        out[f"_u{tag}"] = _conv(node.children[tag], v["value"])
+        out[f"_u{tag}"] = _conv(node.children[tag], v["value"], ts_nanos)
         return out
     if k == "binary":
         return bytes(v)
@@ -125,8 +139,15 @@ def _conv(node: orctypes.OrcType, v):
         return date.fromisoformat(v)
     if k == "timestamp":
         # "YYYY-MM-DD HH:MM:SS.<frac>" with trimmed fractional digits
-        # (possibly 7-9 for nanos): truncate to microseconds
+        # (possibly 7-9 for nanos)
         main, _, frac = v.partition(".")
+        if ts_nanos:
+            # lossless: integer wall-clock nanos since epoch (the
+            # timedelta stays exact — days/seconds integers, no
+            # float total_seconds())
+            delta = datetime.fromisoformat(main) - _EPOCH
+            secs = delta.days * 86400 + delta.seconds
+            return secs * 1_000_000_000 + int((frac + "0" * 9)[:9])
         us = (frac + "000000")[:6]
         return datetime.fromisoformat(f"{main}.{us}")
     return v
@@ -374,9 +395,14 @@ DRIVER_PLAN_MAX_FILES = 64
 
 
 def orc_scan(spark, path: str, columns: list[str] | None = None,
-             predicate=None) -> DataFrame:
+             predicate=None, timestamp_nanos: bool = False) -> DataFrame:
     """Read a ``.orc`` file or directory of ``.orc`` files into a
-    DataFrame via our codec kernels, one task per (file, stripe)."""
+    DataFrame via our codec kernels, one task per (file, stripe).
+
+    ``timestamp_nanos=True`` surfaces timestamp columns as LONG
+    wall-clock nanoseconds since epoch (lossless — Spark's own
+    timestamp type is microsecond precision and would truncate ORC's
+    nano field)."""
     import pyarrow as pa
 
     files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
@@ -409,7 +435,7 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                 zip(root.field_names, root.children) if fn in need]
         root = orctypes.OrcType(
             "struct", [c for _, c in keep], [fn for fn, _ in keep])
-    schema = _spark_of(root)
+    schema = _spark_of(root, timestamp_nanos)
     # plain-dict closure state for the kernel (no Spark objects)
     root_children = root.children
     root_names = root.field_names
@@ -446,7 +472,7 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         tdf = spark.createDataFrame(tasks, "path string, stripe int") \
             .repartition(n_parts(len(tasks), total_rows))
 
-    arrow_schema = pa.schema([(fn, orc_arrow(c))
+    arrow_schema = pa.schema([(fn, orc_arrow(c, timestamp_nanos))
                               for fn, c in zip(root_names,
                                                root_children)])
 
@@ -529,7 +555,8 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                         continue
                     vals = cols[fn]
                     if needs:
-                        vals = [_conv(node, v) for v in vals]
+                        vals = [_conv(node, v, timestamp_nanos)
+                                for v in vals]
                     arrays[i] = pa.array(
                         vals, type=arrow_schema.field(fn).type)
                 batch = pa.RecordBatch.from_arrays(
@@ -552,33 +579,36 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
     return out
 
 
-def orc_arrow(node: orctypes.OrcType):
+def orc_arrow(node: orctypes.OrcType, ts_nanos: bool = False):
     """Arrow type matching ``_spark_of`` (union -> sparse struct,
-    decimal -> float64, timestamp -> us-naive)."""
+    decimal -> decimal128(p,s) exact, timestamp -> us-naive, or int64
+    wall-clock nanos under ``ts_nanos``)."""
     import pyarrow as pa
     k = node.kind
+    if k == "decimal":
+        return pa.decimal128(node.precision, node.scale)
+    if k == "timestamp":
+        return pa.int64() if ts_nanos else pa.timestamp("us")
     prim = {"boolean": pa.bool_(), "byte": pa.int8(),
             "short": pa.int16(), "int": pa.int32(),
             "long": pa.int64(), "float": pa.float32(),
             "double": pa.float64(), "string": pa.string(),
             "char": pa.string(), "varchar": pa.string(),
-            "binary": pa.binary(), "date": pa.date32(),
-            "timestamp": pa.timestamp("us"),
-            "decimal": pa.float64()}
+            "binary": pa.binary(), "date": pa.date32()}
     if k in prim:
         return prim[k]
     if k == "list":
-        return pa.list_(orc_arrow(node.children[0]))
+        return pa.list_(orc_arrow(node.children[0], ts_nanos))
     if k == "map":
-        return pa.map_(orc_arrow(node.children[0]),
-                       orc_arrow(node.children[1]))
+        return pa.map_(orc_arrow(node.children[0], ts_nanos),
+                       orc_arrow(node.children[1], ts_nanos))
     if k == "struct":
-        return pa.struct([(fn, orc_arrow(c))
+        return pa.struct([(fn, orc_arrow(c, ts_nanos))
                           for fn, c in zip(node.field_names,
                                            node.children)])
     if k == "union":
         fields = [("tag", pa.int8())]
-        fields += [(f"_u{i}", orc_arrow(c))
+        fields += [(f"_u{i}", orc_arrow(c, ts_nanos))
                    for i, c in enumerate(node.children)]
         return pa.struct(fields)
     raise ValueError(f"orc_scan: unsupported ORC kind {k}")

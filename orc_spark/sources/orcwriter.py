@@ -242,11 +242,16 @@ def _new_stats(kind: str) -> dict:
 
 
 def _merge_stats(acc: dict, st: dict) -> None:
+    from decimal import localcontext
     acc["n"] += st["n"]
     acc["has_null"] = acc["has_null"] or st["has_null"]
-    for k in ("sum", "true_count"):
-        if k in st:
-            acc[k] = acc.get(k, 0) + st[k]
+    with localcontext() as _ctx:
+        # decimal sums stay exact under merge (default 28-digit
+        # context would round; ints/floats are unaffected)
+        _ctx.prec = 80
+        for k in ("sum", "true_count"):
+            if k in st:
+                acc[k] = acc.get(k, 0) + st[k]
     if "min" in st:
         acc["min"] = st["min"] if "min" not in acc else min(acc["min"],
                                                             st["min"])
@@ -640,10 +645,16 @@ def _encode_string_node(co, kind, data, data_bounds, bounds,
 
 def _encode_decimal_node(co, node, data, data_bounds, bounds,
                          null_per_stride) -> None:
+    from decimal import localcontext
     from ..codecs import decimal as dec_codec
     scale = node.scale
     vals = data.to_pylist()
-    mants = [int(v.scaleb(scale)) for v in vals]
+    # default Decimal context is 28 significant digits — scaleb (and
+    # the stats sums below) would silently ROUND >28-digit decimal128
+    # values; 80 digits covers any decimal(38) and its per-stride sums
+    with localcontext() as _ctx:
+        _ctx.prec = 80
+        mants = [int(v.scaleb(scale)) for v in vals]
     n_strides = len(bounds) - 1
     data_pieces, sec_pieces = [], []
     for t in range(n_strides):
@@ -657,7 +668,9 @@ def _encode_decimal_node(co, node, data, data_bounds, bounds,
         if hi > lo:
             st["min"] = min(vals[lo:hi])
             st["max"] = max(vals[lo:hi])
-            st["sum"] = sum(vals[lo:hi])
+            with localcontext() as _ctx:
+                _ctx.prec = 80  # exact per-stride sums (see above)
+                st["sum"] = sum(vals[lo:hi])
         co.stride_stats.append(st)
         _merge_stats(co.stripe_stats, st)
     co.add_value_stream("DATA", data_pieces, 0)

@@ -57,12 +57,19 @@ def test_golden_orc_file(name):
     expected_path = os.path.join(EXAMPLES, "expected", f"{name}.jsn.gz")
     if not (os.path.exists(path) and os.path.exists(expected_path)):
         pytest.skip(f"{name} not in snapshot")
+    import gzip
+    from decimal import Decimal
     f = orcfile.ORCFile(path)
     rows = list(f.read_all())
-    expected = orcfile.load_expected(expected_path)
+    # expected floats parse as Decimal so decimal columns compare at
+    # FULL precision (r4 — the float parse masked precision loss in
+    # the reader); genuine doubles still compare with tolerance in _eq
+    with gzip.open(expected_path, "rt") as fh:
+        expected = [json.loads(line, parse_float=Decimal)
+                    for line in fh if line.strip()]
     assert len(rows) == len(expected), "row count"
     for i, (row, exp) in enumerate(zip(rows, expected)):
-        got = json.loads(json.dumps(row))
+        got = json.loads(json.dumps(row, default=str))
         if isinstance(exp, dict):
             for col, val in exp.items():
                 assert _eq(got.get(col), val), \
@@ -72,9 +79,21 @@ def test_golden_orc_file(name):
 
 
 def _eq(a, b):
-    # some expected files render doubles through float32 (testSeek) or
-    # 18-scale decimals as JSON numbers; compare floats with relative
-    # tolerance and recurse into union dicts
+    # some expected files render doubles through float32 (testSeek);
+    # compare floats with relative tolerance, decimals (surfaced as
+    # strings via json default=str, expected as Decimal) EXACTLY, and
+    # recurse into union dicts
+    from decimal import Decimal, InvalidOperation
+    if isinstance(b, Decimal):
+        if isinstance(a, str):
+            try:
+                return Decimal(a) == b
+            except InvalidOperation:
+                return False
+        if isinstance(a, float):
+            bf = float(b)
+            return a == bf or abs(a - bf) <= 1e-6 * max(abs(a), abs(bf))
+        return a == b
     if isinstance(a, float) and isinstance(b, (int, float)):
         return a == b or abs(a - b) <= 1e-6 * max(abs(a), abs(b))
     if isinstance(a, dict) and isinstance(b, dict):

@@ -390,3 +390,59 @@ def test_orc_scan_nested_golden_matches_row_reader(spark):
             [x["int1"] for x in r["list"]]
         assert g["middle"]["list"][0]["string1"] == \
             r["middle"]["list"][0]["string1"]
+
+
+def test_orc_scan_decimal_exact_beyond_float(spark, tmp_path):
+    """r4: decimal(38,10) values with >15 significant digits survive
+    write -> orc_scan bit-exactly (the old double mapping lost the low
+    digits; reference decimal.go keeps big.Int mantissas)."""
+    from decimal import Decimal
+    import pyarrow.parquet  # noqa: F401  (ensure pa available)
+    vals = [Decimal("12345678901234567890.1234567891"),
+            Decimal("-9999999999999999999.9999999999"),
+            Decimal("0.0000000001"),
+            Decimal("1E-10") * 3,
+            Decimal("271828182845904523536.0287471352")]
+    tbl = pa.table({"v": pa.array(vals, pa.decimal128(38, 10))})
+    p = str(tmp_path / "dec")
+    import os
+    os.makedirs(p)
+    orcwriter.arrow_to_orc(tbl, p + "/part.orc", codec="zlib") \
+        if hasattr(orcwriter, "arrow_to_orc") else None
+    if not glob.glob(p + "/*.orc"):
+        # write via the Spark-side sink
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "v decimal(38,10)")
+        orcwriter.dataframe_to_orc_dir(df.coalesce(1), p, codec="zlib")
+    got = orcscan.orc_scan(spark, p)
+    assert dict(got.dtypes)["v"] == "decimal(38,10)"
+    back = sorted(r["v"] for r in got.collect())
+    # Decimal == is scale-insensitive numeric equality; every value
+    # here has >15 significant digits, so any float64 detour fails
+    assert back == sorted(vals)
+    # and the row reader itself is exact (no float64 detour)
+    f = ORCFile(glob.glob(p + "/*.orc")[0])
+    raw = sorted(r["v"] for r in f.read_all())
+    assert all(isinstance(v, Decimal) for v in raw)
+    assert raw == back
+
+
+def test_orc_scan_timestamp_nanos_lossless(spark):
+    """r4: timestamp_nanos=True surfaces exact wall-clock nanos from
+    the golden testTimestamp file (expected JSON carries 9-digit
+    fractions the default us surface must truncate)."""
+    path = f"{EX}/TestOrcFile.testTimestamp.orc"
+    ns = [r["value"] for r in
+          orcscan.orc_scan(spark, path, timestamp_nanos=True).collect()]
+    assert len(ns) == 12
+    assert min(ns) == 788918400688888888       # 1995-01-01 ….688888888
+    assert max(ns) == 2114380800000999000      # 2037-01-01 ….000999
+    assert sum(v % 10**9 for v in ns) == 5070543801
+    # default surface: same instants at us precision
+    us = [r["value"] for r in orcscan.orc_scan(spark, path).collect()]
+    import datetime as dt
+    epoch = dt.datetime(1970, 1, 1)
+    for a, b in zip(sorted(ns), sorted(us)):
+        d = b - epoch
+        got_us = (d.days * 86400 + d.seconds) * 10**6 + d.microseconds
+        assert got_us == a // 1000  # truncation, never rounding drift
