@@ -244,86 +244,148 @@ def plan_tasks(files: list[str], predicate=None,
 
 
 def _fast_column(f: ORCFile, cid: int, n: int):
-    """Whole-array form of a NULL-free numeric column: np.ndarray for
-    int-family/float/double, ("list", lengths, values) for
-    list<numeric> — decoded without ANY per-row Python (the generic
-    ``_read_column`` path builds python lists; at scan rates that
-    allocation storm dominates and anti-scales on fault-contended
-    kernels).  None = unsupported shape (caller takes the list path)."""
+    """Whole-array form of a column, NULL-BEARING INCLUDED (r4: the
+    PRESENT bitmap becomes an Arrow validity buffer instead of
+    bailing to per-row lists — reference treereader.go:29-63).
+    Returns ``(form, valid)`` where ``valid`` is the np.bool_ PRESENT
+    array (None when the column is null-free) and ``form`` is one of
+    ("num", vals) / ("str"|"bin", lengths, blob) /
+    ("dict", idxs, key_lengths, blob) /
+    ("list", lengths, child_form, child_valid).  Decoded without ANY
+    per-row Python (the generic ``_read_column`` path builds python
+    lists; at scan rates that allocation storm dominates and
+    anti-scales on fault-contended kernels).  None = unsupported
+    shape (caller takes the list path)."""
     import numpy as np
+    from ..codecs import byterle
     t = f.types[cid]
-    valid, _ = f._present(cid, n)
-    if valid is not None:
-        return None
+    valid, n_valid = f._present(cid, n)
     k = t.kind
-    if k in ("short", "int", "long"):
-        return f._ints(cid, "DATA", n, signed=True)
+    if k in ("short", "int", "long", "date"):
+        return ("num", f._ints(cid, "DATA", n_valid, signed=True)), valid
+    if k == "byte":
+        raw = f._stream(cid, "DATA") or b""
+        return ("num", byterle.decode(raw, n_valid).astype(np.int8)), \
+            valid
+    if k == "boolean":
+        raw = f._stream(cid, "DATA") or b""
+        return ("num", byterle.decode_bools(raw, n_valid)), valid
     if k in ("float", "double"):
         raw = f._stream(cid, "DATA") or b""
-        return np.frombuffer(raw, dtype="<f4" if k == "float"
-                             else "<f8")[:n]
+        return ("num", np.frombuffer(raw, dtype="<f4" if k == "float"
+                                     else "<f8")[:n_valid]), valid
     if k in ("string", "varchar", "char"):
         enc = f.encodings[cid]
         if enc.startswith("DICTIONARY"):
             n_keys = f.dict_sizes[cid]
             key_lengths = f._ints(cid, "LENGTH", n_keys, signed=False)
             blob = f._stream(cid, "DICTIONARY_DATA") or b""
-            idxs = f._ints(cid, "DATA", n, signed=False)
-            return ("dict", idxs, (key_lengths, blob))
-        lengths = f._ints(cid, "LENGTH", n, signed=False)
+            idxs = f._ints(cid, "DATA", n_valid, signed=False)
+            return ("dict", idxs, key_lengths, blob), valid
+        lengths = f._ints(cid, "LENGTH", n_valid, signed=False)
         if int(lengths.sum()) > 2**31 - 1:
             return None
-        return ("str", lengths, f._stream(cid, "DATA") or b"")
+        return ("str", lengths, f._stream(cid, "DATA") or b""), valid
+    if k == "binary":
+        lengths = f._ints(cid, "LENGTH", n_valid, signed=False)
+        if int(lengths.sum()) > 2**31 - 1:
+            return None
+        return ("bin", lengths, f._stream(cid, "DATA") or b""), valid
     if k == "list":
-        lengths = f._ints(cid, "LENGTH", n, signed=False)
+        lengths = f._ints(cid, "LENGTH", n_valid, signed=False)
         total = int(lengths.sum())
         if total > 2**31 - 1:
             return None  # would overflow int32 ListArray offsets
-        cvals = _fast_column(f, t.children[0], total)
-        if cvals is None or isinstance(cvals, tuple):
+        child = _fast_column(f, t.children[0], total)
+        if child is None or child[0][0] != "num":
             return None  # nested lists / strings: generic path
-        return ("list", lengths, cvals)
+        return ("list", lengths, child[0], child[1]), valid
     return None
 
 
-def _str_from_buffers(lengths, blob):
-    """Zero-copy utf8 array straight from LENGTH + concatenated DATA
-    (validated in C++; raises on malformed bytes — caller falls back
-    to the replace-decoding list path)."""
+def _validity(valid):
+    """np.bool_ PRESENT array -> Arrow validity bitmap buffer."""
+    import numpy as np
+    import pyarrow as pa
+    return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+
+
+def _scatter(vals, valid):
+    """Spread n_valid decoded values into n row slots (zeros where
+    null — masked off by the validity bitmap)."""
+    import numpy as np
+    full = np.zeros(len(valid), dtype=vals.dtype)
+    full[np.flatnonzero(valid)] = vals
+    return full
+
+
+def _str_from_buffers(lengths, blob, valid=None, binary=False):
+    """Zero-copy utf8/binary array straight from LENGTH + concatenated
+    DATA, with an optional PRESENT validity bitmap (null slots carry
+    length 0 -> equal consecutive offsets).  Validated in C++; raises
+    on malformed bytes — caller falls back to the replace-decoding
+    list path."""
     import numpy as np
     import pyarrow as pa
     n = len(lengths)
     offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
     if len(blob) < int(offsets[-1]):
         raise ValueError("string DATA stream shorter than lengths")
+    vb = None if valid is None else _validity(valid)
+    nulls = 0 if valid is None else int(n - valid.sum())
     arr = pa.Array.from_buffers(
-        pa.utf8(), n,
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)])
+        pa.binary() if binary else pa.utf8(), n,
+        [vb, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
+        null_count=nulls)
     arr.validate(full=True)
     return arr
 
 
-def _fast_to_arrow(fast, field_type):
-    """numpy fast form -> pa.Array of ``field_type`` (zero-copy where
-    dtypes already match)."""
+def _fast_to_arrow(fast, valid, field_type):
+    """(form, PRESENT) -> pa.Array of ``field_type`` (zero-copy where
+    dtypes already match; nulls via validity bitmap, never per-row)."""
     import numpy as np
     import pyarrow as pa
-    if isinstance(fast, tuple):
-        tag = fast[0]
-        if tag == "str":
-            _, lengths, blob = fast
-            return _str_from_buffers(lengths, blob)
-        if tag == "dict":
-            _, idxs, (key_lengths, blob) = fast
-            keys = _str_from_buffers(key_lengths, blob)
+    tag = fast[0]
+    if tag == "num":
+        vals = fast[1]
+        if field_type == pa.date32():
+            vals = vals.astype(np.int32)  # int64 -> date32 can't cast
+        if valid is None:
+            return pa.array(vals).cast(field_type)
+        return pa.array(_scatter(vals, valid),
+                        mask=~valid).cast(field_type)
+    if tag in ("str", "bin"):
+        _, lengths, blob = fast
+        if valid is not None:
+            lengths = _scatter(np.asarray(lengths), valid)
+        return _str_from_buffers(lengths, blob, valid,
+                                 binary=(tag == "bin"))
+    if tag == "dict":
+        _, idxs, key_lengths, blob = fast
+        keys = _str_from_buffers(key_lengths, blob)
+        if valid is None:
             return keys.take(pa.array(idxs.astype(np.int64)))
-        _, lengths, values = fast
+        # null rows point at index 0 but are masked off by take's
+        # null propagation through a null index
+        full = _scatter(idxs.astype(np.int64), valid)
+        return keys.take(pa.array(full, mask=~valid))
+    if tag == "list":
+        _, lengths, child_form, child_valid = fast
+        if valid is not None:
+            lengths = _scatter(np.asarray(lengths), valid)
         offsets = np.concatenate(
             ([0], np.cumsum(lengths))).astype(np.int32)
-        child = pa.array(values).cast(field_type.value_type)
-        return pa.ListArray.from_arrays(pa.array(offsets,
-                                                 pa.int32()), child)
-    return pa.array(fast).cast(field_type)
+        child = _fast_to_arrow(child_form, child_valid,
+                               field_type.value_type)
+        if valid is None:
+            off_arr = pa.array(offsets, pa.int32())
+        else:
+            # a null at offsets position i marks list i null
+            mask = np.concatenate((~valid, [False]))
+            off_arr = pa.array(offsets, pa.int32(), mask=mask)
+        return pa.ListArray.from_arrays(off_arr, child)
+    raise ValueError(f"unknown fast form {tag!r}")
 
 
 def stride_keep(f: ORCFile, si: int, preds: list[tuple],
@@ -533,12 +595,16 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                                                    root_children,
                                                    conv_flags):
                             ft = arrow_schema.field(fn).type
-                            fast = None if needs else \
-                                _fast_column(f, cids[fn], n_rows)
+                            # r4: fast path decides support itself
+                            # (incl. PRESENT-bearing columns, date,
+                            # byte, boolean, binary); timestamps /
+                            # nested structs / maps / unions return
+                            # None and take the generic+_conv path
+                            fast = _fast_column(f, cids[fn], n_rows)
                             if fast is not None:
                                 try:
-                                    arrays.append(
-                                        _fast_to_arrow(fast, ft))
+                                    arrays.append(_fast_to_arrow(
+                                        fast[0], fast[1], ft))
                                 except Exception:
                                     # e.g. malformed UTF-8: the list
                                     # path replace-decodes instead
