@@ -243,37 +243,66 @@ def plan_tasks(files: list[str], predicate=None,
 # -------------------------------------------------------------------
 
 
-def _fast_column(f: ORCFile, cid: int, n: int):
-    """Whole-array form of a column, NULL-BEARING INCLUDED (r4: the
-    PRESENT bitmap becomes an Arrow validity buffer instead of
-    bailing to per-row lists — reference treereader.go:29-63).
-    Returns ``(form, valid)`` where ``valid`` is the np.bool_ PRESENT
-    array (None when the column is null-free) and ``form`` is one of
-    ("num", vals) / ("str"|"bin", lengths, blob) /
-    ("dict", idxs, key_lengths, blob) /
-    ("list", lengths, child_form, child_valid).  Decoded without ANY
-    per-row Python (the generic ``_read_column`` path builds python
-    lists; at scan rates that allocation storm dominates and
-    anti-scales on fault-contended kernels).  None = unsupported
-    shape (caller takes the list path)."""
+def _offsets(lengths, valid):
+    """LENGTH stream (non-null entries) -> int32 Arrow offsets array,
+    nulls marked at parent-null slots (a null at offsets position i
+    makes list/map i null)."""
     import numpy as np
+    import pyarrow as pa
+    if valid is not None:
+        lengths = _scatter(np.asarray(lengths), valid)
+    offs = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+    if valid is None:
+        return pa.array(offs, pa.int32())
+    return pa.array(offs, pa.int32(),
+                    mask=np.concatenate((~valid, [False])))
+
+
+def _fast_arrow(f: ORCFile, cid: int, n: int, ft):
+    """pa.Array of Arrow type ``ft`` for column ``cid`` over ``n``
+    rows, built WHOLE-ARRAY — validity bitmaps from PRESENT streams,
+    zero-copy offset+blob string construction, offsets-based
+    list/map assembly, take-expansion for nested struct children
+    (r4; reference treereader.go:29-63 / cursor.go:89-176 walk these
+    per row — we don't).  Recurses over the full type tree:
+    list<struct<...>>, map<string,struct>, arbitrarily deep.
+    Returns None when any part of the subtree is unsupported
+    (timestamp: writer-tz wall-clock math; decimal: per-value
+    mantissa varints; union) — the caller then takes the generic
+    row path for THIS root column only."""
+    import numpy as np
+    import pyarrow as pa
     from ..codecs import byterle
     t = f.types[cid]
-    valid, n_valid = f._present(cid, n)
     k = t.kind
+    valid, n_valid = f._present(cid, n)
+
     if k in ("short", "int", "long", "date"):
-        return ("num", f._ints(cid, "DATA", n_valid, signed=True)), valid
+        vals = f._ints(cid, "DATA", n_valid, signed=True)
+        if pa.types.is_date32(ft):
+            vals = vals.astype(np.int32)  # int64 can't cast to date32
+        if valid is None:
+            return pa.array(vals).cast(ft)
+        return pa.array(_scatter(vals, valid), mask=~valid).cast(ft)
     if k == "byte":
         raw = f._stream(cid, "DATA") or b""
-        return ("num", byterle.decode(raw, n_valid).astype(np.int8)), \
-            valid
+        vals = byterle.decode(raw, n_valid).astype(np.int8)
+        if valid is None:
+            return pa.array(vals).cast(ft)
+        return pa.array(_scatter(vals, valid), mask=~valid).cast(ft)
     if k == "boolean":
         raw = f._stream(cid, "DATA") or b""
-        return ("num", byterle.decode_bools(raw, n_valid)), valid
+        vals = byterle.decode_bools(raw, n_valid)
+        if valid is None:
+            return pa.array(vals)
+        return pa.array(_scatter(vals, valid), mask=~valid)
     if k in ("float", "double"):
         raw = f._stream(cid, "DATA") or b""
-        return ("num", np.frombuffer(raw, dtype="<f4" if k == "float"
-                                     else "<f8")[:n_valid]), valid
+        vals = np.frombuffer(raw, dtype="<f4" if k == "float"
+                             else "<f8")[:n_valid]
+        if valid is None:
+            return pa.array(vals)
+        return pa.array(_scatter(vals, valid), mask=~valid)
     if k in ("string", "varchar", "char"):
         enc = f.encodings[cid]
         if enc.startswith("DICTIONARY"):
@@ -281,26 +310,67 @@ def _fast_column(f: ORCFile, cid: int, n: int):
             key_lengths = f._ints(cid, "LENGTH", n_keys, signed=False)
             blob = f._stream(cid, "DICTIONARY_DATA") or b""
             idxs = f._ints(cid, "DATA", n_valid, signed=False)
-            return ("dict", idxs, key_lengths, blob), valid
+            keys = _str_from_buffers(key_lengths, blob)
+            if valid is None:
+                return keys.take(pa.array(idxs.astype(np.int64)))
+            # null rows carry index 0, masked off by take's null
+            # propagation through a null index
+            full = _scatter(idxs.astype(np.int64), valid)
+            return keys.take(pa.array(full, mask=~valid))
         lengths = f._ints(cid, "LENGTH", n_valid, signed=False)
         if int(lengths.sum()) > 2**31 - 1:
             return None
-        return ("str", lengths, f._stream(cid, "DATA") or b""), valid
+        blob = f._stream(cid, "DATA") or b""
+        if valid is not None:
+            lengths = _scatter(np.asarray(lengths), valid)
+        return _str_from_buffers(lengths, blob, valid)
     if k == "binary":
         lengths = f._ints(cid, "LENGTH", n_valid, signed=False)
         if int(lengths.sum()) > 2**31 - 1:
             return None
-        return ("bin", lengths, f._stream(cid, "DATA") or b""), valid
+        blob = f._stream(cid, "DATA") or b""
+        if valid is not None:
+            lengths = _scatter(np.asarray(lengths), valid)
+        return _str_from_buffers(lengths, blob, valid, binary=True)
     if k == "list":
         lengths = f._ints(cid, "LENGTH", n_valid, signed=False)
         total = int(lengths.sum())
         if total > 2**31 - 1:
             return None  # would overflow int32 ListArray offsets
-        child = _fast_column(f, t.children[0], total)
-        if child is None or child[0][0] != "num":
-            return None  # nested lists / strings: generic path
-        return ("list", lengths, child[0], child[1]), valid
-    return None
+        child = _fast_arrow(f, t.children[0], total, ft.value_type)
+        if child is None:
+            return None
+        return pa.ListArray.from_arrays(_offsets(lengths, valid), child)
+    if k == "map":
+        lengths = f._ints(cid, "LENGTH", n_valid, signed=False)
+        total = int(lengths.sum())
+        if total > 2**31 - 1:
+            return None
+        keys = _fast_arrow(f, t.children[0], total, ft.key_type)
+        items = _fast_arrow(f, t.children[1], total, ft.item_type)
+        if keys is None or items is None or keys.null_count:
+            return None  # Arrow map keys must be non-null
+        return pa.MapArray.from_arrays(_offsets(lengths, valid),
+                                       keys, items)
+    if k == "struct":
+        children = []
+        for i, c in enumerate(t.children):
+            ch = _fast_arrow(f, c, n_valid, ft.field(i).type)
+            if ch is None:
+                return None
+            children.append(ch)
+        fields = [ft.field(i) for i in range(ft.num_fields)]
+        if valid is None:
+            return pa.StructArray.from_arrays(children, fields=fields)
+        # children hold n_valid entries (ORC elides rows where the
+        # parent is null): take-expand to n slots with null indices
+        idx = np.zeros(n, np.int64)
+        idx[np.flatnonzero(valid)] = np.arange(n_valid)
+        take_idx = pa.array(idx, mask=~valid)
+        children = [ch.take(take_idx) for ch in children]
+        return pa.StructArray.from_arrays(children, fields=fields,
+                                          mask=pa.array(~valid))
+    return None  # timestamp / decimal / union: generic row path
 
 
 def _validity(valid):
@@ -339,53 +409,6 @@ def _str_from_buffers(lengths, blob, valid=None, binary=False):
         null_count=nulls)
     arr.validate(full=True)
     return arr
-
-
-def _fast_to_arrow(fast, valid, field_type):
-    """(form, PRESENT) -> pa.Array of ``field_type`` (zero-copy where
-    dtypes already match; nulls via validity bitmap, never per-row)."""
-    import numpy as np
-    import pyarrow as pa
-    tag = fast[0]
-    if tag == "num":
-        vals = fast[1]
-        if field_type == pa.date32():
-            vals = vals.astype(np.int32)  # int64 -> date32 can't cast
-        if valid is None:
-            return pa.array(vals).cast(field_type)
-        return pa.array(_scatter(vals, valid),
-                        mask=~valid).cast(field_type)
-    if tag in ("str", "bin"):
-        _, lengths, blob = fast
-        if valid is not None:
-            lengths = _scatter(np.asarray(lengths), valid)
-        return _str_from_buffers(lengths, blob, valid,
-                                 binary=(tag == "bin"))
-    if tag == "dict":
-        _, idxs, key_lengths, blob = fast
-        keys = _str_from_buffers(key_lengths, blob)
-        if valid is None:
-            return keys.take(pa.array(idxs.astype(np.int64)))
-        # null rows point at index 0 but are masked off by take's
-        # null propagation through a null index
-        full = _scatter(idxs.astype(np.int64), valid)
-        return keys.take(pa.array(full, mask=~valid))
-    if tag == "list":
-        _, lengths, child_form, child_valid = fast
-        if valid is not None:
-            lengths = _scatter(np.asarray(lengths), valid)
-        offsets = np.concatenate(
-            ([0], np.cumsum(lengths))).astype(np.int32)
-        child = _fast_to_arrow(child_form, child_valid,
-                               field_type.value_type)
-        if valid is None:
-            off_arr = pa.array(offsets, pa.int32())
-        else:
-            # a null at offsets position i marks list i null
-            mask = np.concatenate((~valid, [False]))
-            off_arr = pa.array(offsets, pa.int32(), mask=mask)
-        return pa.ListArray.from_arrays(off_arr, child)
-    raise ValueError(f"unknown fast form {tag!r}")
 
 
 def stride_keep(f: ORCFile, si: int, preds: list[tuple],
@@ -595,21 +618,22 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                                                    root_children,
                                                    conv_flags):
                             ft = arrow_schema.field(fn).type
-                            # r4: fast path decides support itself
-                            # (incl. PRESENT-bearing columns, date,
-                            # byte, boolean, binary); timestamps /
-                            # nested structs / maps / unions return
-                            # None and take the generic+_conv path
-                            fast = _fast_column(f, cids[fn], n_rows)
+                            # r4: whole-array Arrow build decides
+                            # support itself (PRESENT-bearing
+                            # columns, date/byte/boolean/binary,
+                            # nested list/struct/map trees);
+                            # timestamp/decimal/union subtrees
+                            # return None -> generic+_conv path
+                            try:
+                                fast = _fast_arrow(f, cids[fn],
+                                                   n_rows, ft)
+                            except Exception:
+                                # e.g. malformed UTF-8: the list
+                                # path replace-decodes instead
+                                fast = None
                             if fast is not None:
-                                try:
-                                    arrays.append(_fast_to_arrow(
-                                        fast[0], fast[1], ft))
-                                except Exception:
-                                    # e.g. malformed UTF-8: the list
-                                    # path replace-decodes instead
-                                    fast = None
-                            if fast is None:
+                                arrays.append(fast)
+                            else:
                                 cols[fn] = f._read_column(cids[fn],
                                                           n_rows)
                                 arrays.append(None)

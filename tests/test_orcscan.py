@@ -491,3 +491,59 @@ def test_orc_scan_nullable_fast_path_values(spark, tmp_path):
         # null COUNTS match exactly
         assert a[c].isna().sum() == b[c].isna().sum(), c
     assert a["tokens"].isna().sum() == b["tokens"].isna().sum()
+
+
+def test_orc_scan_nested_fast_path_engages_and_matches(spark, tmp_path):
+    """r4: list<struct>, map, struct<list>, and null-bearing nested
+    trees build whole-array through _fast_arrow (offsets + validity +
+    take-expansion — no per-row _conv), and values equal the generic
+    row path exactly."""
+    n = 3000
+    rng = np.random.default_rng(11)
+    lens = rng.integers(0, 5, n)
+    items = [[{"int1": int(rng.integers(0, 1000)), "string1": f"s{j}"}
+              for j in range(l)] for l in lens]
+    tbl = pa.table({
+        "id": pa.array(np.arange(n)),
+        "lst": pa.array(
+            [x if i % 7 else None for i, x in enumerate(items)],
+            pa.list_(pa.struct([("int1", pa.int32()),
+                                ("string1", pa.utf8())]))),
+        "mp": pa.array([{f"k{i % 5}": float(i)} if i % 3 else None
+                        for i in range(n)],
+                       pa.map_(pa.utf8(), pa.float64())),
+        "st": pa.array([{"a": int(i), "b": [f"w{i % 9}"] * (i % 3)}
+                        if i % 4 else None for i in range(n)],
+                       pa.struct([("a", pa.int64()),
+                                  ("b", pa.list_(pa.utf8()))])),
+    })
+    p = str(tmp_path / "nested")
+    import os
+    os.makedirs(p)
+    w = orcwriter.ORCFileWriter(p + "/a.orc", codec="zlib")
+    w.write_batch(tbl.to_batches()[0])
+    w.close()
+    # 1) engagement: every root column must come back non-None from
+    # _fast_arrow (a silent fallback would pass values but lose the
+    # whole-array property this test pins)
+    from orc_spark import orctypes
+    from orc_spark.sources.orcscan import _fast_arrow, orc_arrow
+    f = ORCFile(p + "/a.orc")
+    nr = f._load_stripe_directory(0)
+    cids = dict(zip(f.types[0].field_names, f.types[0].children))
+    root = orctypes.type_from_file(p + "/a.orc")
+    for fn, node in zip(root.field_names, root.children):
+        arr = _fast_arrow(f, cids[fn], nr, orc_arrow(node))
+        assert arr is not None, f"{fn} fell back to the row path"
+        arr.validate(full=True)
+    # 2) parity with the generic row path through the full scan
+    import orc_spark.sources.orcscan as m
+    fast = orcscan.orc_scan(spark, p).orderBy("id").collect()
+    orig = m._fast_arrow
+    m._fast_arrow = lambda *a, **k: None
+    try:
+        slow = orcscan.orc_scan(spark, p).orderBy("id").collect()
+    finally:
+        m._fast_arrow = orig
+    assert [r.asDict(True) for r in fast] == \
+        [r.asDict(True) for r in slow]
