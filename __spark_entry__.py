@@ -864,6 +864,8 @@ def _q_stream_dedup_near(spark, sf_dir):
 
 
 def _q_mm_features(spark, sf_dir):
+    """Legacy plumbing oracle: fake byte-math features over utf-8
+    payloads (kept — it pins the mapInPandas schema/batch shape)."""
     media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
     return feats.select(
@@ -872,6 +874,40 @@ def _q_mm_features(spark, sf_dir):
                                         lambda x: x.cast("double")),
                             F.lit(0.0), lambda a, x: a + x), 3)
         .alias("feat_sum"))
+
+
+def _feat_sum_df(feats):
+    return feats.select(
+        "media_id", F.size("features").cast("long").alias("dim"),
+        F.round(F.aggregate(F.transform("features",
+                                        lambda x: x.cast("double")),
+                            F.lit(0.0), lambda a, x: a + x), 3)
+        .alias("feat_sum"))
+
+
+def _q_mm_decode_real(spark, sf_dir):
+    """REAL media decode (r4): deterministic 24-bit BMP and PCM16 WAV
+    containers are synthesized per doc (raster/sample i of doc d is a
+    pure function of (d, i)), then extract_features DECODES the
+    actual containers — header parse, row padding, bottom-up flip,
+    BGR->RGB, RIFF chunk walk — and emits pixel/sample statistics.
+    The DuckDB oracle recomputes the identical statistics from the
+    (d, i) formula: a single header-offset or channel-order bug
+    changes every mean and fails the hash."""
+    media = multimodal.synthesize_real_media(spark, _docs(spark, sf_dir))
+    return _feat_sum_df(multimodal.extract_features(media))
+
+
+def _q_mm_resize(spark, sf_dir):
+    """Image resize operator (r4): BMP payloads decode -> 8x8
+    nearest-neighbor resize -> re-encode -> decode again for
+    statistics.  The oracle recomputes the resized raster from the
+    source-pixel formula through the same index arithmetic
+    (yi = y*H//8, xi = x*W//8)."""
+    media = multimodal.synthesize_real_media(spark, _docs(spark, sf_dir))
+    imgs = media.where(F.col("kind") == "image")
+    resized = multimodal.resize_media(imgs, 8, 8)
+    return _feat_sum_df(multimodal.extract_features(resized))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -923,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_stats_roundtrip": _q_orc_stats_roundtrip,
         "csv_export": _q_csv_export,
         "mm_features": _q_mm_features,
+        "mm_decode_real": _q_mm_decode_real,
+        "mm_resize": _q_mm_resize,
         "mm_frame_sample": _q_mm_frame_sample,
     }
 
@@ -1520,6 +1558,73 @@ def oracle_sql() -> dict[str, str]:
                            ((c+1)*(L//16) + least(c+1, L%16))])
                        AS REAL)::DOUBLE)) AS DOUBLE), 3) AS feat_sum
             FROM b""",
+        # REAL decode (r4): raster/sample i of doc d is the pure
+        # function below; feature addition order mirrors the Spark
+        # kernel's left-to-right fold exactly (bit-identical doubles)
+        "mm_decode_real": """
+            WITH img AS (
+              SELECT doc_id AS d,
+                     list_transform(range(0, 1152), i ->
+                       CAST((d*7 + i*13) % 256 AS DOUBLE)) AS v
+              FROM documents WHERE doc_id % 2 = 0),
+            aud AS (
+              SELECT doc_id AS d,
+                     list_transform(range(0, 480), i ->
+                       CAST((d*31 + i*17) % 65536 - 32768 AS DOUBLE))
+                     AS s
+              FROM documents WHERE doc_id % 2 = 1)
+            SELECT 'bmp-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(24.0 + 16.0 + 3.0
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 384), j ->
+                         CAST((d*7 + (3*j)*13) % 256 AS DOUBLE)))
+                         AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 384), j ->
+                         CAST((d*7 + (3*j+1)*13) % 256 AS DOUBLE)))
+                         AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 384), j ->
+                         CAST((d*7 + (3*j+2)*13) % 256 AS DOUBLE)))
+                         AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM img
+            UNION ALL
+            SELECT 'wav-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(480.0 + 8000.0 + 1.0
+                     + CAST(list_avg(s) AS REAL)::DOUBLE
+                     + CAST(list_aggregate(s, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(s, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM aud""",
+        # 8x8 nearest-neighbor resize of the 24x16 BMPs: resized
+        # pixel (y,x,c) = source raster ((2y*24 + 3x)*3 + c)
+        "mm_resize": """
+            WITH img AS (
+              SELECT doc_id AS d,
+                     list_transform(range(0, 192), j ->
+                       CAST((d*7 + ((2*(j//24)*24 + 3*((j//3)%8))*3
+                             + (j%3))*13) % 256 AS DOUBLE)) AS v
+              FROM documents WHERE doc_id % 2 = 0)
+            SELECT 'bmp-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(8.0 + 8.0 + 3.0
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 64), k ->
+                         CAST((d*7 + ((2*(k//8)*24 + 3*(k%8))*3)*13)
+                              % 256 AS DOUBLE))) AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 64), k ->
+                         CAST((d*7 + ((2*(k//8)*24 + 3*(k%8))*3 + 1)*13)
+                              % 256 AS DOUBLE))) AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 64), k ->
+                         CAST((d*7 + ((2*(k//8)*24 + 3*(k%8))*3 + 2)*13)
+                              % 256 AS DOUBLE))) AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM img""",
         # same planted-neighbor exact-top-10 as sim_ann_lsh: the
         # materialized index must return identical results
         "sim_ann_index": """

@@ -1,14 +1,27 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column operators.
 
 Media ride as opaque ``binary`` payload columns with typed metadata;
 all transforms run as Arrow-batched kernels over ``mapInPandas`` /
-``mapInArrow``.  The actual media decode (JPEG/PNG/audio codecs) is
-STUBBED — the libraries are not in this container — behind
-``decode_image_stub``, which produces a deterministic fake feature
-vector from the payload bytes so the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested.  Swap
-``_fake_decode`` for a real decoder (PIL/torchvision/ffmpeg) on a
-production cluster.
+``mapInArrow``.
+
+REAL decoders (r4, pure numpy — no codec libraries needed):
+
+* ``decode_bmp`` — uncompressed 24-bit Windows BMP (BITMAPINFOHEADER,
+  bottom-up or top-down, 4-byte row padding) -> (h, w, 3) RGB uint8.
+* ``decode_ppm`` — binary P6 PPM (comments + whitespace grammar,
+  maxval <= 255) -> (h, w, 3) RGB uint8.
+* ``decode_wav`` — RIFF/WAVE PCM (8-bit unsigned / 16-bit signed,
+  any channel count; chunk-walking parser) -> (n, ch) samples + rate.
+
+Both container formats are fully public (the BMP and WAVE layouts are
+documented by Microsoft, PPM by netpbm) and patent-free — exactly the
+"decode behind the mapInPandas surface" the brief asks for without
+shipping a codec stack.  ``extract_features`` dispatches on mime and
+produces fixed-width pixel/sample statistics; compressed formats
+(JPEG/PNG/MP3/video) still raise NotImplementedError — plug
+PIL/ffmpeg into the same kernel seam on a production cluster.
+``_fake_decode`` remains only for the legacy ``image/x-fake`` mime
+used by the plumbing oracle.
 """
 
 from __future__ import annotations
@@ -51,6 +64,153 @@ def synthesize_media(spark, docs: DataFrame) -> DataFrame:
 FEATURE_DIM = 16
 
 
+# -------------------------------------------------------------------
+# real container codecs (pure numpy)
+# -------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 -> uncompressed 24-bit BMP (bottom-up,
+    rows padded to 4 bytes — the standard Windows layout)."""
+    import struct
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    # pixel data: bottom-up row order, BGR channel order, padded rows
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       img_size, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) RGB uint8.  Handles
+    bottom-up (positive height) and top-down (negative) rasters and
+    4-byte row padding; rejects compressed/paletted variants loudly."""
+    import struct
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    row_bytes = (w * 3 + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        raise ValueError("BMP payload shorter than raster")
+    rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_off) \
+        .reshape(h, row_bytes)[:, :w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 -> binary P6 PPM."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_ppm expects (h, w, 3) RGB")
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM -> (h, w, 3) RGB uint8 (netpbm grammar: '#'
+    comments and arbitrary whitespace between header tokens; a single
+    whitespace byte separates maxval from the raster)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = w * h * 3
+    if len(payload) - pos < need:
+        raise ValueError("PPM payload shorter than raster")
+    return np.frombuffer(payload, np.uint8, need, pos) \
+        .reshape(h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples, (n,) mono or (n, ch) -> RIFF/WAVE PCM16."""
+    import struct
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    byte_rate = rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, byte_rate, ch * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> ((n, ch) int16 samples, sample_rate).  Walks
+    chunks (fmt may be followed by LIST/fact before data); 8-bit
+    unsigned PCM is centered to int16 range; rejects non-PCM loudly."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"only PCM WAV supported (fmt={audio_fmt})")
+    if bits == 16:
+        s = np.frombuffer(data, "<i2")
+    elif bits == 8:
+        s = (np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8
+    else:
+        raise ValueError(f"unsupported PCM width {bits}")
+    return s.reshape(-1, ch), rate
+
+
+def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(h0, w0, 3) -> (h, w, 3) nearest-neighbor resize, pure numpy
+    index arithmetic (the standard training-pipeline pre-resize)."""
+    h0, w0, _ = arr.shape
+    yi = (np.arange(h) * h0) // h
+    xi = (np.arange(w) * w0) // w
+    return arr[yi][:, xi]
+
+
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for image decode + feature extraction:
     a real deployment replaces this with PIL/torch decode.  Raises
@@ -68,10 +228,111 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
                     dtype=np.float32)
 
 
+# deterministic synthetic rasters/samples: pixel/sample i of doc d is
+# a pure function of (d, i) — the DuckDB oracle recomputes the same
+# values with list_transform(range(...)) and must match bit-exactly
+MEDIA_W, MEDIA_H = 24, 16
+MEDIA_SAMPLES, MEDIA_RATE = 480, 8000
+
+
+def _pixels_for(seed: int, n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.int64)
+    return ((seed * 7 + i * 13) % 256).astype(np.uint8)
+
+
+def _samples_for(seed: int, n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.int64)
+    return (((seed * 31 + i * 17) % 65536) - 32768).astype(np.int16)
+
+
+def synthesize_real_media(spark, docs: DataFrame) -> DataFrame:
+    """REAL container payloads (r4): even doc_ids become 24x16
+    24-bit BMP images, odd doc_ids 480-sample PCM16 WAVs — rasters
+    and samples are deterministic functions of doc_id so an oracle
+    can recompute the decoded statistics independently.  Built in an
+    Arrow-batched kernel (byte assembly is not a Catalyst job)."""
+    out_schema = MEDIA_SCHEMA
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "mime",
+                                    "payload", "width", "height",
+                                    "duration_ms")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    arr = _pixels_for(d, MEDIA_W * MEDIA_H * 3) \
+                        .reshape(MEDIA_H, MEDIA_W, 3)
+                    rows["media_id"].append(f"bmp-{d}")
+                    rows["kind"].append("image")
+                    rows["mime"].append("image/bmp")
+                    rows["payload"].append(encode_bmp(arr))
+                    rows["width"].append(MEDIA_W)
+                    rows["height"].append(MEDIA_H)
+                    rows["duration_ms"].append(None)
+                else:
+                    s = _samples_for(d, MEDIA_SAMPLES)
+                    rows["media_id"].append(f"wav-{d}")
+                    rows["kind"].append("audio")
+                    rows["mime"].append("audio/wav")
+                    rows["payload"].append(encode_wav(s, MEDIA_RATE))
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["duration_ms"].append(
+                        MEDIA_SAMPLES * 1000 // MEDIA_RATE)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(kernel, out_schema)
+
+
+def _image_features(arr: np.ndarray, dim: int) -> np.ndarray:
+    h, w, _ = arr.shape
+    px = arr.astype(np.float64)
+    f = np.zeros(dim, dtype=np.float32)
+    f[0], f[1], f[2] = w, h, 3
+    f[3] = px.mean()
+    f[4], f[5], f[6] = (px[:, :, c].mean() for c in range(3))
+    f[7], f[8] = px.min(), px.max()
+    return f
+
+
+def _audio_features(samples: np.ndarray, rate: int,
+                    dim: int) -> np.ndarray:
+    s = samples.astype(np.float64)
+    f = np.zeros(dim, dtype=np.float32)
+    f[0], f[1], f[2] = s.shape[0], rate, s.shape[1]
+    f[3], f[4], f[5] = s.mean(), s.min(), s.max()
+    return f
+
+
+def decode_media(payload: bytes, mime: str, dim: int = FEATURE_DIM
+                 ) -> np.ndarray:
+    """payload -> fixed-width feature vector, dispatched on mime.
+    BMP/PPM/WAV decode for REAL; image/x-fake keeps the legacy
+    byte-math stand-in (plumbing oracle); anything else (JPEG, PNG,
+    video codecs) raises — plug a real codec stack into this seam."""
+    if payload is None:
+        return np.zeros(dim, dtype=np.float32)
+    if mime == "image/bmp":
+        return _image_features(decode_bmp(payload), dim)
+    if mime == "image/x-portable-pixmap":
+        return _image_features(decode_ppm(payload), dim)
+    if mime == "audio/wav":
+        samples, rate = decode_wav(payload)
+        return _audio_features(samples, rate, dim)
+    if mime == "image/x-fake":
+        return _fake_decode(payload, dim)
+    raise NotImplementedError(
+        f"media decode for mime={mime!r} requires codec libraries not "
+        f"present in this container; plug a real decoder into "
+        f"decode_media")
+
+
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """mapInPandas feature extraction over payload bytes -> (media_id,
     features:array<float>).  Arrow-batched; one numpy pass per row's
-    payload, no JVM round trips."""
+    payload, no JVM round trips.  Decode dispatch is per-mime — BMP /
+    P6 PPM / PCM WAV decode for real (pure numpy)."""
     out_schema = T.StructType([
         T.StructField("media_id", T.StringType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
@@ -81,17 +342,46 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
         from orc_spark._alloc import tune_worker
         tune_worker()
         for pdf in batches:
-            feats = [
-                _fake_decode(p, dim) if k == "image" else _not_impl(k)
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            feats = [decode_media(p, m, dim)
+                     for p, m in zip(pdf["payload"], pdf["mime"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "features": [f.tolist() for f in feats],
             })
 
-    return media.select("media_id", "kind", "payload") \
+    return media.select("media_id", "mime", "payload") \
         .mapInPandas(kernel, out_schema)
+
+
+def resize_media(media: DataFrame, w: int, h: int) -> DataFrame:
+    """Nearest-neighbor resize of BMP/PPM image payloads (decode ->
+    numpy index resize -> re-encode, same container), passing
+    non-image rows through untouched — the standard pre-training
+    resize stage as a map-only Arrow kernel."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_p, out_w, out_h = [], [], []
+            for p, m in zip(pdf["payload"], pdf["mime"]):
+                if m == "image/bmp" and p is not None:
+                    out_p.append(encode_bmp(
+                        resize_nearest(decode_bmp(p), w, h)))
+                    out_w.append(w)
+                    out_h.append(h)
+                elif m == "image/x-portable-pixmap" and p is not None:
+                    out_p.append(encode_ppm(
+                        resize_nearest(decode_ppm(p), w, h)))
+                    out_w.append(w)
+                    out_h.append(h)
+                else:
+                    out_p.append(p)
+                    out_w.append(pdf["width"].iloc[len(out_p) - 1])
+                    out_h.append(pdf["height"].iloc[len(out_p) - 1])
+            pdf = pdf.copy()
+            pdf["payload"], pdf["width"], pdf["height"] = \
+                out_p, out_w, out_h
+            yield pdf
+
+    return media.mapInPandas(kernel, media.schema)
 
 
 def _not_impl(kind: str):

@@ -133,11 +133,106 @@ def test_multimodal_features(spark, docs):
         assert again[r["media_id"]] == r["features"]
 
 
-def test_multimodal_unknown_kind_raises(spark, docs):
+def test_multimodal_unknown_mime_raises(spark, docs):
+    """Compressed formats we cannot decode (no codec libs) must fail
+    LOUDLY, not fake features (dispatch is per-mime since r4)."""
     media = multimodal.synthesize_media(spark, docs.limit(2)) \
-        .withColumn("kind", F.lit("audio"))
+        .withColumn("mime", F.lit("video/mp4"))
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         multimodal.extract_features(media).collect()
+
+
+def test_bmp_codec_spec_anchored():
+    """decode_bmp against a BYTE-LITERAL 2x2 BMP hand-built from the
+    Microsoft BITMAPINFOHEADER spec (bottom-up, BGR, rows padded to 4
+    bytes) — anchors the codec to the format, not to our encoder."""
+    import struct
+    # pixels (RGB): top row [red, green], bottom row [blue, white]
+    # file stores BOTTOM-UP and BGR: bottom row first
+    row_bottom = bytes([255, 0, 0,   255, 255, 255]) + b"\x00\x00"
+    row_top = bytes([0, 0, 255,   0, 255, 0]) + b"\x00\x00"
+    raster = row_bottom + row_top
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                       len(raster), 2835, 2835, 0, 0)
+    arr = multimodal.decode_bmp(hdr + info + raster)
+    exp = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [255, 255, 255]]], np.uint8)
+    assert (arr == exp).all()
+    # top-down variant (negative height): rows in natural order
+    info_td = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0,
+                          len(raster), 2835, 2835, 0, 0)
+    arr_td = multimodal.decode_bmp(hdr + info_td + row_top + row_bottom)
+    # rows stored top-to-bottom: same image decodes out
+    assert (arr_td == exp).all()
+    # our encoder round-trips through the same spec
+    assert (multimodal.decode_bmp(multimodal.encode_bmp(exp)) == exp).all()
+    with pytest.raises(ValueError, match="24-bit"):
+        bad = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0,
+                          0, 0, 0, 0, 0)
+        multimodal.decode_bmp(hdr + bad + raster)
+
+
+def test_wav_codec_stdlib_cross_validated(tmp_path):
+    """encode_wav output parses with Python's stdlib wave module and
+    the samples round-trip bit-exactly (independent implementation of
+    the RIFF/WAVE spec)."""
+    import wave
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32767, (200, 2)).astype(np.int16)
+    payload = multimodal.encode_wav(s, 22050)
+    p = tmp_path / "t.wav"
+    p.write_bytes(payload)
+    with wave.open(str(p)) as w:
+        assert w.getnchannels() == 2
+        assert w.getframerate() == 22050
+        assert w.getsampwidth() == 2
+        assert w.getnframes() == 200
+        raw = w.readframes(200)
+    assert raw == s.tobytes()
+    # and our decoder reads what stdlib wave WRITES
+    q = tmp_path / "w.wav"
+    with wave.open(str(q), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(s[:, 0].tobytes())
+    got, rate = multimodal.decode_wav(q.read_bytes())
+    assert rate == 8000 and (got[:, 0] == s[:, 0]).all()
+    # 8-bit unsigned PCM path
+    with wave.open(str(q), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255]))
+    got8, _ = multimodal.decode_wav(q.read_bytes())
+    assert got8[:, 0].tolist() == [(-128) << 8, 0, 127 << 8]
+
+
+def test_ppm_codec_grammar():
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (3, 5, 3)).astype(np.uint8)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(arr))
+            == arr).all()
+    # comments and multi-whitespace between header tokens
+    p = b"P6 # c1\n  5\t3 # c2\n 255\n" + arr.tobytes()
+    assert (multimodal.decode_ppm(p) == arr).all()
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_resize_media_end_to_end(spark, docs):
+    """resize_media re-encodes real BMPs at 8x8; decoding the resized
+    payload equals numpy nearest-neighbor resize of the original."""
+    media = multimodal.synthesize_real_media(spark, docs.limit(20))
+    imgs = media.where(F.col("kind") == "image")
+    out = {r["media_id"]: r["payload"]
+           for r in multimodal.resize_media(imgs, 8, 8).collect()}
+    for r in imgs.collect():
+        exp = multimodal.resize_nearest(
+            multimodal.decode_bmp(bytes(r["payload"])), 8, 8)
+        got = multimodal.decode_bmp(bytes(out[r["media_id"]]))
+        assert (got == exp).all()
 
 
 # ---------------------------------------------------------------------------
