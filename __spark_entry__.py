@@ -113,8 +113,10 @@ def _q_rt_pruned_decode(spark, sf_dir):
     tok = token_src.token_table(spark, sf_dir)
     enc = enc_ops.encode(
         tok.coalesce(2).sortWithinPartitions("n_tok"), stripe_rows=100)
-    # one-call pruning path: stripe-stats skip + residual filter
-    dec = enc_ops.decode(enc, predicate=("n_tok", ">=", 60))
+    # one-call pruning path: stripe-stats skip + residual filter,
+    # written as the SQL string users actually type (r4 —
+    # orc_spark/predicates.py parses it to the pruning grammar)
+    dec = enc_ops.decode(enc, predicate="n_tok >= 60")
     return dec.agg(F.count("*").alias("n_docs"),
                    F.sum("n_tok").cast("long").alias("sum_ntok"))
 
@@ -557,7 +559,7 @@ def _q_orc_scan_pruned(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="orcscanq_")
     orcwriter.dataframe_to_orc_dir(
         tok.repartitionByRange(4, "n_tok"), out, codec="zlib")
-    df = orc_scan(spark, out, predicate=("n_tok", ">=", 60))
+    df = orc_scan(spark, out, predicate="n_tok >= 60")
     return df.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("tokens")).cast("long").alias("total_tokens"),

@@ -333,7 +333,7 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
            columns: list[str] | None = None,
            codec: str = DEFAULT_CODEC,
            stride_filter: tuple | None = None,
-           predicate: tuple | None = None) -> DataFrame:
+           predicate: tuple | str | None = None) -> DataFrame:
     """Decode a stripe table back to original rows.
 
     ``columns`` prunes the decode to a subset: only those columns'
@@ -346,7 +346,9 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
     applied to the decoded rows, so the result is EXACT while only the
     byte ranges that can match are decompressed.  A LIST of such
     tuples is a conjunction: every predicate prunes stripes, the
-    stride keep-sets intersect, and the residual is the AND.
+    stride keep-sets intersect, and the residual is the AND.  A SQL
+    STRING — ``predicate="n_tok >= 60 AND source = 'web'"`` — parses
+    to the same conjunction grammar (orc_spark/predicates.py).
 
     ``stride_filter=(col, lo, hi)`` is the lower-level row-group-skip
     control (requires encode(stride_rows=...); combine with a row
@@ -354,8 +356,15 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
     residual = None
     drop_after: list[str] = []
     if predicate is not None:
-        preds = [predicate] if isinstance(predicate, tuple) else \
-            list(predicate)
+        if isinstance(predicate, str):
+            # SQL conjunction: "n_tok >= 60 AND source = 'web'" —
+            # parsed to the same tuple grammar, so pruning happens
+            # from the syntax users actually write (r4)
+            from ..predicates import parse_predicate
+            preds = parse_predicate(predicate)
+        else:
+            preds = [predicate] if isinstance(predicate, tuple) else \
+                list(predicate)
         filters = []
         for pcol, op, val in preds:
             lo, hi = _predicate_bounds(op, val)

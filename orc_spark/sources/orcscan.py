@@ -190,8 +190,13 @@ def _root_col_ids(f: ORCFile) -> dict[str, int]:
 def _pred_list(predicate) -> list[tuple]:
     if predicate is None:
         return []
-    preds = [predicate] if isinstance(predicate, tuple) \
-        else list(predicate)
+    if isinstance(predicate, str):
+        # SQL conjunction string, e.g. "n_tok >= 60 AND source = 'web'"
+        from ..predicates import parse_predicate
+        preds = parse_predicate(predicate)
+    else:
+        preds = [predicate] if isinstance(predicate, tuple) \
+            else list(predicate)
     for _, op, _ in preds:
         if op not in _OPS:
             raise ValueError(f"orc_scan: unknown op {op!r}")
@@ -535,10 +540,16 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         return max(1, min(n_tasks, want))
 
     if len(files) > DRIVER_PLAN_MAX_FILES:
-        # pruning + drift validation run distributed; the aggregate
-        # is distributed (the task list never hits the driver) priced
-        # at one extra footer-only planning pass
-        tdf = _plan_distributed(spark, files, predicate, expect_type)
+        # pruning + drift validation run distributed and the task
+        # list never hits the driver.  localCheckpoint materializes
+        # the planned list ON EXECUTORS in one pass (r4): without it
+        # the count/sum agg executed the planning scan and the
+        # repartitioned read re-executed it — every footer opened
+        # twice, wasteful at millions of files.  Planning blocks are
+        # executor-local (a lost executor re-plans from lineage is
+        # traded away for the single pass — standard for task lists).
+        tdf = _plan_distributed(spark, files, predicate, expect_type) \
+            .localCheckpoint(eager=True)
         agg = tdf.agg(F.count("*").alias("n"),
                       F.sum("rows").alias("r")).first()
         n_tasks = agg["n"]

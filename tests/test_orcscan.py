@@ -210,6 +210,18 @@ def test_orc_scan_distributed_planning(spark, tmp_path, monkeypatch):
     # bad predicate still fails fast (validated before planning)
     with pytest.raises(ValueError):
         orcscan.orc_scan(spark, str(tmp_path), predicate=("v", "~", 1))
+    # r4: single planning pass — the task list is localCheckpointed,
+    # so the scan's physical plan reads an ExistingRDD instead of
+    # re-executing the footer-opening mapInArrow planning stage
+    # (which would open every footer a second time)
+    df = orcscan.orc_scan(spark, str(tmp_path),
+                          predicate=("v", ">=", 170))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    n_map_in_arrow = plan.count("MapInArrow")
+    assert n_map_in_arrow == 1, (  # the DECODE kernel only
+        f"expected only the decode MapInArrow in the scan plan, "
+        f"got {n_map_in_arrow}:\n{plan}")
 
 
 def test_orc_scan_union_file(spark):
