@@ -131,3 +131,86 @@ def test_near_dedup_stream_equals_batch(spark, tmp_path):
     assert got == want
     assert len(want) >= 10
     corpus.unpersist()
+
+
+def test_dedup_stream_ttl_horizon_readmits(spark, tmp_path):
+    """r4 lazy-horizon mode (availableNow): a fingerprint idle past
+    ttl_ms is RESET when it re-arrives — the late duplicate re-admits
+    as a NEW document (count restarts, keep_doc_id moves to the late
+    arrival).  Without ttl the same replay keeps all-time counts."""
+    import time
+    from orc_spark.streaming import dedup_stream
+
+    def run(ttl_ms, base):
+        inp, out = str(base / "in"), str(base / "out")
+        first = spark.createDataFrame(
+            [(1, "alpha body"), (2, "alpha body"), (3, "beta body")],
+            "doc_id long, text string")
+        first.coalesce(1).write.parquet(inp)
+        q = dedup_stream.dedup_stream(spark, inp, out, first.schema,
+                                      ttl_ms=ttl_ms)
+        assert q.awaitTermination(300)
+        time.sleep(1.5)  # idle past the 1s horizon
+        late = spark.createDataFrame(
+            [(9, "alpha body")], "doc_id long, text string")
+        late.coalesce(1).write.mode("append").parquet(inp)
+        q2 = dedup_stream.dedup_stream(spark, inp, out, first.schema,
+                                       ttl_ms=ttl_ms)
+        assert q2.awaitTermination(300)
+        states = dedup_stream.latest_state(spark, out).collect()
+        return {r["keep_doc_id"]: r["dup_count"] for r in states}
+
+    got = run(1000, tmp_path / "ttl")
+    assert got.get(9) == 1, got   # re-admitted as new
+    assert got.get(3) == 1, got   # untouched fp unaffected
+    # no ttl: identical replay keeps the all-time count (keep=1, n=3)
+    got_exact = run(None, tmp_path / "exact")
+    assert got_exact.get(1) == 3, got_exact
+    assert 9 not in got_exact, got_exact
+
+
+def test_dedup_stream_ttl_engine_eviction(spark, tmp_path):
+    """r4 eviction mode (processing_trigger): with a continuously-
+    running query, GroupStateTimeout.ProcessingTimeTimeout physically
+    evicts idle fingerprints — the update log records a tombstone
+    (dup_count=0, keep_doc_id NULL) — and a later duplicate re-admits
+    as new."""
+    import time
+    from orc_spark.streaming import dedup_stream
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    first = spark.createDataFrame(
+        [(1, "alpha body"), (2, "alpha body")],
+        "doc_id long, text string")
+    first.coalesce(1).write.parquet(inp)
+    q = dedup_stream.dedup_stream(
+        spark, inp, out, first.schema, ttl_ms=1500,
+        processing_trigger="1 second")
+    try:
+        def poll(cond, desc, timeout_s=90):
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                try:
+                    upd = spark.read.parquet(
+                        str(tmp_path / "out" / "updates"))
+                    if cond(upd):
+                        return
+                except Exception:
+                    pass  # no updates written yet
+                time.sleep(1)
+            raise AssertionError(f"timed out waiting for {desc}")
+
+        poll(lambda u: u.where("dup_count = 2").count() > 0,
+             "initial state")
+        # idle -> engine fires the timeout -> tombstone appended
+        poll(lambda u: u.where(
+            "dup_count = 0 AND keep_doc_id IS NULL").count() > 0,
+            "eviction tombstone")
+        # late duplicate re-admits as NEW (count restarts at 1,
+        # keeper is the late doc)
+        spark.createDataFrame([(9, "alpha body")],
+                              "doc_id long, text string")             .coalesce(1).write.mode("append").parquet(inp)
+        poll(lambda u: u.where(
+            "dup_count = 1 AND keep_doc_id = 9").count() > 0,
+            "re-admission after eviction")
+    finally:
+        q.stop()
