@@ -566,6 +566,28 @@ def _q_orc_scan_pruned(spark, sf_dir):
         F.countDistinct("doc_id").alias("n_ids"))
 
 
+def _q_orc_datasource(spark, sf_dir):
+    """Spark Python DataSource V2 surface (r4): the engine reads our
+    .orc kernels through ``spark.read.format("orc_spark")`` — schema
+    inference from the footer, pushFilters pruning stripes at
+    planning time, Arrow-batch reads from the shared _ScanContext
+    kernel.  The WHERE runs through Spark's own pushdown machinery
+    (not our predicate= argument), so this checks the V2 integration
+    end to end."""
+    import tempfile
+    from orc_spark.sources import datasource, orcwriter
+    tok = token_src.token_table(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="orcdsq_")
+    orcwriter.dataframe_to_orc_dir(
+        tok.repartitionByRange(4, "n_tok"), out, codec="zlib")
+    datasource.register(spark)
+    df = spark.read.format("orc_spark").load(out).where("n_tok >= 60")
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
+        F.countDistinct("doc_id").alias("n_ids"))
+
+
 def _q_orc_scan_decimal(spark, sf_dir):
     """Exact DECIMAL(38,10) through the full .orc write -> orc_scan
     path (r4): values are built with >15 significant digits (so any
@@ -944,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "orc_scan_pruned": _q_orc_scan_pruned,
+        "orc_datasource": _q_orc_datasource,
         "orc_scan_decimal": _q_orc_scan_decimal,
         "orc_scan_golden_v11": _q_orc_scan_golden_v11,
         "orc_scan_golden_snappy": _q_orc_scan_golden_snappy,
@@ -1260,6 +1283,13 @@ def oracle_sql() -> dict[str, str]:
         # (the scan's predicate); exactness despite stripe-granularity
         # pruning is the point
         "orc_scan_pruned": (
+            f"SELECT count(*) AS n_docs, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
+            f"count(DISTINCT doc_id) AS n_ids FROM documents "
+            f"WHERE {n_tok} >= 60"),
+        # the V2 DataSource surface computes the same totals as the
+        # predicate-pushdown scan (WHERE via Spark's own pushdown)
+        "orc_datasource": (
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
             f"count(DISTINCT doc_id) AS n_ids FROM documents "

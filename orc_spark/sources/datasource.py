@@ -1,0 +1,195 @@
+"""Spark Python Data Source for ``.orc`` files (Spark 4 DataSource
+API) — the idiomatic read surface over the same kernels as
+``orc_scan``::
+
+    from orc_spark.sources import datasource
+    datasource.register(spark)   # enables pushdown conf + registers
+    df = spark.read.format("orc_spark").load("/path/to/dir")
+    df.where("n_tok >= 60").select("doc_id").show()
+
+What the engine sees is a first-class V2 source:
+
+* **schema inference** from the first file's footer (full ORC type
+  grammar, decimal(p,s) exact, union as sparse struct).
+* **filter pushdown** (``pushFilters``): supported comparisons prune
+  at STRIPE granularity from footer statistics and at row-group
+  granularity from ROW_INDEX stats/blooms — before any task runs.
+  All filters are returned to Spark for residual evaluation (our
+  pruning is conservative by design), so results are always exact.
+* **partition planning**: one InputPartition per (file, stripe) with
+  tiny stripes coalesced toward ~1M rows/task — identical policy to
+  ``orc_scan``.
+* **Arrow-batch reads**: ``read()`` yields pyarrow RecordBatches
+  straight from the whole-array decode kernel (no Python rows).
+
+Options: ``path`` (file or directory), ``columns`` (comma-separated
+projection — Python DataSources have no column-pruning hook yet, so
+this is the explicit projection control), ``timestamp_nanos``
+("true" -> LONG wall-clock nanos).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from .. import orctypes
+
+_OP_OF = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
+          LessThan: "<", LessThanOrEqual: "<="}
+
+
+def _files_of(path: str) -> list[str]:
+    files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
+        if os.path.isdir(path) else [path]
+    if not files:
+        raise ValueError(f"orc_spark datasource: no .orc files "
+                         f"under {path}")
+    return files
+
+
+def _resolve_root(path: str, columns: list[str] | None):
+    """(projected root OrcType, expect_type string) for the dataset."""
+    files = _files_of(path)
+    full_root = orctypes.type_from_file(files[0])
+    expect = full_root.orc_string()
+    if full_root.kind != "struct":
+        full_root = orctypes.OrcType("struct", [full_root], ["value"])
+    root = full_root
+    if columns:
+        missing = [c for c in columns if c not in root.field_names]
+        if missing:
+            raise ValueError(
+                f"orc_spark datasource: no such column(s) {missing}; "
+                f"file has {root.field_names}")
+        keep = [(fn, c) for fn, c in
+                zip(root.field_names, root.children) if fn in columns]
+        root = orctypes.OrcType(
+            "struct", [c for _, c in keep], [fn for fn, _ in keep])
+    return files, root, expect
+
+
+class StripesPartition(InputPartition):
+    """One scan task: a file path plus the stripe ids it decodes."""
+
+    def __init__(self, path: str, stripes: list[int]):
+        self.path = path
+        self.stripes = stripes
+
+
+class OrcReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "orc_spark datasource: .load(path) is required")
+        cols = options.get("columns")
+        self.columns = [c.strip() for c in cols.split(",")
+                        if c.strip()] if cols else None
+        self.ts_nanos = str(options.get("timestamp_nanos", "false")) \
+            .lower() == "true"
+        self.pushed: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Record prunable comparisons for stripe/stride skipping.
+        EVERY filter is yielded back (Spark re-evaluates them) — our
+        statistics pruning is conservative, never authoritative, so
+        correctness does not depend on it."""
+        files, root, _ = _resolve_root(self.path, None)
+        for f in filters:
+            op = _OP_OF.get(type(f))
+            if op is not None and len(f.attribute) == 1 and \
+                    f.attribute[0] in root.field_names and \
+                    isinstance(f.value, (int, float, str)):
+                self.pushed.append((f.attribute[0], op, f.value))
+            yield f
+
+    def partitions(self):
+        from .orcfile import ORCFile
+        from .orcscan import _TARGET_ROWS_PER_TASK, plan_tasks
+        files, root, expect = _resolve_root(self.path, self.columns)
+        tasks, _ = plan_tasks(files, self.pushed or None, expect)
+        if not tasks:
+            return [StripesPartition(files[0], [])]
+        # coalesce tiny stripes toward the same rows/task target as
+        # orc_scan, preserving per-file grouping
+        parts: list[StripesPartition] = []
+        cur_path, cur, cur_rows = None, [], 0
+        sizes: dict[str, list[int]] = {}
+        for p, si in tasks:
+            if p not in sizes:
+                f = ORCFile(p)
+                sizes[p] = [s.get(5, [0])[0] for s in f.stripes]
+            rows = sizes[p][si]
+            if cur_path != p or (cur and
+                                 cur_rows + rows > _TARGET_ROWS_PER_TASK):
+                if cur:
+                    parts.append(StripesPartition(cur_path, cur))
+                cur_path, cur, cur_rows = p, [], 0
+            cur.append(si)
+            cur_rows += rows
+        if cur:
+            parts.append(StripesPartition(cur_path, cur))
+        return parts
+
+    def read(self, partition: StripesPartition):
+        from orc_spark._alloc import tune_worker
+        from .orcscan import _BATCH_ROWS, _ScanContext, _pred_list
+        tune_worker()
+        if not partition.stripes:
+            return
+        _, root, _ = _resolve_root(self.path, self.columns)
+        # internal projection carries predicate columns (Spark's
+        # residual filter runs post-scan on OUR output schema, which
+        # is exactly the projected schema — predicates outside it
+        # were never pushed)
+        ctx = _ScanContext(root, _pred_list(self.pushed or None),
+                           list(root.field_names) if self.columns
+                           else None, self.ts_nanos)
+        f = ctx.open(partition.path)
+        for si in partition.stripes:
+            batch = ctx.decode_stripe(f, si)
+            if batch is None:
+                continue
+            for off in range(0, batch.num_rows, _BATCH_ROWS):
+                yield batch.slice(off, _BATCH_ROWS)
+
+
+def register(spark) -> None:
+    """One-call setup: enables Python-datasource filter pushdown
+    (runtime-settable; Spark refuses a reader that implements
+    pushFilters while the conf is off) and registers the source."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcDataSource)
+
+
+class OrcDataSource(DataSource):
+    """``spark.read.format("orc_spark")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "orc_spark"
+
+    def schema(self):
+        from .orcscan import _spark_of
+        cols = self.options.get("columns")
+        columns = [c.strip() for c in cols.split(",")
+                   if c.strip()] if cols else None
+        _, root, _ = _resolve_root(self.options.get("path"), columns)
+        ts_nanos = str(self.options.get("timestamp_nanos",
+                                        "false")).lower() == "true"
+        return _spark_of(root, ts_nanos)
+
+    def reader(self, schema) -> OrcReader:
+        return OrcReader(self.options)

@@ -484,6 +484,111 @@ def _plan_distributed(spark, files: list[str], predicate,
 DRIVER_PLAN_MAX_FILES = 64
 
 
+class _ScanContext:
+    """Everything a task needs to decode one (file, stripe) into an
+    Arrow batch — plain picklable state (orctypes nodes + predicate
+    tuples), shared by the mapInArrow kernel AND the Python
+    DataSource reader (sources/datasource.py)."""
+
+    def __init__(self, root: orctypes.OrcType, preds: list[tuple],
+                 sel: list[str] | None, ts_nanos: bool):
+        self.root_names = root.field_names
+        self.root_children = root.children
+        self.conv_flags = [_needs_conv(c) for c in root.children]
+        self.preds = preds
+        self.sel = sel
+        self.ts_nanos = ts_nanos
+        self._schema = None
+
+    @property
+    def arrow_schema(self):
+        import pyarrow as pa
+        if self._schema is None:
+            self._schema = pa.schema(
+                [(fn, orc_arrow(c, self.ts_nanos))
+                 for fn, c in zip(self.root_names, self.root_children)])
+        return self._schema
+
+    def __getstate__(self):
+        st = dict(self.__dict__)
+        st["_schema"] = None  # rebuilt lazily worker-side
+        return st
+
+    def open(self, path: str) -> ORCFile:
+        f = ORCFile(path)
+        if self.sel:
+            f.select(*self.sel)
+        return f
+
+    def decode_stripe(self, f: ORCFile, si: int):
+        """One stripe -> pa.RecordBatch (None = fully pruned)."""
+        import pyarrow as pa
+        cols = None
+        if self.preds:
+            # row-group skip INSIDE the stripe: ROW_INDEX per-stride
+            # stats (+ bloom for ==) decide which strides to
+            # decompress; stride-restart files slice streams, others
+            # fall back whole-stripe
+            cids = _root_col_ids(f)
+            kept = stride_keep(f, si, self.preds, cids)
+            if kept is not None:
+                ks, n_str = kept
+                if not ks:
+                    return None  # no stride can match
+                if len(ks) < n_str:
+                    try:
+                        rows = f.read_stripe_strides(si, ks)
+                        if f.types[0].kind != "struct":
+                            cols = {"value": rows}
+                        else:
+                            cols = {fn: [None if r is None
+                                         else r.get(fn) for r in rows]
+                                    for fn in self.root_names}
+                    except ValueError:
+                        cols = None
+        arrays = []
+        if cols is None:
+            # column-major decode: supported type trees (incl.
+            # PRESENT-bearing and nested list/struct/map) build
+            # whole-array via _fast_arrow with zero per-row Python;
+            # timestamp/decimal/union subtrees take the generic
+            # row path with _conv skipped for identity types
+            n_rows = f._load_stripe_directory(si)
+            v0, nv0 = f._present(0, n_rows)
+            if v0 is not None and nv0 != n_rows:
+                cols, _ = f.read_stripe_columns(si)
+            else:
+                cids = _root_col_ids(f)
+                cols = {}
+                for fn in self.root_names:
+                    ft = self.arrow_schema.field(fn).type
+                    try:
+                        fast = _fast_arrow(f, cids[fn], n_rows, ft)
+                    except Exception:
+                        # e.g. malformed UTF-8: the list path
+                        # replace-decodes instead
+                        fast = None
+                    if fast is not None:
+                        arrays.append(fast)
+                    else:
+                        cols[fn] = f._read_column(cids[fn], n_rows)
+                        arrays.append(None)
+        if not arrays:
+            arrays = [None] * len(self.root_names)
+        for i, (fn, node, needs) in enumerate(
+                zip(self.root_names, self.root_children,
+                    self.conv_flags)):
+            if arrays[i] is not None:
+                continue
+            vals = cols[fn]
+            if needs:
+                vals = [_conv(node, v, self.ts_nanos) for v in vals]
+            arrays[i] = pa.array(
+                vals, type=self.arrow_schema.field(fn).type)
+        return pa.RecordBatch.from_arrays(arrays,
+                                          schema=self.arrow_schema)
+
+
 def orc_scan(spark, path: str, columns: list[str] | None = None,
              predicate=None, timestamp_nanos: bool = False) -> DataFrame:
     """Read a ``.orc`` file or directory of ``.orc`` files into a
@@ -568,11 +673,7 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         tdf = spark.createDataFrame(tasks, "path string, stripe int") \
             .repartition(n_parts(len(tasks), total_rows))
 
-    arrow_schema = pa.schema([(fn, orc_arrow(c, timestamp_nanos))
-                              for fn, c in zip(root_names,
-                                               root_children)])
-
-    conv_flags = [_needs_conv(c) for c in root_children]
+    ctx = _ScanContext(root, preds, sel, timestamp_nanos)
 
     def kernel(batches):
         from orc_spark._alloc import tune_worker
@@ -583,85 +684,11 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                              b.column("stripe").to_pylist()):
                 f = readers.get(p)
                 if f is None:
-                    f = ORCFile(p)
-                    if sel:
-                        f.select(*sel)
+                    f = ctx.open(p)
                     readers[p] = f
-                cols = None
-                if preds:
-                    # row-group skip INSIDE the stripe: ROW_INDEX
-                    # per-stride stats (+ bloom for ==) decide which
-                    # strides to decompress; stride-restart files
-                    # slice streams, others fall back whole-stripe
-                    cids = _root_col_ids(f)
-                    kept = stride_keep(f, si, preds, cids)
-                    if kept is not None:
-                        ks, n_str = kept
-                        if not ks:
-                            continue  # no stride can match
-                        if len(ks) < n_str:
-                            try:
-                                rows = f.read_stripe_strides(si, ks)
-                                if f.types[0].kind != "struct":
-                                    cols = {"value": rows}
-                                else:
-                                    cols = {fn: [None if r is None
-                                                 else r.get(fn)
-                                                 for r in rows]
-                                            for fn in root_names}
-                            except ValueError:
-                                cols = None
-                arrays = []
-                if cols is None:
-                    # column-major decode: NULL-free numeric columns
-                    # (incl. list<numeric> — the token arrays) go
-                    # whole-array numpy -> Arrow with zero per-row
-                    # Python; the rest build from per-column value
-                    # lists, with _conv skipped for identity types
-                    n_rows = f._load_stripe_directory(si)
-                    v0, nv0 = f._present(0, n_rows)
-                    if v0 is not None and nv0 != n_rows:
-                        cols, _ = f.read_stripe_columns(si)
-                    else:
-                        cids = _root_col_ids(f)
-                        cols = {}
-                        for fn, node, needs in zip(root_names,
-                                                   root_children,
-                                                   conv_flags):
-                            ft = arrow_schema.field(fn).type
-                            # r4: whole-array Arrow build decides
-                            # support itself (PRESENT-bearing
-                            # columns, date/byte/boolean/binary,
-                            # nested list/struct/map trees);
-                            # timestamp/decimal/union subtrees
-                            # return None -> generic+_conv path
-                            try:
-                                fast = _fast_arrow(f, cids[fn],
-                                                   n_rows, ft)
-                            except Exception:
-                                # e.g. malformed UTF-8: the list
-                                # path replace-decodes instead
-                                fast = None
-                            if fast is not None:
-                                arrays.append(fast)
-                            else:
-                                cols[fn] = f._read_column(cids[fn],
-                                                          n_rows)
-                                arrays.append(None)
-                if not arrays:
-                    arrays = [None] * len(root_names)
-                for i, (fn, node, needs) in enumerate(
-                        zip(root_names, root_children, conv_flags)):
-                    if arrays[i] is not None:
-                        continue
-                    vals = cols[fn]
-                    if needs:
-                        vals = [_conv(node, v, timestamp_nanos)
-                                for v in vals]
-                    arrays[i] = pa.array(
-                        vals, type=arrow_schema.field(fn).type)
-                batch = pa.RecordBatch.from_arrays(
-                    arrays, schema=arrow_schema)
+                batch = ctx.decode_stripe(f, si)
+                if batch is None:
+                    continue
                 # zero-copy slices: a 1M-row stripe must not cross
                 # the Arrow bridge as one multi-hundred-MB batch
                 for off in range(0, batch.num_rows, _BATCH_ROWS):

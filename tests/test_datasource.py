@@ -1,0 +1,98 @@
+"""Spark Python DataSource surface (sources/datasource.py)."""
+
+import glob
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_spark.sources import datasource, orcwriter
+
+EX = "/root/reference/examples"
+
+
+@pytest.fixture()
+def registered(spark):
+    datasource.register(spark)
+    return spark
+
+
+def _write(tmp_path, n=4000, stripe_rows=1000):
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(n, dtype=np.int64)),
+         pa.array([f"s{i // 1000}" for i in range(n)])],
+        names=["v", "tag"])
+    p = str(tmp_path / "a.orc")
+    w = orcwriter.ORCFileWriter(p, codec="zlib",
+                                stripe_rows=stripe_rows)
+    w.write_batch(batch)
+    w.close()
+    return str(tmp_path)
+
+
+def test_datasource_basic_read_and_filters(registered, tmp_path):
+    d = _write(tmp_path)
+    df = registered.read.format("orc_spark").load(d)
+    assert df.count() == 4000
+    assert dict(df.dtypes) == {"v": "bigint", "tag": "string"}
+    flt = df.where("v >= 3100")
+    rows = flt.orderBy("v").collect()
+    assert len(rows) == 900 and rows[0]["v"] == 3100
+    assert df.where("tag = 's0'").count() == 1000
+    # conjunctions and non-pushable predicates stay exact
+    assert df.where("v >= 1500 AND v < 2600").count() == 1100
+    assert df.where("v % 10 = 3").count() == 400
+
+
+def test_datasource_filter_pushdown_prunes_partitions(tmp_path):
+    """pushFilters -> partitions(): a selective predicate plans fewer
+    stripe tasks (footer-stats pruning), independent of Spark."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    d = _write(tmp_path)
+    r = datasource.OrcReader({"path": d})
+    assert len(r.partitions()) >= 1
+    full_stripes = sum(len(p.stripes) for p in r.partitions())
+    assert full_stripes == 4
+    r2 = datasource.OrcReader({"path": d})
+    leftover = list(r2.pushFilters([GreaterThanOrEqual(("v",), 3000)]))
+    assert len(leftover) == 1  # every filter returned for residual
+    pruned = sum(len(p.stripes) for p in r2.partitions())
+    assert pruned == 1  # only the last stripe can match
+
+
+def test_datasource_projection_and_options(registered, tmp_path):
+    d = _write(tmp_path)
+    proj = registered.read.format("orc_spark") \
+        .option("columns", "tag").load(d)
+    assert proj.columns == ["tag"] and proj.count() == 4000
+    with pytest.raises(Exception, match="no such column"):
+        registered.read.format("orc_spark") \
+            .option("columns", "nope").load(d).count()
+
+
+def test_datasource_matches_orc_scan_on_golden(registered):
+    """DataSource and orc_scan decode identically (shared kernel) on
+    a reference golden file with nested types."""
+    from orc_spark.sources.orcscan import orc_scan
+    path = f"{EX}/TestOrcFile.test1.orc"
+    a = registered.read.format("orc_spark").load(path).collect()
+    b = orc_scan(registered, path).collect()
+    assert [r.asDict(True) for r in a] == [r.asDict(True) for r in b]
+
+
+def test_datasource_timestamp_nanos_option(registered):
+    df = registered.read.format("orc_spark") \
+        .option("timestamp_nanos", "true") \
+        .load(f"{EX}/TestOrcFile.testTimestamp.orc")
+    ns = [r["value"] for r in df.collect()]
+    assert len(ns) == 12 and max(ns) == 2114380800000999000
+
+
+def test_datasource_coalesces_tiny_stripes(tmp_path):
+    """Many tiny stripes group toward the rows/task target instead of
+    one task per stripe."""
+    d = _write(tmp_path, n=40_000, stripe_rows=500)  # 80 stripes
+    r = datasource.OrcReader({"path": d})
+    parts = r.partitions()
+    assert sum(len(p.stripes) for p in parts) == 80
+    assert len(parts) == 1  # 40k rows << 1M rows/task target
