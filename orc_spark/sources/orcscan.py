@@ -375,7 +375,47 @@ def _fast_arrow(f: ORCFile, cid: int, n: int, ft):
         children = [ch.take(take_idx) for ch in children]
         return pa.StructArray.from_arrays(children, fields=fields,
                                           mask=pa.array(~valid))
-    return None  # timestamp / decimal / union: generic row path
+    if k == "decimal":
+        # whole-array decimal128 (r4): numpy zigzag-varint mantissas
+        # + RLE v2 scales -> 16-byte little-endian decimal buffer
+        # (lo limb = int64 value, hi limb = sign extension).  Falls
+        # back to the exact generic path when a mantissa exceeds
+        # int64 or rescaling to the declared scale would overflow —
+        # correctness never depends on this branch.
+        from ..codecs import decimal as dec_codec
+        try:
+            mants = dec_codec.decode_mantissas_fast(
+                f._stream(cid, "DATA") or b"", n_valid)
+        except (OverflowError, ValueError):
+            return None
+        scales = f._ints(cid, "SECONDARY", n_valid, signed=True)
+        shift = int(t.scale) - scales
+        if len(shift) and (shift.min() < 0 or shift.max() > 18):
+            return None  # per-value scale above declared: generic
+        if len(mants):
+            pow10 = np.power(10.0, shift.astype(np.float64))
+            # conservative overflow guard in float space
+            if np.max(np.abs(mants.astype(np.float64)) * pow10) \
+                    >= 2**62:
+                return None
+        unscaled = mants * (10 ** shift.astype(np.int64)) \
+            if len(mants) else mants
+        if valid is not None:
+            unscaled = _scatter(unscaled, valid)
+        n_out = len(valid) if valid is not None else n_valid
+        buf = np.empty((n_out, 2), "<i8")
+        buf[:, 0] = unscaled
+        buf[:, 1] = unscaled >> 63  # sign extension
+        vb = None if valid is None else _validity(valid)
+        nulls = 0 if valid is None else int(n_out - valid.sum())
+        out = pa.Array.from_buffers(
+            pa.decimal128(t.precision, t.scale), n_out,
+            [vb, pa.py_buffer(buf.tobytes())], null_count=nulls)
+        out.validate(full=True)
+        if not ft.equals(out.type):
+            out = out.cast(ft)
+        return out
+    return None  # timestamp / union: generic row path
 
 
 def _validity(valid):

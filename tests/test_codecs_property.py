@@ -200,3 +200,23 @@ def test_percentile_bits_basics():
     zz = np.array([1] * 99 + [2**40], dtype=np.uint64)
     assert bits.percentile_bits(zz, 1.0) == 48  # closest fixed >= 41
     assert bits.percentile_bits(zz, 0.9) == 1
+
+
+def test_decimal_mantissa_fast_matches_reference():
+    """r4: whole-array zigzag-varint decode == scalar reference for
+    int64-range mantissas; >int64 mantissas raise OverflowError (the
+    scan falls back to the exact generic path)."""
+    import random
+    import pytest
+    from orc_spark.codecs import decimal as dc
+    random.seed(7)
+    vals = ([random.randrange(-10**18, 10**18) for _ in range(4000)]
+            + [0, 1, -1, 127, -128, 2**62, -(2**62),
+               2**63 - 1, -(2**63)])
+    data = dc.encode_mantissas(vals)
+    fast = dc.decode_mantissas_fast(data, len(vals))
+    assert fast.tolist() == dc.decode_mantissas(data, len(vals))
+    with pytest.raises(OverflowError):
+        dc.decode_mantissas_fast(dc.encode_mantissas([2**70]), 1)
+    with pytest.raises(ValueError):
+        dc.decode_mantissas_fast(data[:3], len(vals))

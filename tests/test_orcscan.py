@@ -559,3 +559,32 @@ def test_orc_scan_nested_fast_path_engages_and_matches(spark, tmp_path):
         m._fast_arrow = orig
     assert [r.asDict(True) for r in fast] == \
         [r.asDict(True) for r in slow]
+
+
+def test_orc_scan_decimal_fast_path_with_nulls(spark, tmp_path):
+    """r4: int64-range decimals (p<=18) decode whole-array into the
+    decimal128 buffer (incl. PRESENT nulls); the golden decimal.orc
+    and >int64 mantissas are covered elsewhere (generic fallback)."""
+    from decimal import Decimal
+    from orc_spark import orctypes
+    from orc_spark.sources.orcscan import _fast_arrow, orc_arrow
+    vals = [None if i % 7 == 0 else Decimal(i * 137) / 100
+            for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals],
+                               "v decimal(18,4)")
+    p = str(tmp_path / "d")
+    orcwriter.dataframe_to_orc_dir(df.coalesce(1), p, codec="zlib")
+    fpath = glob.glob(p + "/*.orc")[0]
+    f = ORCFile(fpath)
+    nr = f._load_stripe_directory(0)
+    root = orctypes.type_from_file(fpath)
+    cids = dict(zip(f.types[0].field_names, f.types[0].children))
+    arr = _fast_arrow(f, cids["v"], nr, orc_arrow(root.children[0]))
+    assert arr is not None, "decimal fast path fell back"
+    assert str(arr.type) == "decimal128(18, 4)"
+    got = orcscan.orc_scan(spark, p).orderBy("v").collect()
+    exp = sorted((v for v in vals if v is not None))
+    non_null = [r["v"] for r in got if r["v"] is not None]
+    assert non_null == exp
+    assert sum(1 for r in got if r["v"] is None) == \
+        sum(1 for v in vals if v is None)
