@@ -375,6 +375,42 @@ def _fast_arrow(f: ORCFile, cid: int, n: int, ft):
         children = [ch.take(take_idx) for ch in children]
         return pa.StructArray.from_arrays(children, fields=fields,
                                           mask=pa.array(~valid))
+    if k == "timestamp":
+        # whole-array timestamps (r4) for UTC / absent writer zones
+        # (offset 0 at every instant — our own writer stamps "UTC");
+        # zoned files (DST-dependent wall clocks) keep the exact
+        # generic path through _format_ts
+        wtz = getattr(f, "writer_tz", "") or ""
+        if wtz not in ("", "UTC", "GMT", "Etc/UTC"):
+            return None
+        secs = f._ints(cid, "DATA", n_valid, signed=True) \
+            .astype(np.int64)
+        raw = f._ints(cid, "SECONDARY", n_valid, signed=False) \
+            .astype(np.uint64)
+        zeros = (raw & np.uint64(7)).astype(np.int64)
+        base = (raw >> np.uint64(3)).astype(np.int64)
+        tbl = np.array([1, 100, 1000, 10**4, 10**5, 10**6, 10**7,
+                        10**8], np.int64)
+        nanos = base * tbl[zeros]
+        instant = secs + 1420070400  # 2015-01-01 base (UTC)
+        if wtz:
+            # Java truncates pre-1970 seconds toward zero while nanos
+            # stay positive (mirrors _format_ts's tz branch); the
+            # flat no-zone arithmetic does not
+            instant = instant - ((instant < 0) &
+                                 (nanos > 0)).astype(np.int64)
+        if pa.types.is_int64(ft):  # timestamp_nanos surface
+            if len(instant) and int(np.abs(instant).max()) > 9 * 10**9:
+                return None  # would overflow int64 nanos (~year 2255)
+            vals = instant * 1_000_000_000 + nanos
+        else:
+            if len(instant) and int(np.abs(instant).max()) > 9 * 10**12:
+                return None
+            vals = instant * 1_000_000 + nanos // 1000
+        if valid is not None:
+            vals = _scatter(vals, valid)
+            return pa.array(vals, mask=~valid).cast(ft)
+        return pa.array(vals).cast(ft)
     if k == "decimal":
         # whole-array decimal128 (r4): numpy zigzag-varint mantissas
         # + RLE v2 scales -> 16-byte little-endian decimal buffer

@@ -475,6 +475,13 @@ def _encode_node(node: _TypeNode, arr: pa.Array, bounds: np.ndarray,
         us = np.asarray(data.cast(pa.timestamp("us")).cast(pa.int64()))
         secs = np.floor_divide(us, 1_000_000)
         nanos = (us - secs * 1_000_000) * 1000
+        # Java convention (r4 fix): pre-1970 seconds are stored
+        # TRUNCATED TOWARD ZERO while nanos stay the positive
+        # fraction of the floor second — readers (ours at
+        # orcfile._format_ts, and Java's) undo it with secs-1, so
+        # writing floor seconds shifted every pre-1970 fractional
+        # timestamp back one second on the round trip
+        secs = secs + ((secs < 0) & (nanos > 0)).astype(np.int64)
         rel = secs - TIMESTAMP_BASE_SECONDS
         fmt = stripe_mod._format_nanos(nanos)
         co.add_value_stream("DATA", _slice_pieces(

@@ -588,3 +588,49 @@ def test_orc_scan_decimal_fast_path_with_nulls(spark, tmp_path):
     assert non_null == exp
     assert sum(1 for r in got if r["v"] is None) == \
         sum(1 for v in vals if v is None)
+
+
+def test_orc_scan_timestamp_fast_path_utc_parity(spark, tmp_path):
+    """r4: UTC-written timestamps decode whole-array (both us and
+    nanos surfaces) with values identical to the generic
+    _format_ts/_conv path, incl. pre-1970 truncation and nulls;
+    zoned files (US/Pacific goldens) keep the generic path."""
+    import datetime as dt
+    from orc_spark import orctypes
+    from orc_spark.sources.orcscan import _conv, _fast_arrow, orc_arrow
+    rng = np.random.default_rng(2)
+    ts = [None if i % 9 == 0 else
+          dt.datetime(1960 + (i % 100), 1 + i % 12, 1 + i % 28,
+                      i % 24, i % 60, i % 60,
+                      int(rng.integers(0, 10**6)))
+          for i in range(3000)]
+    tbl = pa.table({"t": pa.array(ts, pa.timestamp("us"))})
+    p = str(tmp_path / "ts")
+    import os
+    os.makedirs(p)
+    w = orcwriter.ORCFileWriter(p + "/a.orc", codec="zlib")
+    w.write_batch(tbl.to_batches()[0])
+    w.close()
+    f = ORCFile(p + "/a.orc")
+    nr = f._load_stripe_directory(0)
+    assert f.writer_tz == "UTC"
+    root = orctypes.type_from_file(p + "/a.orc")
+    cids = dict(zip(f.types[0].field_names, f.types[0].children))
+    node = root.children[0]
+    for ts_nanos in (False, True):
+        ft = orc_arrow(node, ts_nanos)
+        arr = _fast_arrow(f, cids["t"], nr, ft)
+        assert arr is not None, "timestamp fast path fell back"
+        exp = pa.array([_conv(node, v, ts_nanos)
+                        for v in f._read_column(cids["t"], nr)],
+                       type=ft)
+        assert arr.equals(exp)
+    # zoned golden file: fast path must decline (DST wall clocks)
+    g = ORCFile(f"{EX}/TestOrcFile.testTimestamp.orc")
+    gn = g._load_stripe_directory(0)
+    assert g.writer_tz not in ("", "UTC")
+    assert _fast_arrow(g, 0, gn, pa.timestamp("us")) is None
+    # end-to-end through the scan
+    got = sorted(r["t"] for r in orcscan.orc_scan(spark, p).collect()
+                 if r["t"] is not None)
+    assert got == sorted(v for v in ts if v is not None)

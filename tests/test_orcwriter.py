@@ -550,3 +550,45 @@ def test_bloom_consumed_by_own_reader(tmp_path):
     f2 = orcfile.ORCFile(path2)
     assert f2.bloom_strides(0, 1, "key0123") is None
     assert len(f2.equality_lookup("k", "key0123")) == 30
+
+
+def test_timestamp_pre1970_java_convention(spark, tmp_path):
+    """r4 fix: pre-1970 seconds are stored truncated TOWARD ZERO with
+    positive nanos (Java TimestampTreeWriter convention) — writing
+    floor seconds shifted every pre-1970 fractional timestamp back a
+    second on the round trip.  Spark's JVM reader must agree with our
+    writer value-for-value.  Known Java-parity corner: values inside
+    (-1s, 0s) cannot round-trip (truncation maps them to second 0;
+    Java's own writer+reader do the same — verified empirically), so
+    the boundary value asserts the JAVA behavior, not recovery."""
+    import datetime as dt
+    import pyarrow as pa
+    from orc_spark.sources import orcwriter
+    vals = [dt.datetime(1960, 1, 1, 12, 0, 0, 412556),
+            dt.datetime(1969, 6, 30, 1, 2, 3, 999999),
+            dt.datetime(1970, 1, 1, 0, 0, 0, 1),
+            dt.datetime(2001, 2, 3, 4, 5, 6, 789012)]
+    tbl = pa.table({"t": pa.array(vals, pa.timestamp("us"))})
+    p = str(tmp_path / "ts")
+    import os
+    os.makedirs(p)
+    w = orcwriter.ORCFileWriter(p + "/a.orc", codec="zlib")
+    w.write_batch(tbl.to_batches()[0])
+    w.close()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        got = sorted(r["t"] for r in spark.read.orc(p).collect())
+        assert got == sorted(vals), got
+        # the lossy (-1s, 0s) corner: same value Java's own
+        # writer+reader produce
+        edge = pa.table({"t": pa.array(
+            [dt.datetime(1969, 12, 31, 23, 59, 59, 999999)],
+            pa.timestamp("us"))})
+        w = orcwriter.ORCFileWriter(p + "/b.orc", codec="zlib")
+        w.write_batch(edge.to_batches()[0])
+        w.close()
+        from orc_spark.sources.orcfile import ORCFile
+        [v] = [r["t"] for r in ORCFile(p + "/b.orc").read_all()]
+        assert v == "1970-01-01 00:00:00.999999"  # Java-identical
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")
