@@ -588,6 +588,22 @@ def _q_orc_datasource(spark, sf_dir):
         F.countDistinct("doc_id").alias("n_ids"))
 
 
+def _q_orc_stats_agg(spark, sf_dir):
+    """Footer-statistics aggregate pushdown (r4): count/min/max/sum
+    over the .orc dataset answered from FILE TAILS ONLY — a pytest
+    monkeypatch proves no stripe is ever loaded (test_orcstats).
+    The reference records these statistics; this consumes them.
+    DuckDB recomputes the same aggregates from the raw documents."""
+    import tempfile
+    from orc_spark.sources import orcstats, orcwriter
+    tok = token_src.token_table(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="orcstatsagg_")
+    orcwriter.dataframe_to_orc_dir(tok.repartition(4), out,
+                                   codec="zlib")
+    return orcstats.stats_agg(spark, out, ["n_tok", "doc_id"]) \
+        .select("column", "n_rows", "n_values", "min", "max", "sum")
+
+
 def _q_orc_scan_decimal(spark, sf_dir):
     """Exact DECIMAL(38,10) through the full .orc write -> orc_scan
     path (r4): values are built with >15 significant digits (so any
@@ -967,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "orc_scan_pruned": _q_orc_scan_pruned,
         "orc_datasource": _q_orc_datasource,
+        "orc_stats_agg": _q_orc_stats_agg,
         "orc_scan_decimal": _q_orc_scan_decimal,
         "orc_scan_golden_v11": _q_orc_scan_golden_v11,
         "orc_scan_golden_snappy": _q_orc_scan_golden_snappy,
@@ -1294,6 +1311,25 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
             f"count(DISTINCT doc_id) AS n_ids FROM documents "
             f"WHERE {n_tok} >= 60"),
+        # footer-stats aggregates: DuckDB recomputes the identical
+        # count/min/max/sum from the raw documents (string-column sum
+        # is ORC's total byte length)
+        "orc_stats_agg": f"""
+            WITH t AS (
+              SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+                     AS did, {n_tok} AS nt FROM documents)
+            SELECT 'n_tok' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_values,
+                   CAST(min(nt) AS VARCHAR) AS min,
+                   CAST(max(nt) AS VARCHAR) AS max,
+                   CAST(CAST(sum(nt) AS BIGINT) AS VARCHAR) AS sum
+            FROM t
+            UNION ALL
+            SELECT 'doc_id', CAST(count(*) AS BIGINT),
+                   CAST(count(*) AS BIGINT), min(did), max(did),
+                   CAST(CAST(sum(length(did)) AS BIGINT) AS VARCHAR)
+            FROM t""",
         # full recompute of the >15-significant-digit decimals: every
         # digit of sum/min/max must survive the .orc round-trip
         "orc_scan_decimal": (

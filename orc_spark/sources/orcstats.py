@@ -1,0 +1,162 @@
+"""Footer-statistics aggregate pushdown: answer count / min / max /
+sum / null-count queries over a ``.orc`` dataset WITHOUT decoding any
+data stream — only file tails (postscript + footer) are read.
+
+At 100 TB this is the difference between a sub-second metadata query
+and a full scan: ``SELECT count(*), min(x), max(x), sum(x)`` over a
+million-file lake costs one footer page per file, fanned out across
+executors.  The reference RECORDS these statistics
+(columnstatistics.go:9-63); this module is the consuming half it
+never built.
+
+Exactness contract (fail-loud, never approximate):
+
+* count(*) comes from the footer row count — always exact.
+* min/max/sum come from file-level ColumnStatistics; if ANY file
+  lacks the needed statistic (e.g. an overflowed sum, a stats-less
+  writer), the aggregate raises rather than returning a wrong or
+  partial answer — the caller falls back to a real scan.
+* sum of a string column is Java ORC's total LENGTH; it is surfaced
+  as ``sum_lengths`` to avoid reading it as a value sum.
+* no predicate parameter: stats cannot apply residual filters.
+  Predicated aggregates go through ``orc_scan(...).agg(...)``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from .orcfile import ORCFile
+
+# above this many files the footer pass itself runs on executors
+_DRIVER_STATS_MAX_FILES = 64
+
+
+def _files_of(path: str) -> list[str]:
+    files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
+        if os.path.isdir(path) else [path]
+    if not files:
+        raise ValueError(f"orc_stats: no .orc files under {path}")
+    return files
+
+
+def _col_id(f: ORCFile, column: str) -> int:
+    root = f.types[0]
+    if root.kind != "struct":
+        if column == "value":
+            return 0
+        raise ValueError(f"orc_stats: bare-root file has only "
+                         f"'value', not {column!r}")
+    try:
+        return dict(zip(root.field_names, root.children))[column]
+    except KeyError:
+        raise ValueError(f"orc_stats: no column {column!r}; file has "
+                         f"{root.field_names}") from None
+
+
+def _file_stats(path: str, columns: list[str]) -> dict:
+    """One file's contribution: row count + per-column stats dict."""
+    f = ORCFile(path)
+    out = {"_rows": f.n_rows}
+    for c in columns:
+        cid = _col_id(f, c)
+        if cid >= len(f.file_statistics):
+            raise ValueError(f"orc_stats: {path} has no file "
+                             f"statistics for column {c!r}")
+        out[c] = f.file_statistics[cid]
+    return out
+
+
+def _merge(agg: dict, st: dict, columns: list[str],
+           path: str) -> None:
+    agg["rows"] += st["_rows"]
+    for c in columns:
+        s = st[c]
+        a = agg["cols"][c]
+        a["n"] += s.get("n", 0)
+        a["has_null"] = a["has_null"] or s.get("has_null", False)
+        for k, pick in (("min", min), ("max", max)):
+            if k in s:
+                a[k] = s[k] if a[k] is None else pick(a[k], s[k])
+            elif s.get("n", 0) > 0:
+                a["missing"].add(k)
+        if "sum" in s:
+            a["sum"] = s["sum"] if a["sum"] is None else \
+                a["sum"] + s["sum"]
+        elif s.get("n", 0) > 0:
+            a["missing"].add("sum")
+
+
+def footer_aggregate(spark, path: str,
+                     columns: list[str]) -> dict:
+    """{rows, cols: {col: {n, n_nulls?, min, max, sum|sum_lengths}}}
+    from footers only.  Distributed above _DRIVER_STATS_MAX_FILES
+    (one executor task per file batch); raises if any file lacks a
+    requested statistic."""
+    files = _files_of(path)
+    agg = {"rows": 0,
+           "cols": {c: {"n": 0, "has_null": False, "min": None,
+                        "max": None, "sum": None, "missing": set()}
+                    for c in columns}}
+    if len(files) <= _DRIVER_STATS_MAX_FILES:
+        per_file = ((p, _file_stats(p, columns)) for p in files)
+    else:
+        fdf = spark.createDataFrame([(p,) for p in files],
+                                    "path string") \
+            .repartition(min(len(files), 256))
+        cols = list(columns)
+
+        def kern(it):
+            # pickle keeps stat TYPES intact (Decimal/date/str mins
+            # must not collapse to strings before min/max merge)
+            import base64
+            import pickle
+            import pandas as pd
+            for pdf in it:
+                rows = [(p, base64.b64encode(pickle.dumps(
+                    _file_stats(p, cols))).decode())
+                        for p in pdf["path"]]
+                yield pd.DataFrame(rows, columns=["path", "st"])
+
+        import base64
+        import pickle
+        collected = fdf.mapInPandas(
+            kern, "path string, st string").collect()
+        per_file = ((r["path"],
+                     pickle.loads(base64.b64decode(r["st"])))
+                    for r in collected)
+    for p, st in per_file:
+        _merge(agg, st, columns, p)
+    for c in columns:
+        a = agg["cols"][c]
+        if a["missing"]:
+            raise ValueError(
+                f"orc_stats: column {c!r} lacks "
+                f"{sorted(a['missing'])} statistics in at least one "
+                f"file — fall back to orc_scan(...).agg(...)")
+        del a["missing"]
+    return agg
+
+
+def stats_agg(spark, path: str, columns: list[str]):
+    """DataFrame surface: one row per requested column with
+    (column, n_rows, n_values, min, max, sum) — min/max/sum as
+    strings (per-column types vary), exact per the module contract.
+    Shape matches one footer-only job, regardless of dataset size."""
+    agg = footer_aggregate(spark, path, columns)
+    rows = [(c, agg["rows"], a["n"],
+             None if a["min"] is None else str(a["min"]),
+             None if a["max"] is None else str(a["max"]),
+             None if a["sum"] is None else str(a["sum"]))
+            for c, a in agg["cols"].items()]
+    return spark.createDataFrame(
+        rows, "column string, n_rows long, n_values long, "
+              "min string, max string, sum string")
+
+
+def orc_count(spark, path: str) -> int:
+    """Exact COUNT(*) from footers only."""
+    return footer_aggregate(spark, path, [])["rows"]

@@ -1,0 +1,80 @@
+"""Footer-statistics aggregate pushdown (sources/orcstats.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_spark.sources import orcstats, orcwriter
+
+EX = "/root/reference/examples"
+
+
+def _write_dir(tmp_path, n_files=3, rows=2000):
+    d = tmp_path / "ds"
+    d.mkdir()
+    for i in range(n_files):
+        lo = i * rows
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(np.arange(lo, lo + rows, dtype=np.int64)),
+             pa.array([f"k{j % 50:03d}" for j in range(rows)])],
+            names=["v", "tag"])
+        w = orcwriter.ORCFileWriter(str(d / f"p{i}.orc"),
+                                    codec="zlib", stripe_rows=500)
+        w.write_batch(batch)
+        w.close()
+    return str(d)
+
+
+def test_stats_agg_exact_without_data_reads(spark, tmp_path, monkeypatch):
+    d = _write_dir(tmp_path)
+    n = 3 * 2000
+    agg = orcstats.footer_aggregate(spark, d, ["v", "tag"])
+    assert agg["rows"] == n
+    assert agg["cols"]["v"] == {
+        "n": n, "has_null": False, "min": 0, "max": n - 1,
+        "sum": n * (n - 1) // 2}
+    assert agg["cols"]["tag"]["min"] == "k000"
+    assert agg["cols"]["tag"]["max"] == "k049"
+    assert orcstats.orc_count(spark, d) == n
+    # NO data stream is decompressed: poison the stripe loader
+    from orc_spark.sources.orcfile import ORCFile
+    def boom(*a, **k):
+        raise AssertionError("footer aggregate read a stripe!")
+    monkeypatch.setattr(ORCFile, "_load_stripe_directory", boom)
+    assert orcstats.orc_count(spark, d) == n
+    assert orcstats.footer_aggregate(spark, d, ["v"])["rows"] == n
+
+
+def test_stats_agg_distributed_path_matches_driver(spark, tmp_path,
+                                                   monkeypatch):
+    d = _write_dir(tmp_path)
+    a = orcstats.footer_aggregate(spark, d, ["v"])
+    monkeypatch.setattr(orcstats, "_DRIVER_STATS_MAX_FILES", 1)
+    b = orcstats.footer_aggregate(spark, d, ["v"])
+    assert a == b
+
+
+def test_stats_agg_dataframe_surface(spark, tmp_path):
+    d = _write_dir(tmp_path)
+    rows = {r["column"]: r for r in
+            orcstats.stats_agg(spark, d, ["v", "tag"]).collect()}
+    assert rows["v"]["n_rows"] == 6000
+    assert rows["v"]["min"] == "0" and rows["v"]["sum"] == \
+        str(6000 * 5999 // 2)
+    assert rows["tag"]["max"] == "k049"
+
+
+def test_stats_agg_fails_loudly_on_missing_stats(spark, tmp_path):
+    """A column whose stats a file lacks (double sum is never
+    recorded by ORC stats; struct columns record nothing) raises
+    instead of silently skipping files."""
+    d = _write_dir(tmp_path, n_files=1)
+    with pytest.raises(ValueError, match="no column"):
+        orcstats.footer_aggregate(spark, d, ["nope"])
+    # golden Java file: demo-11 carries full int stats -> works
+    agg = orcstats.footer_aggregate(
+        spark, f"{EX}/demo-11-zlib.orc", ["_col0"])
+    assert agg["rows"] == 1920800
+    assert agg["cols"]["_col0"]["min"] == 1
+    assert agg["cols"]["_col0"]["max"] == 1920800
+    assert agg["cols"]["_col0"]["sum"] == 1844737280400
