@@ -35,6 +35,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -42,6 +43,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from .. import orctypes
@@ -166,6 +168,77 @@ class OrcReader(DataSourceReader):
                 yield batch.slice(off, _BATCH_ROWS)
 
 
+class _OrcCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class OrcWriter(DataSourceArrowWriter):
+    """``df.write.format("orc_spark").save(path)`` — each task
+    streams its Arrow batches through one ORCFileWriter (one stripe
+    in memory, real .orc file per task).  Tasks write to temp names
+    and commit() renames the winners: a speculative or failed task
+    attempt never leaves a half-file visible."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "orc_spark datasource: .save(path) is required")
+        self.codec = options.get("codec", "zlib")
+        self.stripe_rows = int(options.get("stripe_rows", 1 << 20))
+        bc = options.get("bloom_columns")
+        self.bloom_columns = [c.strip() for c in bc.split(",")
+                              if c.strip()] if bc else None
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        from orc_spark._alloc import tune_worker
+
+        from .orcwriter import ORCFileWriter
+        tune_worker()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path,
+                           f".tmp-{uuid.uuid4().hex}.orc")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = ORCFileWriter(
+                    tmp, codec=self.codec,
+                    stripe_rows=self.stripe_rows,
+                    bloom_columns=self.bloom_columns)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _OrcCommit("", 0)  # empty partition: no file
+        writer.close()
+        return _OrcCommit(tmp, rows)
+
+    def commit(self, messages):
+        import glob as _glob
+        import uuid
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "*.orc")):
+                os.remove(old)
+        # job-unique suffix: append mode must never clobber existing
+        # parts (plain part-NNNNN.orc names collide across jobs)
+        job = uuid.uuid4().hex[:8]
+        for i, m in enumerate(messages):
+            if m.path:
+                os.replace(m.path,
+                           os.path.join(self.path,
+                                        f"part-{i:05d}-{job}.orc"))
+
+    def abort(self, messages):
+        for m in messages:
+            if m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 def register(spark) -> None:
     """One-call setup: enables Python-datasource filter pushdown
     (runtime-settable; Spark refuses a reader that implements
@@ -193,3 +266,6 @@ class OrcDataSource(DataSource):
 
     def reader(self, schema) -> OrcReader:
         return OrcReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> OrcWriter:
+        return OrcWriter(self.options, overwrite)

@@ -7,6 +7,7 @@ import pyarrow as pa
 import pytest
 
 from orc_spark.sources import datasource, orcwriter
+from orc_spark.sources.orcfile import ORCFile
 
 EX = "/root/reference/examples"
 
@@ -96,3 +97,42 @@ def test_datasource_coalesces_tiny_stripes(tmp_path):
     parts = r.partitions()
     assert sum(len(p.stripes) for p in parts) == 80
     assert len(parts) == 1  # 40k rows << 1M rows/task target
+
+
+def test_datasource_writer_roundtrip_modes(registered, tmp_path):
+    """df.write.format(\"orc_spark\"): per-task .orc files via temp-
+    rename commit; append never clobbers existing parts; overwrite
+    clears; JVM reader agrees; abort leaves no half-files."""
+    d = str(tmp_path / "out")
+    df = registered.range(5000).selectExpr(
+        "id AS v", "CAST(id % 7 AS STRING) AS tag")
+    df.repartition(3).write.format("orc_spark") \
+        .mode("overwrite").save(d)
+    back = registered.read.format("orc_spark").load(d)
+    assert back.count() == 5000
+    assert back.agg({"v": "sum"}).collect()[0][0] == 5000 * 4999 // 2
+    assert registered.read.orc(d).count() == 5000  # JVM interop
+    df.limit(100).write.format("orc_spark").mode("append").save(d)
+    assert registered.read.format("orc_spark").load(d).count() == 5100
+    df.limit(5).write.format("orc_spark").mode("overwrite").save(d)
+    assert registered.read.format("orc_spark").load(d).count() == 5
+    # no temp litter after the jobs
+    assert not glob.glob(d + "/.tmp-*.orc")
+
+
+def test_datasource_writer_options(registered, tmp_path):
+    d = str(tmp_path / "opt")
+    df = registered.range(3000).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "id AS v")
+    df.coalesce(1).write.format("orc_spark") \
+        .option("stripe_rows", "1000") \
+        .option("bloom_columns", "doc_id") \
+        .mode("overwrite").save(d)
+    f = ORCFile(glob.glob(d + "/*.orc")[0])
+    assert len(f.stripes) == 3  # stripe_rows honored
+    cid = dict(zip(f.types[0].field_names,
+                   f.types[0].children))["doc_id"]
+    # bloom_columns honored: a present value can match, an absent
+    # value's strides are empty
+    assert f.bloom_strides(0, cid, "7") is not None
+    assert f.bloom_strides(0, cid, "definitely-absent-xyz") == []
