@@ -604,6 +604,24 @@ def _q_orc_stats_agg(spark, sf_dir):
         .select("column", "n_rows", "n_values", "min", "max", "sum")
 
 
+def _q_orc_count_pruned(spark, sf_dir):
+    """Hybrid stats+scan COUNT (r4): the token table is written
+    range-partitioned by n_tok so stripe statistics classify most
+    stripes as fully-matching or non-matching without decode; only
+    boundary stripes decode, and only the n_tok column.  The oracle
+    recomputes the exact filtered count from raw documents."""
+    import tempfile
+    from orc_spark.sources import orcstats, orcwriter
+    tok = token_src.token_table(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="orccnt_")
+    orcwriter.dataframe_to_orc_dir(
+        tok.repartitionByRange(4, "n_tok"), out, codec="zlib")
+    n_all = orcstats.orc_count(spark, out)
+    n_sel = orcstats.orc_count(spark, out, "n_tok >= 60")
+    return spark.createDataFrame(
+        [(n_all, n_sel)], "n_all long, n_sel long")
+
+
 def _q_orc_scan_decimal(spark, sf_dir):
     """Exact DECIMAL(38,10) through the full .orc write -> orc_scan
     path (r4): values are built with >15 significant digits (so any
@@ -984,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_scan_pruned": _q_orc_scan_pruned,
         "orc_datasource": _q_orc_datasource,
         "orc_stats_agg": _q_orc_stats_agg,
+        "orc_count_pruned": _q_orc_count_pruned,
         "orc_scan_decimal": _q_orc_scan_decimal,
         "orc_scan_golden_v11": _q_orc_scan_golden_v11,
         "orc_scan_golden_snappy": _q_orc_scan_golden_snappy,
@@ -1330,6 +1349,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT), min(did), max(did),
                    CAST(CAST(sum(length(did)) AS BIGINT) AS VARCHAR)
             FROM t""",
+        "orc_count_pruned": (
+            f"SELECT count(*) AS n_all, "
+            f"CAST(sum(CASE WHEN {n_tok} >= 60 THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_sel FROM documents"),
         # full recompute of the >15-significant-digit decimals: every
         # digit of sum/min/max must survive the .orc round-trip
         "orc_scan_decimal": (

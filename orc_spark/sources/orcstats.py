@@ -18,8 +18,12 @@ Exactness contract (fail-loud, never approximate):
   partial answer — the caller falls back to a real scan.
 * sum of a string column is Java ORC's total LENGTH; it is surfaced
   as ``sum_lengths`` to avoid reading it as a value sum.
-* no predicate parameter: stats cannot apply residual filters.
-  Predicated aggregates go through ``orc_scan(...).agg(...)``.
+* min/max/sum take no predicate: stats cannot apply residual
+  filters, so predicated aggregates go through
+  ``orc_scan(...).agg(...)``.  COUNT is the exception —
+  ``orc_count(path, predicate)`` is a HYBRID: stripes proven
+  fully-matching or non-matching by statistics cost zero decode and
+  only boundary stripes decode (predicate columns only), exactly.
 """
 
 from __future__ import annotations
@@ -157,6 +161,124 @@ def stats_agg(spark, path: str, columns: list[str]):
               "min string, max string, sum string")
 
 
-def orc_count(spark, path: str) -> int:
-    """Exact COUNT(*) from footers only."""
-    return footer_aggregate(spark, path, [])["rows"]
+def orc_count(spark, path: str, predicate=None) -> int:
+    """Exact COUNT(*) — footers only when unfiltered; with a
+    ``predicate`` (tuple / conjunction list / SQL string, same
+    grammar as orc_scan) a HYBRID count: stripes proven
+    fully-matching or non-matching by statistics cost zero decode,
+    and boundary stripes decode only the predicate columns.  A
+    selective count over a sorted 100 TB lake touches a handful of
+    boundary stripes instead of every byte."""
+    if predicate is None:
+        return footer_aggregate(spark, path, [])["rows"]
+    from .orcscan import _pred_list
+    preds = _pred_list(predicate)
+    files = _files_of(path)
+    if len(files) <= _DRIVER_STATS_MAX_FILES:
+        return sum(_count_file(p, preds) for p in files)
+    fdf = spark.createDataFrame([(p,) for p in files], "path string") \
+        .repartition(min(len(files), 256))
+
+    def kern(it):
+        import pandas as pd
+        for pdf in it:
+            yield pd.DataFrame(
+                {"n": [sum(_count_file(p, preds)
+                           for p in pdf["path"])]})
+
+    return sum(r["n"] for r in fdf.mapInPandas(
+        kern, "n long").collect())
+
+
+def _full_match(st: dict, op: str, val) -> bool:
+    """True if EVERY non-null row in a stripe/stride with stats
+    ``st`` satisfies the predicate (the dual of
+    orcscan._stats_can_match's any-row test)."""
+    lo, hi = st.get("min"), st.get("max")
+    if lo is None or hi is None:
+        return False
+    if op == ">=":
+        return lo >= val
+    if op == ">":
+        return lo > val
+    if op == "<=":
+        return hi <= val
+    if op == "<":
+        return hi < val
+    if op == "==":
+        return lo == hi == val
+    if op == "between":
+        vlo, vhi = val
+        return lo >= vlo and hi <= vhi
+    raise ValueError(f"orc_stats: unknown predicate op {op!r}")
+
+
+def _count_file(path: str, preds: list[tuple]) -> int:
+    """Predicate count for one file: stripes proven fully-matching by
+    statistics are counted WITHOUT decoding; stripes that cannot
+    match are skipped; only boundary stripes decode — and only the
+    predicate columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .orcscan import (_conv, _fast_arrow, _needs_conv,
+                          _stats_can_match, orc_arrow)
+    f = ORCFile(path)
+    root = f.types[0]
+    if root.kind != "struct":
+        names = {"value": 0}
+    else:
+        names = dict(zip(root.field_names, root.children))
+    for c, _, _ in preds:
+        if c not in names:
+            raise ValueError(f"orc_stats: no column {c!r}; file has "
+                             f"{list(names)}")
+    from .. import orctypes as _ot
+    troot = _ot.type_from_file(path)
+    if troot.kind != "struct":
+        troot = _ot.OrcType("struct", [troot], ["value"])
+    nodes = dict(zip(troot.field_names, troot.children))
+    total = 0
+    for si, stripe in enumerate(f.stripes):
+        n_rows = stripe.get(5, [0])[0]
+        sstats = f.stripe_statistics[si] \
+            if si < len(f.stripe_statistics) else None
+        if sstats is not None:
+            per_col = [sstats[names[c]] for c, _, _ in preds]
+            if not all(_stats_can_match(st, op, val)
+                       for st, (_, op, val) in zip(per_col, preds)):
+                continue  # no row can match: free skip
+            if all(_full_match(st, op, val) and
+                   not st.get("has_null", True)
+                   for st, (_, op, val) in zip(per_col, preds)):
+                total += n_rows  # every row matches: free count
+                continue
+        # boundary stripe: decode ONLY the predicate columns
+        nr = f._load_stripe_directory(si)
+        combined = None
+        for c, op, val in preds:
+            cid, node = names[c], nodes[c]
+            ft = orc_arrow(node)
+            try:
+                arr = _fast_arrow(f, cid, nr, ft)
+            except Exception:
+                arr = None
+            if arr is None:
+                vals = f._read_column(cid, nr)
+                if _needs_conv(node):
+                    vals = [_conv(node, v) for v in vals]
+                arr = pa.array(vals, type=ft)
+            if op == "between":
+                m = pc.and_kleene(
+                    pc.greater_equal(arr, pa.scalar(val[0], ft)),
+                    pc.less_equal(arr, pa.scalar(val[1], ft)))
+            else:
+                fn = {">=": pc.greater_equal, ">": pc.greater,
+                      "<=": pc.less_equal, "<": pc.less,
+                      "==": pc.equal}[op]
+                m = fn(arr, pa.scalar(val, ft))
+            combined = m if combined is None else \
+                pc.and_kleene(combined, m)
+        s = pc.sum(pc.cast(combined, pa.int64()))
+        total += s.as_py() or 0
+    return total

@@ -78,3 +78,51 @@ def test_stats_agg_fails_loudly_on_missing_stats(spark, tmp_path):
     assert agg["cols"]["_col0"]["min"] == 1
     assert agg["cols"]["_col0"]["max"] == 1920800
     assert agg["cols"]["_col0"]["sum"] == 1844737280400
+
+
+def test_orc_count_hybrid_predicate(spark, tmp_path, monkeypatch):
+    """Predicate counts are exact, and only BOUNDARY stripes decode:
+    on a sorted column, fully-matching and non-matching stripes are
+    classified from statistics alone."""
+    d = _write_dir(tmp_path, n_files=2, rows=2000)  # v: 0..3999 sorted
+    # v >= 1500: spans both files; exact count
+    assert orcstats.orc_count(spark, d, ("v", ">=", 1500)) == 2500
+    # SQL string + conjunction grammar
+    assert orcstats.orc_count(spark, d,
+                              "v >= 500 AND v < 3500") == 3000
+    assert orcstats.orc_count(
+        spark, d, ("tag", "==", "k007")) == 4000 // 50
+    # decode accounting: with 500-row stripes (4/file), v >= 1500
+    # fully matches stripes >= 1500 and only the 1000-1499 stripe is
+    # a boundary... all stripe bounds align at 500s so NO stripe is
+    # partial for a 1500 cut; use 1750 to force exactly one boundary
+    # stripe per matching file
+    from orc_spark.sources.orcfile import ORCFile
+    loads = []
+    orig = ORCFile._load_stripe_directory
+
+    def counting(self, si):
+        loads.append(si)
+        return orig(self, si)
+
+    monkeypatch.setattr(ORCFile, "_load_stripe_directory", counting)
+    assert orcstats.orc_count(spark, d, ("v", ">=", 1750)) == 2250
+    # only ONE stripe (1500-1999 in file 0) needed decoding
+    assert len(loads) == 1, loads
+
+
+def test_orc_count_nulls_never_match(spark, tmp_path):
+    """Rows with NULL in the predicate column do not count, and a
+    stripe containing nulls is never fully-counted from stats."""
+    import pyarrow as pa
+    import numpy as np
+    d = tmp_path / "nulls"
+    d.mkdir()
+    vals = pa.array([None if i % 5 == 0 else i for i in range(1000)],
+                    pa.int64())
+    w = orcwriter.ORCFileWriter(str(d / "a.orc"), codec="zlib",
+                                stripe_rows=250)
+    w.write_batch(pa.RecordBatch.from_arrays([vals], names=["v"]))
+    w.close()
+    got = orcstats.orc_count(spark, str(d), ("v", ">=", 0))
+    assert got == sum(1 for i in range(1000) if i % 5 != 0)
