@@ -451,7 +451,40 @@ def _fast_arrow(f: ORCFile, cid: int, n: int, ft):
         if not ft.equals(out.type):
             out = out.cast(ft)
         return out
-    return None  # timestamp / union: generic row path
+    if k == "union":
+        # whole-array union -> sparse tag/_u* struct (r4): byte-RLE
+        # tags, each variant's child decoded densely (ORC stores only
+        # the rows belonging to that variant) then take-expanded to
+        # the slots where its tag matches; all other slots null
+        raw = f._stream(cid, "DATA") or b""
+        tags = byterle.decode(raw, n_valid).astype(np.int8)
+        children = [pa.array(_scatter(tags, valid), mask=~valid)
+                    if valid is not None else pa.array(tags)]
+        fields = [ft.field(0)]  # "tag"
+        for vi, ccid in enumerate(t.children):
+            cft = ft.field(vi + 1).type
+            sel = tags == vi
+            cnt = int(sel.sum())
+            ch = _fast_arrow(f, ccid, cnt, cft)
+            if ch is None:
+                return None
+            # expand: rows of THIS variant draw consecutive child
+            # values; every other row is null
+            idx = np.zeros(n_valid, np.int64)
+            idx[sel] = np.arange(cnt)
+            if valid is not None:
+                full_sel = _scatter(sel, valid)
+                idx = _scatter(idx, valid)
+            else:
+                full_sel = sel
+            ch = ch.take(pa.array(idx, mask=~full_sel))
+            children.append(ch)
+            fields.append(ft.field(vi + 1))
+        if valid is None:
+            return pa.StructArray.from_arrays(children, fields=fields)
+        return pa.StructArray.from_arrays(children, fields=fields,
+                                          mask=pa.array(~valid))
+    return None  # zoned timestamps: generic row path
 
 
 def _validity(valid):

@@ -634,3 +634,33 @@ def test_orc_scan_timestamp_fast_path_utc_parity(spark, tmp_path):
     got = sorted(r["t"] for r in orcscan.orc_scan(spark, p).collect()
                  if r["t"] is not None)
     assert got == sorted(v for v in ts if v is not None)
+
+
+def test_orc_scan_union_fast_path_parity(spark):
+    """r4: union columns build whole-array (tags + take-expanded
+    variant children) with values identical to the generic row path,
+    across every stripe of the golden union file."""
+    from orc_spark import orctypes
+    from orc_spark.sources.orcscan import _conv, _fast_arrow, orc_arrow
+    p = f"{EX}/TestOrcFile.testUnionAndTimestamp.orc"
+    f = ORCFile(p)
+    root = orctypes.type_from_file(p)
+    names = dict(zip(root.field_names, root.children))
+    cids = dict(zip(f.types[0].field_names, f.types[0].children))
+    node = names["union"]
+    for si in range(len(f.stripes)):
+        nr = f._load_stripe_directory(si)
+        arr = _fast_arrow(f, cids["union"], nr, orc_arrow(node))
+        assert arr is not None, f"union fell back (stripe {si})"
+        exp = pa.array([_conv(node, v)
+                        for v in f._read_column(cids["union"], nr)],
+                       type=orc_arrow(node))
+        assert arr.equals(exp)
+    # end-to-end scan still matches the driver oracle's aggregates
+    df = orcscan.orc_scan(spark, p)
+    u = F.col("union")
+    got = df.agg(
+        F.sum((u.getField("tag") == 0).cast("int")).alias("n0"),
+        F.sum(u.getField("_u0")).alias("s0"),
+        F.countDistinct(u.getField("_u1")).alias("d1")).first()
+    assert (got["n0"], got["s0"], got["d1"]) == (5040, 8660390656586, 35)
