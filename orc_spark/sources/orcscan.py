@@ -376,13 +376,20 @@ def _fast_arrow(f: ORCFile, cid: int, n: int, ft):
         return pa.StructArray.from_arrays(children, fields=fields,
                                           mask=pa.array(~valid))
     if k == "timestamp":
-        # whole-array timestamps (r4) for UTC / absent writer zones
-        # (offset 0 at every instant — our own writer stamps "UTC");
-        # zoned files (DST-dependent wall clocks) keep the exact
-        # generic path through _format_ts
+        # whole-array timestamps (r4).  UTC/absent writer zones are
+        # pure arithmetic; ZONED files (Java lakes commonly stamp
+        # America/Los_Angeles etc.) vectorize via per-DAY offset
+        # buckets — a zone's UTC offset is constant within a civil
+        # day except the 1-2 DST transition days a year, whose few
+        # values take the per-value scalar offset path
         wtz = getattr(f, "writer_tz", "") or ""
-        if wtz not in ("", "UTC", "GMT", "Etc/UTC"):
-            return None
+        flat = wtz in ("", "UTC", "GMT", "Etc/UTC")
+        tz = None
+        if not flat:
+            from .orcfile import _tzinfo
+            tz = _tzinfo(wtz)
+            if tz is None:
+                return None  # unknown zone name: generic path
         secs = f._ints(cid, "DATA", n_valid, signed=True) \
             .astype(np.int64)
         raw = f._ints(cid, "SECONDARY", n_valid, signed=False) \
@@ -392,13 +399,47 @@ def _fast_arrow(f: ORCFile, cid: int, n: int, ft):
         tbl = np.array([1, 100, 1000, 10**4, 10**5, 10**6, 10**7,
                         10**8], np.int64)
         nanos = base * tbl[zeros]
-        instant = secs + 1420070400  # 2015-01-01 base (UTC)
-        if wtz:
-            # Java truncates pre-1970 seconds toward zero while nanos
-            # stay positive (mirrors _format_ts's tz branch); the
-            # flat no-zone arithmetic does not
+        if flat:
+            instant = secs + 1420070400  # 2015-01-01 base (UTC)
+            if wtz:
+                # Java truncates pre-1970 seconds toward zero while
+                # nanos stay positive (mirrors _format_ts's tz
+                # branch); the flat no-zone arithmetic does not
+                instant = instant - ((instant < 0) &
+                                     (nanos > 0)).astype(np.int64)
+        else:
+            from datetime import datetime as _dt
+            epoch_local = int(_dt(2015, 1, 1, tzinfo=tz).timestamp())
+            instant = secs + epoch_local
             instant = instant - ((instant < 0) &
                                  (nanos > 0)).astype(np.int64)
+
+            def _off(t: int) -> int:
+                d = _dt.fromtimestamp(int(t), tz)
+                return int(d.utcoffset().total_seconds())
+
+            try:
+                days = np.floor_divide(instant, 86400)
+                uniq, inv = np.unique(days, return_inverse=True)
+                if len(uniq) > max(4096, n_valid // 4):
+                    return None  # offset probing would dominate
+                offs = np.empty(len(uniq), np.int64)
+                mixed = []
+                for i, d in enumerate(uniq.tolist()):
+                    o0 = _off(d * 86400)
+                    if o0 == _off((d + 1) * 86400 - 1):
+                        offs[i] = o0
+                    else:
+                        offs[i] = 0
+                        mixed.append(i)
+                offset = offs[inv]
+                for i in mixed:  # DST-transition days: per value
+                    for j in np.flatnonzero(inv == i).tolist():
+                        offset[j] = _off(instant[j])
+            except (OverflowError, OSError, ValueError):
+                return None  # out-of-range for fromtimestamp
+            # wall clock = instant + zone offset at that instant
+            instant = instant + offset
         if pa.types.is_int64(ft):  # timestamp_nanos surface
             if len(instant) and int(np.abs(instant).max()) > 9 * 10**9:
                 return None  # would overflow int64 nanos (~year 2255)

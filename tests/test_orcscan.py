@@ -625,10 +625,14 @@ def test_orc_scan_timestamp_fast_path_utc_parity(spark, tmp_path):
                         for v in f._read_column(cids["t"], nr)],
                        type=ft)
         assert arr.equals(exp)
-    # zoned golden file: fast path must decline (DST wall clocks)
+    # zoned golden file: handled too since the per-day offset-bucket
+    # path landed (see test_orc_scan_zoned_timestamp_fast_path_parity
+    # for its parity check); an UNKNOWN zone name must decline
     g = ORCFile(f"{EX}/TestOrcFile.testTimestamp.orc")
     gn = g._load_stripe_directory(0)
     assert g.writer_tz not in ("", "UTC")
+    assert _fast_arrow(g, 0, gn, pa.timestamp("us")) is not None
+    g.writer_tz = "Not/AZone"
     assert _fast_arrow(g, 0, gn, pa.timestamp("us")) is None
     # end-to-end through the scan
     got = sorted(r["t"] for r in orcscan.orc_scan(spark, p).collect()
@@ -664,3 +668,33 @@ def test_orc_scan_union_fast_path_parity(spark):
         F.sum(u.getField("_u0")).alias("s0"),
         F.countDistinct(u.getField("_u1")).alias("d1")).first()
     assert (got["n0"], got["s0"], got["d1"]) == (5040, 8660390656586, 35)
+
+
+def test_orc_scan_zoned_timestamp_fast_path_parity(spark):
+    """r4: ZONED timestamps (US/Pacific goldens) vectorize via
+    per-day offset buckets with DST-transition days taking per-value
+    offsets — values identical to the generic _format_ts path on
+    both surfaces across 282k golden rows incl. 1900/2038 ranges."""
+    from orc_spark import orctypes
+    from orc_spark.sources.orcscan import _conv, _fast_arrow, orc_arrow
+    for name in ("TestOrcFile.testTimestamp",
+                 "TestOrcFile.testDate1900",
+                 "TestOrcFile.testDate2038"):
+        path = f"{EX}/{name}.orc"
+        f = ORCFile(path)
+        root = orctypes.type_from_file(path)
+        if root.kind == "struct":
+            node = next(c for c in root.children
+                        if c.kind == "timestamp")
+            cid = f.types[0].children[root.children.index(node)]
+        else:
+            node, cid = root, 0
+        for ts_nanos in (False, True):
+            nr = f._load_stripe_directory(0)
+            ft = orc_arrow(node, ts_nanos)
+            arr = _fast_arrow(f, cid, nr, ft)
+            assert arr is not None, (name, f.writer_tz)
+            exp = pa.array([_conv(node, v, ts_nanos)
+                            for v in f._read_column(cid, nr)],
+                           type=ft)
+            assert arr.equals(exp), (name, ts_nanos)
