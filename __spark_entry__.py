@@ -855,6 +855,31 @@ def _q_stream_dedup(spark, sf_dir):
     return dedup_stream.latest_state(spark, out)
 
 
+def _q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (r4): every 50th document plays the
+    EVAL SET; training docs sharing any word 13-gram with it are
+    flagged.  Map-side n-gram hashing + broadcast semi join — the
+    corpus itself never shuffles.  The DuckDB oracle recomputes
+    overlap over STRING n-grams (the hashed-tuple bijection)."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    out = text.decontaminate(docs, ev, n=13)
+    return out.select("doc_id", "n_hits", "contaminated")
+
+
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition gates (r4): duplicate-line fraction,
+    duplicate word-2-gram fraction, most-repeated-word share — with
+    planted high-repetition docs (text doubled) to give the signal
+    something to catch; all map-side codegen."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit("\n"), "text").alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return text.repetition_stats(corpus)
+
+
 def _q_text_pii_scrub(spark, sf_dir):
     """PII scrubbing (r3): seed deterministic emails/phones/IPs into
     every 3rd document, redact + count via pure JVM regexp; the oracle
@@ -989,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_text_fingerprints,
         "text_vocab": _q_text_vocab,
         "text_pii_scrub": _q_text_pii_scrub,
+        "text_decontaminate": _q_text_decontaminate,
+        "text_repetition": _q_text_repetition,
         "sample_stratified": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
         "pipeline_clean": _q_pipeline_clean,
@@ -1306,6 +1333,64 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n DESC, word ASC LIMIT 50"),
         "text_langid": langid,
         "text_pii_scrub": _pii_scrub_oracle(),
+        # word-13-gram overlap vs the eval subset, recomputed over
+        # STRING n-grams (clipped window for short docs mirrors the
+        # hashed-tuple convention; concat_ws skips the NULL tail)
+        "text_decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(0, greatest(len(ws) - 13, 0) + 1),
+                       i -> concat_ws(' ', ws[i+1], ws[i+2], ws[i+3],
+                                      ws[i+4], ws[i+5], ws[i+6],
+                                      ws[i+7], ws[i+8], ws[i+9],
+                                      ws[i+10], ws[i+11], ws[i+12],
+                                      ws[i+13]))) AS gs
+              FROM w),
+            ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+                   WHERE doc_id % 50 = 0),
+            tg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+            hits AS (SELECT doc_id, count(*) AS n FROM tg
+                     JOIN ev USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)""",
+        # dup-line / dup-2gram / top-word fractions over documents
+        # plus the planted doubled-text docs
+        "text_repetition": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || chr(10) || text
+              FROM documents WHERE doc_id < 10),
+            base AS (
+              SELECT doc_id,
+                     list_filter(str_split(text, chr(10)),
+                                 x -> length(trim(x)) > 0) AS ls,
+                     regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM corpus),
+            g AS (
+              SELECT doc_id, ls, ws,
+                     list_transform(
+                       range(0, greatest(len(ws) - 2, 0) + 1),
+                       i -> concat_ws(' ', ws[i+1], ws[i+2])) AS gs
+              FROM base)
+            SELECT doc_id,
+                   round((len(ls) - len(list_distinct(ls)))
+                         / greatest(len(ls), 1)::DOUBLE, 6)
+                     AS dup_line_frac,
+                   round((len(gs) - len(list_distinct(gs)))
+                         / greatest(len(gs), 1)::DOUBLE, 6)
+                     AS dup_2gram_frac,
+                   round(list_max(list_transform(list_distinct(ws),
+                           w -> len(list_filter(ws, x -> x = w))))
+                         / greatest(len(ws), 1)::DOUBLE, 6)
+                     AS top_word_frac
+            FROM g""",
         "sample_stratified": _stratified_oracle(),
         "text_fingerprints": (
             "SELECT doc_id, md5(text) AS fp, "

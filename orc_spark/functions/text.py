@@ -140,3 +140,86 @@ def pii_scrub(docs: DataFrame,
     return docs.select(
         *cols, scrubbed.alias("scrubbed"),
         F.length(scrubbed).cast("long").alias("scrubbed_len"))
+
+
+def _word_ngram_hashes(n: int, col: str = "text"):
+    """array<long> of xxhash64'd word n-grams (same hashed-tuple trick
+    as dedup._shingle_hashes: distinct word n-tuples <-> distinct
+    space-joined n-gram strings, so set operations over these longs
+    equal string-n-gram set operations — what the oracles compute)."""
+    words = F.split(F.trim(col), r"\s+")
+    hw = F.transform(words, lambda w: F.xxhash64(w))
+
+    def _per_doc(a):
+        idx = F.sequence(F.lit(0),
+                         F.greatest(F.size(a) - n, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.xxhash64(*[F.get(a, i + j)
+                                        for j in range(n)]))
+
+    return F.when(F.col(col).isNull(),
+                  F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(F.flatten(F.transform(F.array(hw), _per_doc))))
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  n: int = 13) -> DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3/Dolma recipe): flag every
+    training document sharing at least one word ``n``-gram with the
+    evaluation set.  Returns (doc_id, n_hits, contaminated); keep the
+    clean corpus with ``docs.join(out.where("contaminated"),
+    "doc_id", "left_anti")``.
+
+    Scale shape: the eval set is SMALL by construction (benchmarks),
+    so its distinct n-gram hashes broadcast; the training side is one
+    map-side explode + broadcast semi-style join + groupBy(doc_id) —
+    no shuffle of the corpus itself, parallelism = input splits.
+    Short eval docs (< n words) contribute their full-text n-gram
+    (clipped window, same as the shingle convention) so exact quotes
+    of tiny references still hit."""
+    ev = eval_docs.select(
+        F.explode(_word_ngram_hashes(n)).alias("h")).distinct()
+    tr = docs.select(
+        "doc_id", F.explode_outer(_word_ngram_hashes(n)).alias("h"))
+    hits = (tr.join(F.broadcast(ev), "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_hits")))
+    return (docs.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals, all map-side
+    whole-stage-codegen: duplicate-line fraction (lines repeating an
+    earlier line, weighted by count), duplicate word-2-gram fraction,
+    and the most-repeated word's share.  The standard quality gate
+    that kills boilerplate/log spam before training."""
+    lines = F.filter(F.split(F.col("text"), r"\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_uniq_lines = F.size(F.array_distinct(lines))
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_words - 2, F.lit(0))),
+        lambda i: F.xxhash64(F.get(words, i), F.get(words, i + 1)))
+    n_grams = F.size(grams)
+    n_uniq_grams = F.size(F.array_distinct(grams))
+    # most-repeated word share: max count over distinct words / total
+    top = F.array_max(F.transform(
+        F.array_distinct(words),
+        lambda w: F.size(F.filter(words, lambda x: x == w))))
+    return docs.select(
+        "doc_id",
+        F.round((n_lines - n_uniq_lines) /
+                F.greatest(n_lines, F.lit(1)).cast("double"), 6)
+        .alias("dup_line_frac"),
+        F.round((n_grams - n_uniq_grams) /
+                F.greatest(n_grams, F.lit(1)).cast("double"), 6)
+        .alias("dup_2gram_frac"),
+        F.round(top / F.greatest(n_words, F.lit(1)).cast("double"), 6)
+        .alias("top_word_frac"))

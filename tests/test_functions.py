@@ -740,3 +740,49 @@ def test_knn_join_index_matches_adhoc(spark, emb, tmp_path):
     capped = similarity.knn_join_index(spark, path, probes, k=3,
                                        max_bucket=2).collect()
     assert len(capped) <= len(want)
+
+
+def test_decontaminate_catches_planted_quote(spark):
+    """A training doc quoting 13+ consecutive words of an eval doc is
+    flagged; unrelated docs are not; NULL text is safe."""
+    from orc_spark.functions import text as text_fns
+    ev = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog while "
+             "seven wizards watch quietly from the old stone tower")],
+        "doc_id long, text string")
+    words = ev.first()["text"].split()
+    quote = " ".join(words[2:16])  # 14 consecutive words
+    tr = spark.createDataFrame(
+        [(10, f"prefix text here {quote} and a suffix"),
+         (11, "completely unrelated content with many words that "
+              "share nothing at all with the evaluation material"),
+         (12, " ".join(words[:6])),  # only 6 words: no full 13-gram
+         (13, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["contaminated"], r["n_hits"])
+           for r in text_fns.decontaminate(tr, ev, n=13).collect()}
+    assert out[10][0] is True and out[10][1] >= 1
+    assert out[11] == (False, 0)
+    assert out[12] == (False, 0)
+    assert out[13] == (False, 0)
+    # left-anti keep pattern removes exactly the contaminated doc
+    flagged = text_fns.decontaminate(tr, ev, n=13) \
+        .where("contaminated")
+    clean = tr.join(flagged, "doc_id", "left_anti")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [11, 12, 13]
+
+
+def test_repetition_stats_flags_doubled_text(spark):
+    from orc_spark.functions import text as text_fns
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma\nalpha beta gamma"),   # dup line
+         (2, "one two three four five six seven"),    # clean
+         (3, "spam spam spam spam spam spam")],       # one word
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text_fns.repetition_stats(df).collect()}
+    assert out[1]["dup_line_frac"] == 0.5
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_word_frac"] == round(1 / 7, 6)
+    assert out[3]["top_word_frac"] == 1.0
+    assert out[3]["dup_2gram_frac"] > 0.5  # "spam spam" repeats
