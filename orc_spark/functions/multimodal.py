@@ -384,13 +384,6 @@ def resize_media(media: DataFrame, w: int, h: int) -> DataFrame:
     return media.mapInPandas(kernel, media.schema)
 
 
-def _not_impl(kind: str):
-    raise NotImplementedError(
-        f"media decode for kind={kind!r} requires codec libraries not "
-        f"present in this container; plug a real decoder into "
-        f"extract_features")
-
-
 def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan (stub): emits (media_id, frame_ts_ms)
     rows from duration metadata; the decode itself is NotImplemented.

@@ -30,7 +30,6 @@ this is the explicit projection control), ``timestamp_nanos``
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql.datasource import (
@@ -53,12 +52,8 @@ _OP_OF = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
 
 
 def _files_of(path: str) -> list[str]:
-    files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
-        if os.path.isdir(path) else [path]
-    if not files:
-        raise ValueError(f"orc_spark datasource: no .orc files "
-                         f"under {path}")
-    return files
+    from .orcscan import orc_files
+    return orc_files(path, "orc_spark datasource")
 
 
 def _resolve_root(path: str, columns: list[str] | None):
@@ -118,22 +113,19 @@ class OrcReader(DataSourceReader):
             yield f
 
     def partitions(self):
-        from .orcfile import ORCFile
         from .orcscan import _TARGET_ROWS_PER_TASK, plan_tasks
         files, root, expect = _resolve_root(self.path, self.columns)
-        tasks, _ = plan_tasks(files, self.pushed or None, expect)
+        # row counts ride along from the planning footer pass — no
+        # second ORCFile open per file (r4 review fix)
+        tasks, _ = plan_tasks(files, self.pushed or None, expect,
+                              with_rows=True)
         if not tasks:
             return [StripesPartition(files[0], [])]
         # coalesce tiny stripes toward the same rows/task target as
         # orc_scan, preserving per-file grouping
         parts: list[StripesPartition] = []
         cur_path, cur, cur_rows = None, [], 0
-        sizes: dict[str, list[int]] = {}
-        for p, si in tasks:
-            if p not in sizes:
-                f = ORCFile(p)
-                sizes[p] = [s.get(5, [0])[0] for s in f.stripes]
-            rows = sizes[p][si]
+        for p, si, rows in tasks:
             if cur_path != p or (cur and
                                  cur_rows + rows > _TARGET_ROWS_PER_TASK):
                 if cur:
@@ -221,21 +213,31 @@ class OrcWriter(DataSourceArrowWriter):
     def commit(self, messages):
         import glob as _glob
         import uuid
+        live = {m.path for m in messages if m is not None and m.path}
         if self.overwrite:
             for old in _glob.glob(os.path.join(self.path, "*.orc")):
                 os.remove(old)
+        # stale temp files from earlier failed/aborted jobs (dotfiles
+        # are invisible to the readers' *.orc glob, but don't let
+        # them accumulate)
+        for tmp in _glob.glob(os.path.join(self.path, ".tmp-*.orc")):
+            if tmp not in live:
+                os.remove(tmp)
         # job-unique suffix: append mode must never clobber existing
         # parts (plain part-NNNNN.orc names collide across jobs)
         job = uuid.uuid4().hex[:8]
         for i, m in enumerate(messages):
-            if m.path:
+            if m is not None and m.path:
                 os.replace(m.path,
                            os.path.join(self.path,
                                         f"part-{i:05d}-{job}.orc"))
 
     def abort(self, messages):
+        # failed tasks contribute None messages (PySpark contract);
+        # their temp names are unknown here, but dot-prefixed temps
+        # are invisible to readers and the next commit sweeps them
         for m in messages:
-            if m.path and os.path.exists(m.path):
+            if m is not None and m.path and os.path.exists(m.path):
                 os.remove(m.path)
 
 

@@ -404,7 +404,10 @@ class ORCFile:
             streams = {"DATA": self._stream(col, "DATA") or b""}
             mants = dec_codec.decode_mantissas(streams["DATA"], n_valid)
             scales = self._ints(col, "SECONDARY", n_valid, signed=True)
-            vals = [Decimal(f"{m}E-{int(s)}")
+            # E{-s}, not E-{s}: the scale stream is SIGNED — a
+            # negative per-value scale must render E2, not E--2
+            # (InvalidOperation)
+            vals = [Decimal(f"{m}E{-int(s)}")
                     for m, s in zip(mants, scales.tolist())]
             return self._weave(vals, valid, n)
         if k == "timestamp":

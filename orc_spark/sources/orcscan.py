@@ -204,15 +204,19 @@ def _pred_list(predicate) -> list[tuple]:
 
 
 def plan_tasks(files: list[str], predicate=None,
-               expect_type: str | None = None
-               ) -> tuple[list[tuple[str, int]], int]:
+               expect_type: str | None = None,
+               with_rows: bool = False
+               ) -> tuple[list[tuple], int]:
     """(kept (file, stripe) tasks, total stripe count).  Opens only
     file tails (mmap) — no stripe data is touched at planning time.
     ``expect_type``: canonical ORC type string every file's footer
     must match — schema drift inside a directory fails LOUDLY here
-    instead of silently null-filling columns at read time."""
+    instead of silently null-filling columns at read time.
+    ``with_rows`` appends each task's stripe row count — callers that
+    need sizes for coalescing get them from THIS footer pass instead
+    of re-opening every file (r4 review fix)."""
     preds = _pred_list(predicate)
-    tasks: list[tuple[str, int]] = []
+    tasks: list[tuple] = []
     total = 0
     for path in files:
         f = ORCFile(path)
@@ -239,8 +243,21 @@ def plan_tasks(files: list[str], predicate=None,
                         keep = False
                         break
             if keep:
-                tasks.append((path, si))
+                tasks.append((path, si, f.stripes[si].get(5, [0])[0])
+                             if with_rows else (path, si))
     return tasks, total
+
+
+def orc_files(path: str, what: str = "orc_scan") -> list[str]:
+    """List a dataset's .orc files (single file or directory) — THE
+    shared layout rule for orc_scan, the DataSource, and orcstats
+    (temp dotfiles from in-flight writes are naturally excluded by
+    the *.orc glob)."""
+    files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
+        if os.path.isdir(path) else [path]
+    if not files:
+        raise ValueError(f"{what}: no .orc files under {path}")
+    return files
 
 
 # -------------------------------------------------------------------
@@ -750,10 +767,7 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
     nano field)."""
     import pyarrow as pa
 
-    files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
-        if os.path.isdir(path) else [path]
-    if not files:
-        raise ValueError(f"orc_scan: no .orc files under {path}")
+    files = orc_files(path)
     full_root = orctypes.type_from_file(files[0])
     expect_type = full_root.orc_string()
     if full_root.kind != "struct":
@@ -814,13 +828,17 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         tdf = tdf.drop("rows") \
             .repartition(n_parts(n_tasks, agg["r"] or 0))
     else:
-        tasks, _ = plan_tasks(files, predicate, expect_type)
+        tasks, _ = plan_tasks(files, predicate, expect_type,
+                              with_rows=True)
         if not tasks:
             out = spark.createDataFrame([], schema)
             return out.select(*columns) if columns else out
-        total_rows = sum(ORCFile(p).n_rows for p in set(
-            t[0] for t in tasks))
-        tdf = spark.createDataFrame(tasks, "path string, stripe int") \
+        # kept-stripe rows ride along from the SAME footer pass (no
+        # second ORCFile open per file — r4 review fix)
+        total_rows = sum(r for _, _, r in tasks)
+        tdf = spark.createDataFrame(
+            [(p, si) for p, si, _ in tasks],
+            "path string, stripe int") \
             .repartition(n_parts(len(tasks), total_rows))
 
     ctx = _ScanContext(root, preds, sel, timestamp_nanos)

