@@ -22,10 +22,13 @@ ZLIB = "zlib"
 SNAPPY = "snappy"  # decode only, like the reference (codec gate C5)
 ZSTD = "zstd"
 
-try:  # optional extension codec, not part of reference parity
-    import zstandard as _zstd  # type: ignore
-except Exception:  # pragma: no cover
-    _zstd = None
+def _zstd_codec():
+    """pyarrow's BUNDLED zstd (r4): Spark 4 writes ORC with zstd by
+    DEFAULT, so reading Spark-default lakes requires this even though
+    the reference never did zstd.  No standalone zstandard wheel is
+    needed — Arrow ships the codec."""
+    import pyarrow as pa
+    return pa.Codec("zstd", compression_level=3)
 
 
 def _header(length: int, original: bool) -> bytes:
@@ -57,9 +60,7 @@ def _compress_chunk(chunk: bytes, kind: str) -> bytes:
         c = zlib.compressobj(ZLIB_LEVEL, zlib.DEFLATED, -15)
         return c.compress(chunk) + c.flush()
     if kind == ZSTD:
-        if _zstd is None:
-            raise RuntimeError("zstandard not available")
-        return _zstd.ZstdCompressor(level=3).compress(chunk)
+        return _zstd_codec().compress(chunk, asbytes=True)
     raise ValueError(kind)
 
 
@@ -76,9 +77,12 @@ def _decompress_chunk(data: bytes, kind: str) -> bytes:
         from . import lzo_pure
         return lzo_pure.decompress(data)
     if kind == ZSTD:
-        if _zstd is None:
-            raise RuntimeError("zstandard not available")
-        return _zstd.ZstdDecompressor().decompress(data)
+        # CompressedInputStream needs no decompressed_size up front
+        # (zstd frames may omit the content-size header field)
+        import pyarrow as pa
+        with pa.CompressedInputStream(
+                pa.BufferReader(bytes(data)), "zstd") as st:
+            return st.read()
     raise ValueError(kind)
 
 

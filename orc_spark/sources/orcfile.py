@@ -13,8 +13,10 @@ decimal and timestamp kernels and compare row-by-row against
 Spark pipeline ingest legacy ORC files through ``mapInPandas`` without
 the JVM ORC reader, though parquet/Iceberg remains the primary source.
 
-Supports NONE/ZLIB compression (the reference writer's own gate,
-writer.go:70-87), both RLE versions, and ALL ORC types including union,
+Reads NONE/ZLIB/SNAPPY/LZO/LZ4/ZSTD compression (the reference
+writer's own gate is NONE/ZLIB, writer.go:70-87; zstd — Spark 4's
+DEFAULT ORC codec — decompresses via pyarrow's bundled
+implementation), both RLE versions, and ALL ORC types including union,
 decimal, and pre-1970 timestamps with writer-timezone DST handling —
 the reference's own golden test skips its union and 1900/2038-date
 files; this reader decodes them row-identical.
@@ -174,7 +176,8 @@ class ORCFile:
         psl = self.data[-1]
         ps = parse_message(self.data[-1 - psl:-1])
         self.compression = COMPRESSIONS[ps.get(2, [0])[0]]
-        if self.compression not in ("none", "zlib", "snappy", "lz4", "lzo"):
+        if self.compression not in ("none", "zlib", "snappy", "lz4",
+                                    "lzo", "zstd"):
             raise NotImplementedError(f"compression {self.compression}")
         footer_len = ps[1][0]
         meta_len = ps.get(5, [0])[0]

@@ -728,7 +728,9 @@ class ORCFileWriter:
         self.bloom_columns = bloom_columns or []
         self.bloom_fpp = bloom_fpp
         self.codec = codec
-        self.comp_code = {"none": 0, "zlib": 1}[codec]
+        # zstd (r4): Spark 4's default ORC codec, via pyarrow's
+        # bundled implementation — postscript enum 5 (proto/orc.proto)
+        self.comp_code = {"none": 0, "zlib": 1, "zstd": 5}[codec]
         self.stripe_rows = stripe_rows
         self.stride = row_index_stride
         self.use_fsst = use_fsst

@@ -698,3 +698,33 @@ def test_orc_scan_zoned_timestamp_fast_path_parity(spark):
                             for v in f._read_column(cid, nr)],
                            type=ft)
             assert arr.equals(exp), (name, ts_nanos)
+
+
+def test_orc_scan_reads_spark_default_zstd(spark, tmp_path):
+    """r4: Spark 4 writes ORC with ZSTD by default — our reader,
+    orc_scan, and orc_count must consume it (pyarrow's bundled zstd,
+    no zstandard wheel), and our writer's codec=\"zstd\" output must
+    read back through BOTH our kernels and Spark's JVM reader."""
+    d = str(tmp_path / "z")
+    df = spark.range(30000).selectExpr(
+        "id AS v", "CAST(id % 9 AS STRING) AS tag")
+    df.coalesce(2).write.mode("overwrite").orc(d)  # default codec
+    f = ORCFile(glob.glob(d + "/*.orc")[0])
+    assert f.compression == "zstd"
+    back = orcscan.orc_scan(spark, d)
+    assert back.count() == 30000
+    assert back.agg({"v": "sum"}).collect()[0][0] == \
+        30000 * 29999 // 2
+    from orc_spark.sources import orcstats
+    assert orcstats.orc_count(spark, d) == 30000
+    # our zstd writer -> JVM reader
+    d2 = str(tmp_path / "ours")
+    import os
+    os.makedirs(d2)
+    w = orcwriter.ORCFileWriter(d2 + "/a.orc", codec="zstd",
+                                stripe_rows=5000)
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(20000, dtype=np.int64))], names=["v"]))
+    w.close()
+    assert ORCFile(d2 + "/a.orc").compression == "zstd"
+    assert spark.read.orc(d2).count() == 20000
