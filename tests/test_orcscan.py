@@ -249,8 +249,26 @@ def test_orc_scan_fuzz_vs_pyarrow(spark, tmp_path):
     rng = np.random.default_rng(7)
 
     def rand_col(n, depth=0):
-        k = int(rng.integers(0, 9 if depth >= 1 else 12))
+        k = int(rng.integers(0, 11 if depth >= 1 else 14))
         null = lambda v: None if rng.random() < 0.12 else v  # noqa: E731
+        if k == 12 or (depth >= 1 and k == 9):
+            # decimal within int64 mantissas: the whole-array
+            # decimal128 buffer path
+            from decimal import Decimal
+            return pa.array(
+                [null(Decimal(int(rng.integers(-10**14, 10**14)))
+                      / 10**4) for _ in range(n)],
+                pa.decimal128(18, 4))
+        if k == 13 or (depth >= 1 and k == 10):
+            # decimal(38,10) with >int64 mantissas: exercises the
+            # OverflowError fallback to the exact generic path
+            from decimal import Decimal, localcontext
+            with localcontext() as ctx:
+                ctx.prec = 50
+                return pa.array(
+                    [null(Decimal(int(rng.integers(-2**62, 2**62)))
+                          * 10**7 / 10**9) for _ in range(n)],
+                    pa.decimal128(38, 10))
         if k == 0:
             return pa.array([null(int(rng.integers(-2**40, 2**40)))
                              for _ in range(n)], pa.int64())
