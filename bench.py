@@ -130,6 +130,15 @@ def warm_workers(spark, input_path: str | None = None):
         .withColumn("n_chars", F.length("text"))
     text.quality_scores(tiny2).count()
     text.lang_id(tiny2).count()
+    # similarity plans too (an 8.5s first-iteration JIT outlier was
+    # observed right after heavy suite activity; same treatment)
+    from orc_spark.functions import similarity
+    tiny_emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5])
+         for i in range(40)], "vec_id long, embedding array<float>")
+    q = [1.0, 0.0, 1.0, 0.0]
+    similarity.cosine_topk(tiny_emb, q, k=3).collect()
+    similarity.lsh_ann_topk(tiny_emb, q, k=3).collect()
     if input_path:
         spark.read.parquet(input_path).agg(F.sum("n_tok")).collect()
 
