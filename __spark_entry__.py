@@ -716,6 +716,29 @@ def _q_orc_scan_golden_union(spark, sf_dir):
         F.sum("decimal").cast("string").alias("sum_dec"))
 
 
+def _make_lz_golden(fname):
+    """Shared shape for the lz4/lzo golden scans (pure-Python block
+    decoders; Spark's own reader and the reference both lack lzo,
+    and the reference lacks lz4 too)."""
+    def q(spark, sf_dir):
+        from orc_spark.sources.orcscan import orc_scan
+        df = orc_scan(spark, f"{_GOLDEN_DIR}/{fname}.orc")
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum("x").cast("long").alias("sum_x"),
+            F.sum("y").cast("long").alias("sum_y"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"))
+    q.__doc__ = (f"{fname}.orc via orc_scan: exercises the "
+                 f"pure-Python block decoder end to end; constants "
+                 f"from the reference's expected JSON.")
+    return q
+
+
+_q_orc_scan_golden_lz4 = _make_lz_golden("TestVectorOrcFile.testLz4")
+_q_orc_scan_golden_lzo = _make_lz_golden("TestVectorOrcFile.testLzo")
+
+
 def _q_orc_scan_ts_nanos(spark, sf_dir):
     """Nanosecond timestamp fidelity (r4): testTimestamp.orc read with
     ``timestamp_nanos=True`` surfaces LONG wall-clock nanos; frac_sum
@@ -1034,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_scan_golden_v11": _q_orc_scan_golden_v11,
         "orc_scan_golden_snappy": _q_orc_scan_golden_snappy,
         "orc_scan_golden_union": _q_orc_scan_golden_union,
+        "orc_scan_golden_lz4": _q_orc_scan_golden_lz4,
+        "orc_scan_golden_lzo": _q_orc_scan_golden_lzo,
         "orc_scan_ts_nanos": _q_orc_scan_ts_nanos,
         "stream_encode": _q_stream_encode,
         "stream_dedup": _q_stream_dedup,
@@ -1478,6 +1503,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(71 AS BIGINT) AS n_dec, "
             "CAST(CAST('53246247702808099200.531856403454526690' "
             "AS DECIMAL(38,18)) AS VARCHAR) AS sum_dec"),
+        "orc_scan_golden_lz4": (
+            "SELECT CAST(10000 AS BIGINT) AS n, "
+            "CAST(-29723113824 AS BIGINT) AS sum_x, "
+            "CAST(49995000 AS BIGINT) AS sum_y, "
+            "CAST(-9221825976469149409 AS BIGINT) AS min_z, "
+            "CAST(9222553191715006506 AS BIGINT) AS max_z"),
+        "orc_scan_golden_lzo": (
+            "SELECT CAST(10000 AS BIGINT) AS n, "
+            "CAST(-104378124950 AS BIGINT) AS sum_x, "
+            "CAST(49995000 AS BIGINT) AS sum_y, "
+            "CAST(-9220797878164861576 AS BIGINT) AS min_z, "
+            "CAST(9221970999439637511 AS BIGINT) AS max_z"),
         "orc_scan_ts_nanos": (
             "SELECT CAST(12 AS BIGINT) AS n, "
             "CAST(788918400688888888 AS BIGINT) AS min_ns, "

@@ -630,14 +630,14 @@ def _plan_distributed(spark, files: list[str], predicate,
         for b in batches:
             paths, stripes, rows = [], [], []
             for p in b.column("path").to_pylist():
-                kept, _ = plan_tasks([p], predicate, expect_type)
-                if not kept:
-                    continue
-                f = ORCFile(p)
-                for q, si in kept:
+                # row counts ride out of the SAME footer pass (one
+                # ORCFile open per file — r4 review fix)
+                kept, _ = plan_tasks([p], predicate, expect_type,
+                                     with_rows=True)
+                for q, si, r in kept:
                     paths.append(q)
                     stripes.append(si)
-                    rows.append(f.stripes[si].get(5, [0])[0])
+                    rows.append(r)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(paths, pa.string()),
                  pa.array(stripes, pa.int32()),
