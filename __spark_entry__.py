@@ -903,6 +903,28 @@ def _q_text_repetition(spark, sf_dir):
     return text.repetition_stats(corpus)
 
 
+def _q_dedup_ngram_overlap(spark, sf_dir):
+    """Exact shared-passage detection (r4, Lee et al. substring-dedup
+    family): planted docs splice the FIRST 12 WORDS of a source doc
+    into otherwise-unrelated text — invisible to whole-document
+    minhash at any threshold, found exactly here as shared word
+    8-grams.  The oracle recomputes overlap over string n-grams with
+    the identical hot-gram cap."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("zq unrelated prefix words here qz "),
+            F.array_join(F.slice(F.split(F.trim("text"), r"\s+"),
+                                 1, 12), " "),
+            F.lit(" qy wholly different suffix yz")).alias("text"))
+    corpus = docs.unionByName(planted)
+    pairs = dedup.ngram_overlap_pairs(corpus, n=8, min_shared=3,
+                                      max_bucket=256,
+                                      pre_collapse=False)
+    return pairs.select("doc_a", "doc_b", "shared_ngrams")
+
+
 def _q_text_pii_scrub(spark, sf_dir):
     """PII scrubbing (r3): seed deterministic emails/phones/IPs into
     every 3rd document, redact + count via pure JVM regexp; the oracle
@@ -1043,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pipeline_clean": _q_pipeline_clean,
         "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_overlap": _q_dedup_ngram_overlap,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard_exact": _q_dedup_jaccard_exact,
@@ -1416,6 +1439,37 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(ws), 1)::DOUBLE, 6)
                      AS top_word_frac
             FROM g""",
+        # exact shared-passage oracle: string 8-grams, hot grams
+        # (doc-frequency > 256) dropped exactly like _cap_buckets,
+        # pairs sharing >= 3 remaining grams
+        "dedup_ngram_overlap": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     'zq unrelated prefix words here qz ' ||
+                     array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[1:12],
+                       ' ') || ' qy wholly different suffix yz'
+              FROM documents WHERE doc_id < 15),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(0, greatest(len(ws) - 8, 0) + 1),
+                       i -> concat_ws(' ', ws[i+1], ws[i+2], ws[i+3],
+                                      ws[i+4], ws[i+5], ws[i+6],
+                                      ws[i+7], ws[i+8])))) AS gram
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+')
+                           AS ws FROM corpus)),
+            kept AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(*) <= 256),
+            gk AS (SELECT doc_id, gram FROM g JOIN kept USING (gram))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared_ngrams
+            FROM gk a JOIN gk b ON a.gram = b.gram
+                      AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3""",
         "sample_stratified": _stratified_oracle(),
         "text_fingerprints": (
             "SELECT doc_id, md5(text) AS fp, "

@@ -552,3 +552,40 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6,
         "doc_a", "doc_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         .alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+def ngram_overlap_pairs(docs: DataFrame, n: int = 20,
+                        min_shared: int = 1,
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                        pre_collapse: bool = True) -> DataFrame:
+    """EXACT shared-passage detection (the substring-dedup family of
+    Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better"): pairs of documents sharing at least ``min_shared``
+    DISTINCT word ``n``-grams — i.e. a common run of >= n words (or
+    several), found exactly, not probabilistically (minhash estimates
+    whole-document similarity; a 40-word quote inside two otherwise
+    different documents is invisible to it at any threshold, but is
+    exactly ``41 - n`` shared n-grams here).
+
+    Returns (doc_a, doc_b, shared_ngrams).
+
+    Scale shape: one explode of hashed n-grams (longs, no shingle
+    strings — the _shingle_hashes bijection), hot grams above
+    ``max_bucket`` dropped by broadcast anti-join BEFORE the
+    self-join (boilerplate headers shared by 10^5 docs would
+    otherwise pair quadratically — the same guard family as the LSH
+    buckets, and the oracle mirrors it exactly), then an equi-join on
+    the gram hash and one combiner-friendly groupBy(pair).  Candidate
+    volume is O(sum bucket^2), bucket <= cap."""
+    if pre_collapse:
+        docs = collapse_exact(docs)
+    g = docs.select(
+        "doc_id", F.explode(_shingle_hashes(n)).alias("h"))
+    g = _cap_buckets(g, ["h"], max_bucket)
+    a, b = g.alias("a"), g.alias("b")
+    return (a.join(b, "h")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("long").alias("shared_ngrams"))
+            .where(F.col("shared_ngrams") >= min_shared))

@@ -786,3 +786,39 @@ def test_repetition_stats_flags_doubled_text(spark):
     assert out[2]["top_word_frac"] == round(1 / 7, 6)
     assert out[3]["top_word_frac"] == 1.0
     assert out[3]["dup_2gram_frac"] > 0.5  # "spam spam" repeats
+
+
+def test_ngram_overlap_catches_quote_minhash_misses(spark):
+    """The exact shared-passage operator's reason to exist: a 15-word
+    quote inside two otherwise-different documents is found exactly,
+    while whole-document minhash at j>=0.5 sees nothing."""
+    quote = ("the ancient library stood silent beneath "
+             "seven marble arches while scholars slept")
+    a = quote + " and the first document continues about astronomy " \
+        "with many more words on stars planets and comets"
+    b = "completely different text on cooking recipes mentions " + \
+        quote + " in passing between paragraphs about bread and salt"
+    df = spark.createDataFrame(
+        [(1, a), (2, b),
+         (3, "unrelated third document with no common passages at "
+             "all about deep sea fish and volcanic rock formations")],
+        "doc_id long, text string")
+    pairs = dedup.ngram_overlap_pairs(df, n=8, min_shared=3,
+                                      pre_collapse=False).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["shared_ngrams"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] >= 5
+    assert all(k == (1, 2) for k in got)
+    # minhash at 0.5 genuinely misses it (the motivating contrast)
+    mh = dedup.minhash_lsh_pairs(df, min_jaccard=0.5,
+                                 pre_collapse=False).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in mh)
+    # hot-gram cap drops boilerplate: a gram shared by every doc with
+    # max_bucket=2 pairs nobody
+    boiler = spark.createDataFrame(
+        [(i, "same boilerplate header words one two three four five "
+             f"six seven eight nine unique{i}") for i in range(6)],
+        "doc_id long, text string")
+    capped = dedup.ngram_overlap_pairs(boiler, n=8, min_shared=1,
+                                       max_bucket=2,
+                                       pre_collapse=False).count()
+    assert capped == 0
