@@ -214,3 +214,40 @@ def test_dedup_stream_ttl_engine_eviction(spark, tmp_path):
             "re-admission after eviction")
     finally:
         q.stop()
+
+
+def test_near_dedup_stream_ttl_bucket_forgets(spark, tmp_path):
+    """r4: with ttl_ms, an idle LSH bucket forgets its members — a
+    near-duplicate arriving after the horizon emits NO pair with
+    pre-horizon docs (lazy mode under availableNow)."""
+    import time
+    from orc_spark.streaming import dedup_stream
+
+    def run(ttl_ms, base):
+        inp, out = str(base / "in"), str(base / "out")
+        first = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string")
+        first.coalesce(1).write.parquet(inp)
+        q = dedup_stream.near_dedup_stream(
+            spark, inp, out, first.schema, ttl_ms=ttl_ms)
+        assert q.awaitTermination(300)
+        time.sleep(1.5)
+        late = spark.createDataFrame(
+            [(9, "alpha beta gamma delta epsilon zeta eta thet")],
+            "doc_id long, text string")
+        late.coalesce(1).write.mode("append").parquet(inp)
+        q2 = dedup_stream.near_dedup_stream(
+            spark, inp, out, first.schema, ttl_ms=ttl_ms)
+        assert q2.awaitTermination(300)
+        import glob as g
+        if not g.glob(str(base / "out" / "pairs" / "*.parquet")):
+            return set()
+        return {(r["doc_a"], r["doc_b"]) for r in
+                spark.read.parquet(str(base / "out" / "pairs"))
+                .distinct().collect()}
+
+    # no ttl: the late near-dup pairs with the pre-horizon doc
+    assert (1, 9) in run(None, tmp_path / "exact")
+    # 1s horizon, 1.5s idle: bucket forgot -> no pair
+    assert (1, 9) not in run(1000, tmp_path / "ttl")
