@@ -66,3 +66,31 @@ def test_zone_filter_pushdown_visible(spark):
     pruned = _run(enc_ops.prune_stripes(enc, "n_tok", lo=60))
     pf = " ".join(plans.pushed_filters(pruned))
     assert "n_tok__MAX" in pf, pf
+
+
+def test_decontaminate_plan_shape(spark, docs):
+    """r4: the corpus side of decontamination must never shuffle its
+    exploded n-grams through a SortMergeJoin — the eval set joins as
+    a BROADCAST; no cartesian anywhere."""
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    out = _run(text.decontaminate(docs, ev, n=13))
+    plans.assert_no(out, "CartesianProduct", "BroadcastNestedLoopJoin",
+                    "SortMergeJoin")
+    p = plans.executed_plan(out)
+    assert "BroadcastHashJoin" in p, p[:2000]
+
+
+def test_ngram_overlap_plan_shape(spark, docs):
+    """r4: exact shared-passage pairs — hash equi-join on gram hashes
+    with the hot-gram cap as a broadcast anti-join; no cartesian, no
+    sort-merge, no window."""
+    out = _run(dedup.ngram_overlap_pairs(docs, n=8, min_shared=2,
+                                         max_bucket=64))
+    plans.assert_no(out, "CartesianProduct", "BroadcastNestedLoopJoin",
+                    "SortMergeJoin", "Window")
+
+
+def test_repetition_stats_plan_is_map_only(spark, docs):
+    out = _run(text.repetition_stats(docs))
+    plans.assert_no(out, "Exchange", "BatchEvalPython",
+                    "ArrowEvalPython")
