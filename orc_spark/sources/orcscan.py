@@ -205,7 +205,8 @@ def _pred_list(predicate) -> list[tuple]:
 
 def plan_tasks(files: list[str], predicate=None,
                expect_type: str | None = None,
-               with_rows: bool = False
+               with_rows: bool = False,
+               strict_cols: bool = True
                ) -> tuple[list[tuple], int]:
     """(kept (file, stripe) tasks, total stripe count).  Opens only
     file tails (mmap) — no stripe data is touched at planning time.
@@ -228,7 +229,7 @@ def plan_tasks(files: list[str], predicate=None,
                     f"expected {expect_type}")
         col_ids = _root_col_ids(f)
         for col, _, _ in preds:
-            if col not in col_ids:
+            if col not in col_ids and strict_cols:
                 raise ValueError(
                     f"orc_scan: predicate column {col!r} not in "
                     f"{sorted(col_ids)} ({path})")
@@ -236,6 +237,8 @@ def plan_tasks(files: list[str], predicate=None,
             total += 1
             keep = True
             for col, op, val in preds:
+                if col not in col_ids:
+                    continue  # evolved-away column: cannot prune
                 ss = f.stripe_statistics
                 if si < len(ss) and col_ids[col] < len(ss[si]):
                     if not _stats_can_match(ss[si][col_ids[col]],
@@ -600,6 +603,8 @@ def stride_keep(f: ORCFile, si: int, preds: list[tuple],
     all_idx = f._row_indexes(si)
     keep = set(range(n_strides))
     for col, op, val in preds:
+        if col not in col_ids:
+            continue  # evolved-away column: every stride may match
         cid = col_ids[col]
         entries = all_idx.get(cid, [])
         if len(entries) < n_strides:
@@ -615,7 +620,8 @@ def stride_keep(f: ORCFile, si: int, preds: list[tuple],
 
 
 def _plan_distributed(spark, files: list[str], predicate,
-                      expect_type: str) -> DataFrame:
+                      expect_type: str | None,
+                      strict_cols: bool = True) -> DataFrame:
     """Executor-side planning for large file sets: each planning task
     opens its files' TAILS (mmap, footer pages only) and emits kept
     (path, stripe) rows — the driver opens only the FIRST file (for
@@ -633,7 +639,8 @@ def _plan_distributed(spark, files: list[str], predicate,
                 # row counts ride out of the SAME footer pass (one
                 # ORCFile open per file — r4 review fix)
                 kept, _ = plan_tasks([p], predicate, expect_type,
-                                     with_rows=True)
+                                     with_rows=True,
+                                     strict_cols=strict_cols)
                 for q, si, r in kept:
                     paths.append(q)
                     stripes.append(si)
@@ -684,7 +691,8 @@ class _ScanContext:
     def open(self, path: str) -> ORCFile:
         f = ORCFile(path)
         if self.sel:
-            f.select(*self.sel)
+            have = set(_root_col_ids(f))
+            f.select(*[c for c in self.sel if c in have])
         return f
 
     def decode_stripe(self, f: ORCFile, si: int):
@@ -729,6 +737,13 @@ class _ScanContext:
                 cols = {}
                 for fn in self.root_names:
                     ft = self.arrow_schema.field(fn).type
+                    if fn not in cids:
+                        # schema evolution: this file predates the
+                        # column — null-fill (name-based, the Spark
+                        # convention)
+                        import pyarrow as _pa
+                        arrays.append(_pa.nulls(n_rows, ft))
+                        continue
                     try:
                         fast = _fast_arrow(f, cids[fn], n_rows, ft)
                     except Exception:
@@ -747,6 +762,13 @@ class _ScanContext:
                     self.conv_flags)):
             if arrays[i] is not None:
                 continue
+            if fn not in cols:
+                # evolved-away column on a row-path branch
+                n_here = max((len(v) for v in cols.values()),
+                             default=0)
+                arrays[i] = pa.nulls(
+                    n_here, self.arrow_schema.field(fn).type)
+                continue
             vals = cols[fn]
             if needs:
                 vals = [_conv(node, v, self.ts_nanos) for v in vals]
@@ -757,19 +779,29 @@ class _ScanContext:
 
 
 def orc_scan(spark, path: str, columns: list[str] | None = None,
-             predicate=None, timestamp_nanos: bool = False) -> DataFrame:
+             predicate=None, timestamp_nanos: bool = False,
+             evolve: bool = False) -> DataFrame:
     """Read a ``.orc`` file or directory of ``.orc`` files into a
     DataFrame via our codec kernels, one task per (file, stripe).
 
     ``timestamp_nanos=True`` surfaces timestamp columns as LONG
     wall-clock nanoseconds since epoch (lossless — Spark's own
     timestamp type is microsecond precision and would truncate ORC's
-    nano field)."""
+    nano field).
+
+    ``evolve=True`` reads an EVOLVING directory by name (the Spark
+    convention): the FIRST file's schema is the target; files missing
+    a column null-fill it, integer widenings cast up, and columns the
+    first file lacks are ignored.  Predicates on evolved columns stay
+    exact (files without the column cannot prune and their rows are
+    NULL -> filtered).  Default False keeps the fail-loud drift check
+    — silent null-filling of a TYPO'd directory is worse than an
+    error."""
     import pyarrow as pa
 
     files = orc_files(path)
     full_root = orctypes.type_from_file(files[0])
-    expect_type = full_root.orc_string()
+    expect_type = None if evolve else full_root.orc_string()
     if full_root.kind != "struct":
         # bare non-struct root: surface as one column named "value"
         # (mirrors read_stripe_columns / _root_col_ids)
@@ -817,7 +849,8 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         # twice, wasteful at millions of files.  Planning blocks are
         # executor-local (a lost executor re-plans from lineage is
         # traded away for the single pass — standard for task lists).
-        tdf = _plan_distributed(spark, files, predicate, expect_type) \
+        tdf = _plan_distributed(spark, files, predicate, expect_type,
+                                strict_cols=not evolve) \
             .localCheckpoint(eager=True)
         agg = tdf.agg(F.count("*").alias("n"),
                       F.sum("rows").alias("r")).first()
@@ -829,7 +862,8 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
             .repartition(n_parts(n_tasks, agg["r"] or 0))
     else:
         tasks, _ = plan_tasks(files, predicate, expect_type,
-                              with_rows=True)
+                              with_rows=True,
+                              strict_cols=not evolve)
         if not tasks:
             out = spark.createDataFrame([], schema)
             return out.select(*columns) if columns else out

@@ -810,3 +810,40 @@ def test_orc_scan_values_match_row_reader_across_corpus(spark):
     # the big demo files are covered by row-count tests; everything
     # else must have been swept
     assert all(n == 0 or n > 30000 for _, n in skipped), skipped
+
+
+def test_orc_scan_schema_evolution_opt_in(spark, tmp_path):
+    """r4: evolve=True reads a directory whose later files added a
+    column (older files null-fill it) and widened an int (int32 ->
+    int64 casts up); predicates on the evolved column stay exact;
+    the default remains the fail-loud drift check."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    # target (first by sort order): v:int64, extra:string
+    w = orcwriter.ORCFileWriter(str(d / "a.orc"), codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(100, dtype=np.int64)),
+         pa.array([f"e{i}" for i in range(100)])],
+        names=["v", "extra"]))
+    w.close()
+    # older file: v only, and as int32
+    w = orcwriter.ORCFileWriter(str(d / "b.orc"), codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(100, 200, dtype=np.int32))],
+        names=["v"]))
+    w.close()
+    with pytest.raises(Exception, match="schema drift"):
+        orcscan.orc_scan(spark, str(d)).count()
+    df = orcscan.orc_scan(spark, str(d), evolve=True)
+    assert dict(df.dtypes) == {"v": "bigint", "extra": "string"}
+    assert df.count() == 200
+    assert df.where("extra IS NULL").count() == 100
+    assert df.agg({"v": "sum"}).collect()[0][0] == sum(range(200))
+    # predicate on the evolved column: only file a can match
+    assert orcscan.orc_scan(
+        spark, str(d), evolve=True,
+        predicate=("extra", ">=", "e")).count() == 100
+    # predicate on the shared column spans both files exactly
+    assert orcscan.orc_scan(
+        spark, str(d), evolve=True,
+        predicate="v >= 150").count() == 50
