@@ -25,7 +25,9 @@ What the engine sees is a first-class V2 source:
 Options: ``path`` (file or directory), ``columns`` (comma-separated
 projection — Python DataSources have no column-pruning hook yet, so
 this is the explicit projection control), ``timestamp_nanos``
-("true" -> LONG wall-clock nanos).
+("true" -> LONG wall-clock nanos), ``evolve`` ("true" -> name-based
+schema evolution: older files null-fill added columns; default
+fail-loud drift).
 """
 
 from __future__ import annotations
@@ -96,6 +98,8 @@ class OrcReader(DataSourceReader):
                         if c.strip()] if cols else None
         self.ts_nanos = str(options.get("timestamp_nanos", "false")) \
             .lower() == "true"
+        self.evolve = str(options.get("evolve", "false")) \
+            .lower() == "true"
         self.pushed: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -117,8 +121,10 @@ class OrcReader(DataSourceReader):
         files, root, expect = _resolve_root(self.path, self.columns)
         # row counts ride along from the planning footer pass — no
         # second ORCFile open per file (r4 review fix)
-        tasks, _ = plan_tasks(files, self.pushed or None, expect,
-                              with_rows=True)
+        tasks, _ = plan_tasks(files, self.pushed or None,
+                              None if self.evolve else expect,
+                              with_rows=True,
+                              strict_cols=not self.evolve)
         if not tasks:
             return [StripesPartition(files[0], [])]
         # coalesce tiny stripes toward the same rows/task target as

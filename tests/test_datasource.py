@@ -136,3 +136,26 @@ def test_datasource_writer_options(registered, tmp_path):
     # value's strides are empty
     assert f.bloom_strides(0, cid, "7") is not None
     assert f.bloom_strides(0, cid, "definitely-absent-xyz") == []
+
+
+def test_datasource_evolve_option(registered, tmp_path):
+    d = str(tmp_path / "ev")
+    import os
+    os.makedirs(d)
+    w = orcwriter.ORCFileWriter(d + "/a.orc", codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(50, dtype=np.int64)),
+         pa.array([f"e{i}" for i in range(50)])],
+        names=["v", "extra"]))
+    w.close()
+    w = orcwriter.ORCFileWriter(d + "/b.orc", codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(50, 100, dtype=np.int64))], names=["v"]))
+    w.close()
+    with pytest.raises(Exception, match="schema drift"):
+        registered.read.format("orc_spark").load(d).count()
+    df = registered.read.format("orc_spark") \
+        .option("evolve", "true").load(d)
+    assert df.count() == 100
+    assert df.where("extra IS NULL").count() == 50
+    assert df.where("v >= 75").count() == 25
