@@ -622,6 +622,31 @@ def _q_orc_count_pruned(spark, sf_dir):
         [(n_all, n_sel)], "n_all long, n_sel long")
 
 
+def _q_orc_merge_compact(spark, sf_dir):
+    """Zero-recode compaction (r4): the token table lands as 8 small
+    .orc files, merge_orc_dir byte-copies their stripes into one file
+    (no re-encode — each task is a footer parse + copy), and the
+    merged dataset must aggregate identically to the raw documents.
+    The merged file keeps stripe statistics, so pruning survives
+    compaction (test_orcmerge pins that)."""
+    import tempfile
+    from orc_spark.sources import orcmerge, orcwriter
+    from orc_spark.sources.orcscan import orc_scan
+    tok = token_src.token_table(spark, sf_dir)
+    small = tempfile.mkdtemp(prefix="orcmrg_") + "/small"
+    orcwriter.dataframe_to_orc_dir(tok.repartition(8), small,
+                                   codec="zlib")
+    out = tempfile.mkdtemp(prefix="orcmrg_") + "/merged"
+    n_out = orcmerge.merge_orc_dir(spark, small, out,
+                                   target_bytes=1 << 40)
+    df = orc_scan(spark, out)
+    return df.agg(
+        F.lit(n_out).cast("long").alias("n_files"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
+        F.countDistinct("doc_id").alias("n_ids"))
+
+
 def _q_orc_scan_decimal(spark, sf_dir):
     """Exact DECIMAL(38,10) through the full .orc write -> orc_scan
     path (r4): values are built with >15 significant digits (so any
@@ -1076,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_datasource": _q_orc_datasource,
         "orc_stats_agg": _q_orc_stats_agg,
         "orc_count_pruned": _q_orc_count_pruned,
+        "orc_merge_compact": _q_orc_merge_compact,
         "orc_scan_decimal": _q_orc_scan_decimal,
         "orc_scan_golden_v11": _q_orc_scan_golden_v11,
         "orc_scan_golden_snappy": _q_orc_scan_golden_snappy,
@@ -1517,6 +1543,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT count(*) AS n_all, "
             f"CAST(sum(CASE WHEN {n_tok} >= 60 THEN 1 ELSE 0 END) "
             f"AS BIGINT) AS n_sel FROM documents"),
+        "orc_merge_compact": (
+            f"SELECT CAST(1 AS BIGINT) AS n_files, "
+            f"count(*) AS n_docs, "
+            f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
+            f"count(DISTINCT doc_id) AS n_ids FROM documents"),
         # full recompute of the >15-significant-digit decimals: every
         # digit of sum/min/max must survive the .orc round-trip
         "orc_scan_decimal": (

@@ -1,0 +1,96 @@
+"""Zero-recode .orc merging (sources/orcmerge.py)."""
+
+import glob
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_spark.sources import orcmerge, orcstats, orcwriter
+from orc_spark.sources.orcfile import ORCFile
+from orc_spark.sources.orcscan import orc_scan
+
+
+def test_merge_preserves_everything(spark, tmp_path):
+    """Byte-copy merge: identical values, identical footer stats,
+    stripe count = sum, JVM-readable, pruning still effective."""
+    d = str(tmp_path / "small")
+    df = spark.range(20000).selectExpr(
+        "id AS v", "CAST(id % 11 AS STRING) AS tag")
+    orcwriter.dataframe_to_orc_dir(df.repartition(6), d, codec="zlib")
+    n_in_stripes = sum(len(ORCFile(p).stripes)
+                       for p in glob.glob(d + "/*.orc"))
+    before = orcstats.footer_aggregate(spark, d, ["v", "tag"])
+    out = str(tmp_path / "merged")
+    assert orcmerge.merge_orc_dir(spark, d, out,
+                                  target_bytes=10**9) == 1
+    [m] = glob.glob(out + "/*.orc")
+    f = ORCFile(m)
+    assert len(f.stripes) == n_in_stripes
+    assert len(f.stripe_statistics) == n_in_stripes
+    assert orcstats.footer_aggregate(spark, out,
+                                     ["v", "tag"]) == before
+    assert orc_scan(spark, d).orderBy("v").collect() == \
+        orc_scan(spark, out).orderBy("v").collect()
+    assert spark.read.orc(out).count() == 20000
+    # stripe stats survived: pruning keeps working on the merged file
+    from orc_spark.sources.orcscan import plan_tasks
+    kept, total = plan_tasks([m], predicate=("v", ">=", 19999))
+    assert total == n_in_stripes and len(kept) < total
+
+
+def test_merge_spark_written_zstd(spark, tmp_path):
+    """Foreign (JVM-written, zstd) files merge too: stats re-emission
+    from parsed footers survives a JVM read-back."""
+    d = str(tmp_path / "jvm")
+    spark.range(9000).selectExpr(
+        "id AS v", "CAST(id AS DOUBLE)/7 AS x",
+        "CAST(id % 5 AS STRING) AS s") \
+        .repartition(4).write.mode("overwrite").orc(d)
+    assert ORCFile(glob.glob(d + "/*.orc")[0]).compression == "zstd"
+    out = str(tmp_path / "m")
+    orcmerge.merge_orc_dir(spark, d, out, target_bytes=10**9)
+    assert spark.read.orc(out).count() == 9000
+    assert orc_scan(spark, out).agg({"v": "sum"}).collect()[0][0] \
+        == 9000 * 8999 // 2
+    a = orcstats.footer_aggregate(spark, d, ["v", "s"])
+    b = orcstats.footer_aggregate(spark, out, ["v", "s"])
+    assert a == b
+
+
+def test_merge_rejects_mismatches(spark, tmp_path):
+    d = tmp_path / "mix"
+    d.mkdir()
+    w = orcwriter.ORCFileWriter(str(d / "a.orc"), codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(10, dtype=np.int64))], names=["v"]))
+    w.close()
+    w = orcwriter.ORCFileWriter(str(d / "b.orc"), codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array([1.5])], names=["other"]))
+    w.close()
+    with pytest.raises(ValueError, match="schema mismatch"):
+        orcmerge.merge_orc_files(
+            [str(d / "a.orc"), str(d / "b.orc")], str(d / "o.orc"))
+    w = orcwriter.ORCFileWriter(str(d / "c.orc"), codec="none")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(10, dtype=np.int64))], names=["v"]))
+    w.close()
+    with pytest.raises(ValueError, match="compression mismatch"):
+        orcmerge.merge_orc_files(
+            [str(d / "a.orc"), str(d / "c.orc")], str(d / "o.orc"))
+
+
+def test_merge_sum_overflow_propagates_absence(spark, tmp_path):
+    """A file whose int sum Java omitted (overflow) keeps the merged
+    sum absent — never a wrong number."""
+    stats_a = [{"n": 5, "has_null": False},
+               {"n": 5, "has_null": False, "min": 1, "max": 9,
+                "sum": 20}]
+    stats_b = [{"n": 3, "has_null": False},
+               {"n": 3, "has_null": True, "min": -4, "max": 2}]
+    merged = orcmerge._merge_file_stats([stats_a, stats_b],
+                                        ["struct", "long"])
+    assert merged[1]["n"] == 8 and merged[1]["has_null"] is True
+    assert merged[1]["min"] == -4 and merged[1]["max"] == 9
+    assert "sum" not in merged[1]
