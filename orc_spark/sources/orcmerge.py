@@ -30,20 +30,11 @@ import os
 
 from .. import orctypes
 from .orcfile import ORCFile, parse_message
-from .orcwriter import (MAGIC, WRITER_VERSION, _bytes_field, _message,
-                        _stats_message, _type_messages, _varint_field)
+from .orcwriter import (MAGIC, WRITER_VERSION, _STAT_GROUP,
+                        _bytes_field, _message, _stats_message,
+                        _type_messages, _varint_field)
 from ..codecs import compression
 from ..codecs.bits import write_vulong
-
-_GROUPS = {
-    "byte": "int", "short": "int", "int": "int", "long": "int",
-    "float": "double", "double": "double",
-    "string": "string", "varchar": "string", "char": "string",
-    "boolean": "bucket", "date": "date", "binary": "binary",
-    "timestamp": "timestamp", "decimal": "decimal",
-    "struct": "none", "list": "none", "map": "none", "union": "none",
-}
-
 
 def _merge_file_stats(per_file: list[list[dict]],
                       kinds: list[str]) -> list[dict]:
@@ -53,7 +44,7 @@ def _merge_file_stats(per_file: list[list[dict]],
     n_cols = len(kinds)
     out = []
     for c in range(n_cols):
-        g = _GROUPS.get(kinds[c], "none")
+        g = _STAT_GROUP.get(kinds[c], "none")
         acc = {"g": g, "n": 0, "has_null": False}
         have_min = have_sum = True
         for stats in per_file:
