@@ -94,3 +94,66 @@ def test_merge_sum_overflow_propagates_absence(spark, tmp_path):
     assert merged[1]["n"] == 8 and merged[1]["has_null"] is True
     assert merged[1]["min"] == -4 and merged[1]["max"] == 9
     assert "sum" not in merged[1]
+
+
+def test_merge_fuzz_random_schemas(spark, tmp_path):
+    """Seeded fuzz: random (typed, nullable) tables split across 3
+    files merge to identical values and identical merged file stats
+    versus recomputation — any stripe-copy offset error or stats
+    merge bug surfaces immediately."""
+    from decimal import Decimal
+    rng = np.random.default_rng(21)
+    for trial in range(3):
+        n = int(rng.integers(60, 400))
+        null = lambda v: None if rng.random() < 0.15 else v  # noqa
+        tbl = pa.table({
+            "i": pa.array([null(int(rng.integers(-10**9, 10**9)))
+                           for _ in range(n)], pa.int64()),
+            "s": pa.array([null(f"s{int(rng.integers(0, 40)):03d}")
+                           for _ in range(n)], pa.string()),
+            "d": pa.array([null(float(rng.normal()))
+                           for _ in range(n)], pa.float64()),
+            "b": pa.array([null(bool(rng.random() < .5))
+                           for _ in range(n)], pa.bool_()),
+            "dec": pa.array([null(Decimal(int(rng.integers(
+                -10**10, 10**10))) / 100) for _ in range(n)],
+                pa.decimal128(18, 2)),
+        })
+        d = tmp_path / f"fz{trial}"
+        d.mkdir()
+        cuts = sorted(rng.integers(1, n - 1, 2).tolist())
+        parts = [tbl.slice(0, cuts[0]),
+                 tbl.slice(cuts[0], cuts[1] - cuts[0]),
+                 tbl.slice(cuts[1])]
+        for i, part in enumerate(parts):
+            w = orcwriter.ORCFileWriter(str(d / f"p{i}.orc"),
+                                        codec="zlib",
+                                        stripe_rows=max(16, n // 5))
+            for b in part.to_batches():
+                w.write_batch(b)
+            w.close()
+        out = str(d / "merged.orc")
+        import shutil
+        pdir = d / "parts"
+        pdir.mkdir()
+        for i in range(3):
+            shutil.copy(str(d / f"p{i}.orc"), str(pdir / f"p{i}.orc"))
+        res = orcmerge.merge_orc_files(
+            [str(d / f"p{i}.orc") for i in range(3)], out)
+        assert res["n_rows"] == n
+
+        # multiset compare (no total order over random rows)
+        def key(r):
+            import json
+            return json.dumps({k: str(v) for k, v in
+                               r.asDict().items()}, sort_keys=True)
+
+        got = sorted(key(r) for r in orc_scan(spark, out).collect())
+        want = sorted(key(r) for r in
+                      orc_scan(spark, str(pdir)).collect())
+        assert got == want, trial
+        # merged file-level stats equal a recompute over all parts
+        from orc_spark.sources import orcstats
+        a = orcstats.footer_aggregate(spark, str(pdir), ["i", "s"])
+        b2 = orcstats.footer_aggregate(spark, out, ["i", "s"])
+        assert a == b2, trial

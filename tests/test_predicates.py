@@ -66,3 +66,37 @@ def test_string_predicate_equals_tuple_predicate(spark, tmp_path):
     assert a == b and len(a) == 1100
     c = orcscan.orc_scan(spark, p, predicate="tag = 's0'").count()
     assert c == 1000
+
+
+def test_parse_predicate_roundtrip_fuzz():
+    """Seeded fuzz: render random conjunction tuples to SQL and parse
+    back — identity for every op/type combination the grammar covers."""
+    import random
+    random.seed(5)
+    ops = [">=", ">", "<=", "<", "=="]
+    for _ in range(200):
+        preds = []
+        parts = []
+        for _ in range(random.randrange(1, 4)):
+            col = random.choice(["n_tok", "v", "source", "a_1"])
+            kind = random.choice(["int", "float", "str", "between"])
+            if kind == "between":
+                lo, hi = sorted(random.sample(range(-50, 50), 2))
+                preds.append((col, "between", (lo, hi)))
+                parts.append(f"{col} BETWEEN {lo} AND {hi}")
+            elif kind == "int":
+                op = random.choice(ops)
+                v = random.randrange(-1000, 1000)
+                preds.append((col, op, v))
+                parts.append(
+                    f"{col} {'=' if op == '==' else op} {v}")
+            elif kind == "float":
+                op = random.choice(ops)
+                v = round(random.uniform(-10, 10), 3)
+                preds.append((col, op, v))
+                parts.append(f"{col} {op} {v}")
+            else:
+                v = random.choice(["web", "it's", "a b c", ""])
+                preds.append((col, "==", v))
+                parts.append(f"{col} = '" + v.replace("'", "''") + "'")
+        assert parse_predicate(" AND ".join(parts)) == preds
