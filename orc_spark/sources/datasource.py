@@ -80,11 +80,17 @@ def _resolve_root(path: str, columns: list[str] | None):
 
 
 class StripesPartition(InputPartition):
-    """One scan task: a file path plus the stripe ids it decodes."""
+    """One scan task: a file path plus the stripe ids it decodes.
+    Carries the projected root as its canonical type string so
+    read() reconstructs the schema WITHOUT listing the dataset or
+    opening any foreign footer (the reader object Spark pickles for
+    read() is not guaranteed to be the instance partitions() mutated,
+    so planning state must ride on the partition)."""
 
-    def __init__(self, path: str, stripes: list[int]):
+    def __init__(self, path: str, stripes: list[int], root_str: str):
         self.path = path
         self.stripes = stripes
+        self.root_str = root_str
 
 
 class OrcReader(DataSourceReader):
@@ -101,13 +107,26 @@ class OrcReader(DataSourceReader):
         self.evolve = str(options.get("evolve", "false")) \
             .lower() == "true"
         self.pushed: list[tuple] = []
+        # driver-side planning state: the directory listing + footer
+        # open happen ONCE here; read() reconstructs the projected
+        # root from _root_str and touches only its partition's file
+        # (reference model: the Go reader opens exactly one file,
+        # orc.go:35-41)
+        self._resolved = None
+
+    def _resolve(self):
+        if self._resolved is None:
+            self._resolved = _resolve_root(self.path, self.columns)
+        return self._resolved
 
     def pushFilters(self, filters):
         """Record prunable comparisons for stripe/stride skipping.
         EVERY filter is yielded back (Spark re-evaluates them) — our
         statistics pruning is conservative, never authoritative, so
-        correctness does not depend on it."""
-        files, root, _ = _resolve_root(self.path, None)
+        correctness does not depend on it.  Spark's filters reference
+        the source's (projected) schema, so validation against the
+        projected root is exact."""
+        _, root, _ = self._resolve()
         for f in filters:
             op = _OP_OF.get(type(f))
             if op is not None and len(f.attribute) == 1 and \
@@ -118,7 +137,12 @@ class OrcReader(DataSourceReader):
 
     def partitions(self):
         from .orcscan import _TARGET_ROWS_PER_TASK, plan_tasks
-        files, root, expect = _resolve_root(self.path, self.columns)
+        files, root, expect = self._resolve()
+        # the projected root ships on every partition as its
+        # canonical type string — a million-file lake costs zero
+        # per-task LIST calls and zero foreign footer opens
+        # (r5: metadata-clean reads)
+        root_str = root.orc_string()
         # row counts ride along from the planning footer pass — no
         # second ORCFile open per file (r4 review fix)
         tasks, _ = plan_tasks(files, self.pushed or None,
@@ -126,7 +150,7 @@ class OrcReader(DataSourceReader):
                               with_rows=True,
                               strict_cols=not self.evolve)
         if not tasks:
-            return [StripesPartition(files[0], [])]
+            return [StripesPartition(files[0], [], root_str)]
         # coalesce tiny stripes toward the same rows/task target as
         # orc_scan, preserving per-file grouping
         parts: list[StripesPartition] = []
@@ -135,12 +159,13 @@ class OrcReader(DataSourceReader):
             if cur_path != p or (cur and
                                  cur_rows + rows > _TARGET_ROWS_PER_TASK):
                 if cur:
-                    parts.append(StripesPartition(cur_path, cur))
+                    parts.append(StripesPartition(cur_path, cur,
+                                                  root_str))
                 cur_path, cur, cur_rows = p, [], 0
             cur.append(si)
             cur_rows += rows
         if cur:
-            parts.append(StripesPartition(cur_path, cur))
+            parts.append(StripesPartition(cur_path, cur, root_str))
         return parts
 
     def read(self, partition: StripesPartition):
@@ -149,7 +174,10 @@ class OrcReader(DataSourceReader):
         tune_worker()
         if not partition.stripes:
             return
-        _, root, _ = _resolve_root(self.path, self.columns)
+        # metadata-clean: no directory listing, no foreign footer —
+        # the projected root was resolved once at partitions() time
+        # and rides along on the partition as a type string (r5)
+        root = orctypes.parse_orc_type(partition.root_str)
         # internal projection carries predicate columns (Spark's
         # residual filter runs post-scan on OUR output schema, which
         # is exactly the projected schema — predicates outside it
@@ -172,14 +200,66 @@ class _OrcCommit(WriterCommitMessage):
         self.rows = rows
 
 
+class LocalFS:
+    """Control-plane filesystem for the writer's two-phase commit —
+    the ONLY surface commit/abort touch, so a remote implementation
+    swaps in without changing the protocol.
+
+    Contract a remote (HDFS/S3/GCS) implementation must honor:
+    ``rename`` is the commit point and must be atomic per object and
+    clobber-free in practice (our names embed job+task uuids, so a
+    plain copy+delete suffices on stores without native rename);
+    ``list`` must not return objects the store has not finished
+    writing (S3 PUT is already all-or-nothing); ``remove`` must
+    tolerate a missing object (idempotent aborts).  The DATA plane
+    (ORCFileWriter streaming bytes in write()) is storage-specific
+    and pairs with the fs choice — local files here."""
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def list(self, path: str, pattern: str) -> list[str]:
+        import glob as _glob
+        return sorted(_glob.glob(os.path.join(path, pattern)))
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def age_seconds(self, path: str) -> float:
+        import time
+        try:
+            return time.time() - os.path.getmtime(path)
+        except OSError:
+            return 0.0  # vanished concurrently: treat as fresh
+
+
+# a foreign job's temp older than this is presumed crashed and is
+# garbage-collected by the next committer (in-flight concurrent
+# writers are far faster than this horizon)
+_STALE_TEMP_SECONDS = 24 * 3600.0
+
+
 class OrcWriter(DataSourceArrowWriter):
     """``df.write.format("orc_spark").save(path)`` — each task
     streams its Arrow batches through one ORCFileWriter (one stripe
     in memory, real .orc file per task).  Tasks write to temp names
-    and commit() renames the winners: a speculative or failed task
-    attempt never leaves a half-file visible."""
+    carrying a JOB-unique prefix chosen at planning time and
+    commit() renames the winners: a speculative or failed task
+    attempt never leaves a half-file visible, and two concurrent
+    append jobs never sweep each other's in-flight temps (each job
+    touches only ``.tmp-<its own id>-*``)."""
 
-    def __init__(self, options, overwrite: bool):
+    def __init__(self, options, overwrite: bool, fs=None):
+        import uuid
         self.path = options.get("path")
         if not self.path:
             raise ValueError(
@@ -190,6 +270,10 @@ class OrcWriter(DataSourceArrowWriter):
         self.bloom_columns = [c.strip() for c in bc.split(",")
                               if c.strip()] if bc else None
         self.overwrite = overwrite
+        # job id fixed up front (driver-side) and shipped to every
+        # task: temp names are claimable by THIS job alone
+        self.job = uuid.uuid4().hex[:8]
+        self.fs = fs or LocalFS()
 
     def write(self, iterator):
         import uuid
@@ -198,9 +282,9 @@ class OrcWriter(DataSourceArrowWriter):
 
         from .orcwriter import ORCFileWriter
         tune_worker()
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path,
-                           f".tmp-{uuid.uuid4().hex}.orc")
+        self.fs.makedirs(self.path)
+        tmp = os.path.join(
+            self.path, f".tmp-{self.job}-{uuid.uuid4().hex}.orc")
         writer = None
         rows = 0
         for batch in iterator:
@@ -217,34 +301,40 @@ class OrcWriter(DataSourceArrowWriter):
         return _OrcCommit(tmp, rows)
 
     def commit(self, messages):
-        import glob as _glob
-        import uuid
+        fs = self.fs
         live = {m.path for m in messages if m is not None and m.path}
         if self.overwrite:
-            for old in _glob.glob(os.path.join(self.path, "*.orc")):
-                os.remove(old)
-        # stale temp files from earlier failed/aborted jobs (dotfiles
-        # are invisible to the readers' *.orc glob, but don't let
-        # them accumulate)
-        for tmp in _glob.glob(os.path.join(self.path, ".tmp-*.orc")):
-            if tmp not in live:
-                os.remove(tmp)
-        # job-unique suffix: append mode must never clobber existing
-        # parts (plain part-NNNNN.orc names collide across jobs)
-        job = uuid.uuid4().hex[:8]
+            for old in fs.list(self.path, "*.orc"):
+                fs.remove(old)
+        # sweep losers of OUR job only (speculative / retried task
+        # attempts); a concurrent append's in-flight temps survive.
+        # Foreign temps past the stale horizon are crashed jobs —
+        # collect them so they don't accumulate forever.
+        mine = f".tmp-{self.job}-"
+        for tmp in fs.list(self.path, ".tmp-*.orc"):
+            if tmp in live:
+                continue
+            if os.path.basename(tmp).startswith(mine) or \
+                    fs.age_seconds(tmp) > _STALE_TEMP_SECONDS:
+                fs.remove(tmp)
+        # job-unique part names: append mode must never clobber
+        # existing parts (plain part-NNNNN.orc collides across jobs)
         for i, m in enumerate(messages):
             if m is not None and m.path:
-                os.replace(m.path,
-                           os.path.join(self.path,
-                                        f"part-{i:05d}-{job}.orc"))
+                fs.rename(m.path,
+                          os.path.join(self.path,
+                                       f"part-{i:05d}-{self.job}.orc"))
 
     def abort(self, messages):
-        # failed tasks contribute None messages (PySpark contract);
-        # their temp names are unknown here, but dot-prefixed temps
-        # are invisible to readers and the next commit sweeps them
+        # failed tasks contribute None messages (PySpark contract),
+        # but every temp of THIS job is findable by its prefix — an
+        # aborted job leaves nothing behind, visible or not
+        fs = self.fs
         for m in messages:
-            if m is not None and m.path and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is not None and m.path:
+                fs.remove(m.path)
+        for tmp in fs.list(self.path, f".tmp-{self.job}-*.orc"):
+            fs.remove(tmp)
 
 
 def register(spark) -> None:

@@ -125,12 +125,18 @@ def parse_stats(msg: dict) -> dict:
         out["true_count"] = packed_varints(s.get(1, []))[0] \
             if s.get(1) else 0
     if 6 in msg:
+        # decimal statistics arrive as strings on the wire; surface
+        # them as Decimal so downstream min/max/sum merges compare
+        # NUMERICALLY (lexicographic '9.50' > '10.20' poisoned merged
+        # footers before r5).  Decimal(str) construction is exact —
+        # no context rounding applies to constructors.
+        from decimal import Decimal
         s = parse_message(msg[6][0])
         if 1 in s:
-            out["min"] = s[1][0].decode()
-            out["max"] = s[2][0].decode()
+            out["min"] = Decimal(s[1][0].decode())
+            out["max"] = Decimal(s[2][0].decode())
         if 3 in s:
-            out["sum"] = s[3][0].decode()
+            out["sum"] = Decimal(s[3][0].decode())
     if 7 in msg:
         s = parse_message(msg[7][0])
         if 1 in s:

@@ -28,6 +28,8 @@ Exactness contract (fail-loud, never approximate):
 
 from __future__ import annotations
 
+from decimal import Decimal, localcontext
+
 from .orcfile import ORCFile
 
 # above this many files the footer pass itself runs on executors
@@ -80,8 +82,16 @@ def _merge(agg: dict, st: dict, columns: list[str],
             elif s.get("n", 0) > 0:
                 a["missing"].add(k)
         if "sum" in s:
-            a["sum"] = s["sum"] if a["sum"] is None else \
-                a["sum"] + s["sum"]
+            if a["sum"] is None:
+                a["sum"] = s["sum"]
+            elif isinstance(s["sum"], Decimal):
+                # decimal sums add under a wide context — the default
+                # 28-digit context silently ROUNDS precision-38 sums
+                with localcontext() as ctx:
+                    ctx.prec = 80
+                    a["sum"] = a["sum"] + s["sum"]
+            else:
+                a["sum"] = a["sum"] + s["sum"]
         elif s.get("n", 0) > 0:
             a["missing"].add("sum")
 

@@ -138,6 +138,104 @@ def test_datasource_writer_options(registered, tmp_path):
     assert f.bloom_strides(0, cid, "definitely-absent-xyz") == []
 
 
+def test_datasource_read_is_metadata_clean(tmp_path, monkeypatch):
+    """r5: read() must touch ONLY its partition's file — zero
+    directory listings and zero foreign footer opens per task (at a
+    million files, per-task LISTs and a hot first file are a real
+    scale-killer; reference orc.go:35-41 opens exactly one file)."""
+    d = _write(tmp_path)
+    r = datasource.OrcReader({"path": d})
+    parts = r.partitions()  # driver-side planning may list/open
+    from orc_spark.sources import orcscan
+    from orc_spark.sources.orcfile import ORCFile
+
+    def no_listing(*a, **k):
+        raise AssertionError("read() listed the dataset directory!")
+
+    opened = []
+    orig_init = ORCFile.__init__
+
+    def counting_init(self, path):
+        opened.append(path)
+        orig_init(self, path)
+
+    monkeypatch.setattr(orcscan, "orc_files", no_listing)
+    monkeypatch.setattr(datasource, "_files_of", no_listing)
+    monkeypatch.setattr(ORCFile, "__init__", counting_init)
+    total = 0
+    for p in parts:
+        for batch in r.read(p):
+            total += batch.num_rows
+        assert opened == [p.path] * len(opened), \
+            f"read() opened foreign files: {opened} vs {p.path}"
+        opened.clear()
+    assert total == 4000
+
+
+def test_datasource_concurrent_append_jobs_do_not_race(tmp_path):
+    """r5 (ADVICE): committer A must not sweep committer B's
+    in-flight temp files — each job claims only its own
+    .tmp-<job>- prefix, so interleaved appends both land."""
+    import pyarrow as pa
+    d = str(tmp_path / "race")
+    wa = datasource.OrcWriter({"path": d}, overwrite=False)
+    wb = datasource.OrcWriter({"path": d}, overwrite=False)
+    assert wa.job != wb.job
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(100, dtype=np.int64))], names=["v"])
+    ma = wa.write(iter([batch]))
+    mb = wb.write(iter([batch]))   # B's temp in flight...
+    wa.commit([ma])                # ...survives A's commit
+    import os
+    assert os.path.exists(mb.path), \
+        "commit swept a concurrent job's in-flight temp"
+    wb.commit([mb])
+    assert len(glob.glob(d + "/part-*.orc")) == 2
+    assert not glob.glob(d + "/.tmp-*.orc")
+
+
+def test_datasource_commit_routes_through_fs_interface(tmp_path):
+    """r5: commit/abort are storage-agnostic — every control-plane
+    operation goes through the fs object (two-phase: sweep temps,
+    then rename winners), no direct os mutations."""
+    import pyarrow as pa
+
+    class RecordingFS(datasource.LocalFS):
+        def __init__(self):
+            self.ops = []
+
+        def list(self, path, pattern):
+            self.ops.append(("list", pattern))
+            return super().list(path, pattern)
+
+        def rename(self, src, dst):
+            self.ops.append(("rename", src, dst))
+            super().rename(src, dst)
+
+        def remove(self, path):
+            self.ops.append(("remove", path))
+            super().remove(path)
+
+    fs = RecordingFS()
+    d = str(tmp_path / "fsab")
+    w = datasource.OrcWriter({"path": d}, overwrite=True, fs=fs)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(10, dtype=np.int64))], names=["v"])
+    m = w.write(iter([batch]))
+    w.commit([m])
+    renames = [op for op in fs.ops if op[0] == "rename"]
+    assert len(renames) == 1 and renames[0][1] == m.path
+    # the rename (commit point) comes AFTER the overwrite/temp sweep
+    assert fs.ops.index(("list", "*.orc")) < fs.ops.index(renames[0])
+    # abort path: fs-routed removes, nothing left behind
+    fs.ops.clear()
+    m2 = w.write(iter([batch]))
+    w.abort([m2, None])  # None = failed task (PySpark contract)
+    assert ("remove", m2.path) in fs.ops
+    assert not glob.glob(d + "/.tmp-*.orc")
+    assert len(glob.glob(d + "/part-*.orc")) == 1
+
+
 def test_datasource_evolve_option(registered, tmp_path):
     d = str(tmp_path / "ev")
     import os

@@ -152,8 +152,49 @@ def test_merge_fuzz_random_schemas(spark, tmp_path):
         want = sorted(key(r) for r in
                       orc_scan(spark, str(pdir)).collect())
         assert got == want, trial
-        # merged file-level stats equal a recompute over all parts
+        # merged file-level stats equal a recompute over all parts —
+        # incl. decimal (r5: min/max/sum merge as Decimal, never
+        # lexicographic strings)
         from orc_spark.sources import orcstats
-        a = orcstats.footer_aggregate(spark, str(pdir), ["i", "s"])
-        b2 = orcstats.footer_aggregate(spark, out, ["i", "s"])
+        a = orcstats.footer_aggregate(spark, str(pdir),
+                                      ["i", "s", "dec"])
+        b2 = orcstats.footer_aggregate(spark, out, ["i", "s", "dec"])
         assert a == b2, trial
+
+
+def test_merge_decimal_stats_numeric_not_lexicographic(spark,
+                                                       tmp_path):
+    """r5 regression (ADVICE): merging files whose decimal mins are
+    '9.50' and '10.20' must record min=9.50 / max per NUMERIC order
+    (the string order says otherwise), and the merged sum must be the
+    exact Decimal sum, not a concatenation."""
+    from decimal import Decimal
+    d = tmp_path / "dec"
+    d.mkdir()
+    groups = [[Decimal("9.50"), Decimal("9.90")],
+              [Decimal("10.20"), Decimal("11.00")]]
+    for i, vals in enumerate(groups):
+        w = orcwriter.ORCFileWriter(str(d / f"p{i}.orc"), codec="zlib")
+        w.write_batch(pa.RecordBatch.from_arrays(
+            [pa.array(vals, pa.decimal128(18, 2))], names=["dec"]))
+        w.close()
+    out = str(d / "m.orc")
+    orcmerge.merge_orc_files(
+        [str(d / "p0.orc"), str(d / "p1.orc")], out)
+    st = ORCFile(out).file_statistics[1]
+    assert st["min"] == Decimal("9.50")
+    assert st["max"] == Decimal("11.00")
+    assert st["sum"] == Decimal("40.60")
+    # and the consuming half agrees (footer_aggregate sum is an exact
+    # Decimal add, not '19.40' + '21.20' string concat)
+    agg = orcstats.footer_aggregate(spark, out, ["dec"])
+    assert agg["cols"]["dec"]["sum"] == Decimal("40.60")
+    assert agg["cols"]["dec"]["min"] == Decimal("9.50")
+
+
+def test_merge_rejects_decode_only_codec(tmp_path):
+    """r5 (ADVICE): snappy/lz4/lzo inputs fail UP FRONT with a clear
+    re-framing error, not mid-write with a bare codec ValueError."""
+    snappy = "/root/reference/examples/TestOrcFile.testSnappy.orc"
+    with pytest.raises(ValueError, match="cannot re-frame"):
+        orcmerge.merge_orc_files([snappy], str(tmp_path / "o.orc"))

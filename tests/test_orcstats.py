@@ -45,6 +45,48 @@ def test_stats_agg_exact_without_data_reads(spark, tmp_path, monkeypatch):
     assert orcstats.footer_aggregate(spark, d, ["v"])["rows"] == n
 
 
+def test_stats_agg_decimal_exact(spark, tmp_path):
+    """r5 (ADVICE): decimal file stats merge numerically across files
+    — min/max in Decimal order (not '10.20' < '9.50' lexicographic)
+    and sum as an exact wide-context Decimal add (never the string
+    concatenation '47.0052.00')."""
+    from decimal import Decimal
+    d = tmp_path / "decs"
+    d.mkdir()
+    groups = [[Decimal("9.50"), Decimal("37.50")],   # sum 47.00
+              [Decimal("10.20"), Decimal("41.80")]]  # sum 52.00
+    for i, vals in enumerate(groups):
+        w = orcwriter.ORCFileWriter(str(d / f"p{i}.orc"), codec="zlib")
+        w.write_batch(pa.RecordBatch.from_arrays(
+            [pa.array(vals, pa.decimal128(38, 2))], names=["dec"]))
+        w.close()
+    agg = orcstats.footer_aggregate(spark, str(d), ["dec"])
+    a = agg["cols"]["dec"]
+    assert a["min"] == Decimal("9.50")
+    assert a["max"] == Decimal("41.80")
+    assert a["sum"] == Decimal("99.00")
+    # the DataFrame surface renders them as plain decimal strings
+    [row] = orcstats.stats_agg(spark, str(d), ["dec"]).collect()
+    assert row["min"] == "9.50" and row["sum"] == "99.00"
+
+
+def test_stats_agg_decimal_wide_sum_no_rounding(spark, tmp_path):
+    """>28-significant-digit decimal sums must NOT round through the
+    default Decimal context during the merge."""
+    from decimal import Decimal
+    d = tmp_path / "wide"
+    d.mkdir()
+    big = Decimal("123456789012345678901234567890.12345678")
+    for i in range(2):
+        w = orcwriter.ORCFileWriter(str(d / f"p{i}.orc"), codec="zlib")
+        w.write_batch(pa.RecordBatch.from_arrays(
+            [pa.array([big], pa.decimal128(38, 8))], names=["dec"]))
+        w.close()
+    agg = orcstats.footer_aggregate(spark, str(d), ["dec"])
+    assert agg["cols"]["dec"]["sum"] == \
+        Decimal("246913578024691357802469135780.24691356")
+
+
 def test_stats_agg_distributed_path_matches_driver(spark, tmp_path,
                                                    monkeypatch):
     d = _write_dir(tmp_path)
