@@ -676,6 +676,40 @@ def _q_orc_scan_decimal(spark, sf_dir):
         F.max("val").cast("string").alias("max_val"))
 
 
+def _q_orc_scan_nested_proj(spark, sf_dir):
+    """Dotted nested-field projection (r5): documents land in a
+    NESTED .orc layout struct rec<n_chars,lang,source> range-sorted
+    by rec.n_chars; ``orc_scan(columns=["doc_id","rec.n_chars",
+    "rec.lang"], predicate="rec.n_chars >= 500")`` resolves the
+    dotted paths through the type tree (reference
+    typedescription.go:623-646 GetField / cursor.go:29-45 Select),
+    decodes ONLY the ancestor PRESENT chain + each selected subtree
+    (sibling rec.source streams stay compressed — pinned by
+    test_orc_scan_dotted_projection_skips_sibling_streams), and
+    prunes stripes + strides from the LEAF's statistics.  The oracle
+    recomputes the aggregates from the raw documents."""
+    import tempfile
+    from orc_spark.sources import orcwriter
+    from orc_spark.sources.orcscan import orc_scan
+    nested = _docs(spark, sf_dir).select(
+        F.format_string("doc-%012d", "doc_id").alias("doc_id"),
+        F.struct(F.col("n_chars").cast("long").alias("n_chars"),
+                 F.col("lang").alias("lang"),
+                 F.col("source").alias("source")).alias("rec"))
+    out = tempfile.mkdtemp(prefix="orcnst_")
+    orcwriter.dataframe_to_orc_dir(
+        nested.repartitionByRange(4, F.col("rec.n_chars")), out,
+        codec="zlib")
+    df = orc_scan(spark, out,
+                  columns=["doc_id", "rec.n_chars", "rec.lang"],
+                  predicate="rec.n_chars >= 500")
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("`rec.n_chars`")).cast("long").alias("sum_chars"),
+        F.countDistinct(F.col("`rec.lang`")).alias("n_langs"),
+        F.countDistinct("doc_id").alias("n_ids"))
+
+
 # Golden-corpus scans (r4): the oracles are CONSTANTS derived from the
 # reference's own expected outputs (examples/expected/*.jsn.gz, the
 # corpus orc_test.go:14-131 checks against) — NOT from our reader — so
@@ -1103,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_count_pruned": _q_orc_count_pruned,
         "orc_merge_compact": _q_orc_merge_compact,
         "orc_scan_decimal": _q_orc_scan_decimal,
+        "orc_scan_nested_proj": _q_orc_scan_nested_proj,
         "orc_scan_golden_v11": _q_orc_scan_golden_v11,
         "orc_scan_golden_snappy": _q_orc_scan_golden_snappy,
         "orc_scan_golden_union": _q_orc_scan_golden_union,
@@ -1559,6 +1594,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(val) AS VARCHAR) AS sum_val, "
             "CAST(min(val) AS VARCHAR) AS min_val, "
             "CAST(max(val) AS VARCHAR) AS max_val FROM d"),
+        "orc_scan_nested_proj": (
+            "SELECT count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "count(DISTINCT lang) AS n_langs, "
+            "count(DISTINCT doc_id) AS n_ids "
+            "FROM documents WHERE n_chars >= 500"),
         # constants below are derived from the reference's OWN
         # expected outputs (examples/expected/*.jsn.gz) — independent
         # of our reader; see _q_orc_scan_golden_* docstrings

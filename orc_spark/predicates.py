@@ -10,6 +10,7 @@ Grammar (deliberately the PRUNABLE subset, fail-loud on the rest):
 
     pred     := compare ( AND compare )*
     compare  := ident op literal | ident BETWEEN literal AND literal
+    ident    := name ( '.' name )*        -- dotted nested leaves (r5)
     op       := >= | <= | > | < | = | ==
     literal  := number | 'single-quoted string' ('' escapes a quote)
 
@@ -27,7 +28,7 @@ _TOKEN = re.compile(r"""\s*(?:
     (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>'(?:[^']|'')*')
   | (?P<op>>=|<=|==|=|<|>)
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
 )""", re.VERBOSE)
 
 _REJECT = {"or", "not", "in", "like"}

@@ -59,7 +59,11 @@ def _files_of(path: str) -> list[str]:
 
 
 def _resolve_root(path: str, columns: list[str] | None):
-    """(projected root OrcType, expect_type string) for the dataset."""
+    """(projected root OrcType, expect_type string) for the dataset.
+    ``columns`` may contain DOTTED paths (r5): each resolves through
+    struct fields and surfaces as one flattened output column named
+    by the literal path (reference cursor Select, cursor.go:29-45)."""
+    from .orcscan import _subtree
     files = _files_of(path)
     full_root = orctypes.type_from_file(files[0])
     expect = full_root.orc_string()
@@ -67,13 +71,16 @@ def _resolve_root(path: str, columns: list[str] | None):
         full_root = orctypes.OrcType("struct", [full_root], ["value"])
     root = full_root
     if columns:
-        missing = [c for c in columns if c not in root.field_names]
+        missing = [c for c in columns
+                   if "." not in c and c not in root.field_names]
         if missing:
             raise ValueError(
                 f"orc_spark datasource: no such column(s) {missing}; "
                 f"file has {root.field_names}")
-        keep = [(fn, c) for fn, c in
-                zip(root.field_names, root.children) if fn in columns]
+        by_name = dict(zip(root.field_names, root.children))
+        keep = [(c, by_name[c] if c in by_name
+                 else _subtree(full_root, c))
+                for c in dict.fromkeys(columns)]  # given order, deduped
         root = orctypes.OrcType(
             "struct", [c for _, c in keep], [fn for fn, _ in keep])
     return files, root, expect
@@ -129,10 +136,22 @@ class OrcReader(DataSourceReader):
         _, root, _ = self._resolve()
         for f in filters:
             op = _OP_OF.get(type(f))
-            if op is not None and len(f.attribute) == 1 and \
-                    f.attribute[0] in root.field_names and \
+            # a multi-part attribute is a nested struct-field
+            # reference — join to the dotted form our planner prunes
+            # by leaf statistics (r5); literal dotted column names
+            # arrive single-part and match field_names directly
+            name = ".".join(f.attribute) if f.attribute else ""
+            ok = name in root.field_names
+            if not ok and "." in name:
+                try:
+                    from .orcscan import _subtree
+                    _subtree(root, name)
+                    ok = True
+                except ValueError:
+                    ok = False
+            if op is not None and ok and \
                     isinstance(f.value, (int, float, str)):
-                self.pushed.append((f.attribute[0], op, f.value))
+                self.pushed.append((name, op, f.value))
             yield f
 
     def partitions(self):
@@ -182,9 +201,11 @@ class OrcReader(DataSourceReader):
         # residual filter runs post-scan on OUR output schema, which
         # is exactly the projected schema — predicates outside it
         # were never pushed)
+        sel = list(dict.fromkeys(
+            c.split(".")[0] for c in root.field_names)) \
+            if self.columns else None
         ctx = _ScanContext(root, _pred_list(self.pushed or None),
-                           list(root.field_names) if self.columns
-                           else None, self.ts_nanos)
+                           sel, self.ts_nanos)
         f = ctx.open(partition.path)
         for si in partition.stripes:
             batch = ctx.decode_stripe(f, si)

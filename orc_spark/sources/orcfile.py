@@ -220,6 +220,62 @@ class ORCFile:
             "*" not in field_names else None
         return self
 
+    def resolve_path(self, path: str) -> list[int]:
+        """Column-id chain for a dotted field path, root-first
+        (reference GetField, typedescription.go:623-646: dots
+        traverse STRUCT fields only).  ``"rec.x"`` -> [id(rec),
+        id(rec.x)]; a plain name gives a one-element chain."""
+        ids: list[int] = []
+        col = 0
+        for seg in path.split("."):
+            t = self.types[col]
+            if t.kind != "struct":
+                raise ValueError(
+                    f"orc: cannot descend into {t.kind!r} with "
+                    f"{seg!r} (path {path!r} traverses non-struct)")
+            try:
+                col = dict(zip(t.field_names, t.children))[seg]
+            except KeyError:
+                raise ValueError(
+                    f"orc: no field {seg!r} in path {path!r}; "
+                    f"struct has {t.field_names}") from None
+            ids.append(col)
+        return ids
+
+    def path_present_chain(self, path_ids: list[int], n: int):
+        """(validity arrays root-first incl. the root struct's own
+        PRESENT, surviving row count at the target level) for the
+        ancestor chain of a dotted path.  ORC children carry entries
+        only for rows where every ancestor struct is non-null, so the
+        target decodes at the SURVIVING count and nulls weave back
+        outward.  Touches only ancestor PRESENT streams — sibling
+        DATA streams are never decompressed."""
+        valids = []
+        cnt = n
+        # the root struct's own PRESENT counts as an ancestor unless
+        # the target IS the root (bare-root files: path_ids == [0])
+        for anc in [a for a in [0] + path_ids[:-1]
+                    if a != path_ids[-1]]:
+            valid, n_valid = self._present(anc, cnt)
+            valids.append(valid)
+            cnt = n_valid
+        return valids, cnt
+
+    def read_path(self, path_ids: list[int], n: int) -> list:
+        """Decode the subtree at the end of ``path_ids`` for a stripe
+        of ``n`` rows, weaving ancestor-struct nulls back in — the
+        flattened dotted projection (reference cursor.go:29-45: each
+        selected path is one output column; only its subtree's
+        streams load)."""
+        valids, cnt = self.path_present_chain(path_ids, n)
+        vals = self._read_column(path_ids[-1], cnt)
+        # expand outward, deepest ancestor first
+        for valid in reversed(valids):
+            if valid is None:
+                continue
+            vals = self._weave(vals, valid, len(valid))
+        return vals
+
     # ------------------------------------------------------------------
     def read_stripe(self, si: int) -> list:
         """Decode stripe si -> list of python row values for the root."""

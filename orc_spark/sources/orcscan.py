@@ -187,6 +187,48 @@ def _root_col_ids(f: ORCFile) -> dict[str, int]:
     return dict(zip(root.field_names, root.children))
 
 
+def _subtree(root: orctypes.OrcType, path: str) -> orctypes.OrcType:
+    """Resolve a dotted field path against an OrcType tree (structs
+    only — reference GetField, typedescription.go:623-646).  Raises
+    with the available fields on a miss."""
+    node = root
+    for seg in path.split("."):
+        if node.kind != "struct":
+            raise ValueError(
+                f"orc_scan: cannot descend into {node.kind!r} with "
+                f"{seg!r} (path {path!r})")
+        if seg not in node.field_names:
+            raise ValueError(
+                f"orc_scan: no such column(s) [{path!r}]; struct has "
+                f"{node.field_names}")
+        node = node.children[node.field_names.index(seg)]
+    return node
+
+
+def _pred_col_ids(f: ORCFile, preds: list[tuple],
+                  strict: bool) -> dict[str, int]:
+    """{predicate column -> leaf column id} — root names plus DOTTED
+    nested-leaf paths (r5: predicates like ``rec.x >= 5`` prune
+    stripes/strides from the LEAF's statistics; rows under a null
+    ancestor have a null leaf and can never match, so leaf-stats
+    pruning stays conservative)."""
+    ids = _root_col_ids(f)
+    for col, _, _ in preds:
+        if col in ids:
+            continue
+        if "." in col:
+            try:
+                ids[col] = f.resolve_path(col)[-1]
+                continue
+            except ValueError:
+                pass
+        if strict:
+            raise ValueError(
+                f"orc_scan: predicate column {col!r} not in "
+                f"{sorted(ids)}")
+    return ids
+
+
 def _pred_list(predicate) -> list[tuple]:
     if predicate is None:
         return []
@@ -227,12 +269,9 @@ def plan_tasks(files: list[str], predicate=None,
                 raise ValueError(
                     f"orc_scan: schema drift — {path} has {got}, "
                     f"expected {expect_type}")
-        col_ids = _root_col_ids(f)
-        for col, _, _ in preds:
-            if col not in col_ids and strict_cols:
-                raise ValueError(
-                    f"orc_scan: predicate column {col!r} not in "
-                    f"{sorted(col_ids)} ({path})")
+        # resolves dotted nested-leaf predicate columns too (r5);
+        # raises per-file in strict mode, prunes best-effort in evolve
+        col_ids = _pred_col_ids(f, preds, strict_cols)
         for si in range(len(f.stripes)):
             total += 1
             keep = True
@@ -281,6 +320,32 @@ def _offsets(lengths, valid):
         return pa.array(offs, pa.int32())
     return pa.array(offs, pa.int32(),
                     mask=np.concatenate((~valid, [False])))
+
+
+def _dig(v, segs: list[str]):
+    """Nested row-dict lookup for a dotted path (None propagates)."""
+    for s in segs:
+        if v is None:
+            return None
+        v = v.get(s)
+    return v
+
+
+def _ancestor_expand(arr, valids):
+    """Expand a decoded subtree Arrow array outward through its
+    ancestor-struct validity chain (deepest first): take() with null
+    indices re-inserts the rows where an ancestor struct was null —
+    whole-array, no per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+    for valid in reversed(valids):
+        if valid is None:
+            continue
+        idx = np.zeros(len(valid), np.int64)
+        idx[np.flatnonzero(valid)] = np.arange(len(arr))
+        arr = arr.take(pa.array(idx, pa.int64(),
+                                mask=~np.asarray(valid)))
+    return arr
 
 
 def _fast_arrow(f: ORCFile, cid: int, n: int, ft):
@@ -703,8 +768,9 @@ class _ScanContext:
             # row-group skip INSIDE the stripe: ROW_INDEX per-stride
             # stats (+ bloom for ==) decide which strides to
             # decompress; stride-restart files slice streams, others
-            # fall back whole-stripe
-            cids = _root_col_ids(f)
+            # fall back whole-stripe.  _pred_col_ids resolves dotted
+            # nested-leaf predicates to their leaf ids (r5).
+            cids = _pred_col_ids(f, self.preds, strict=False)
             kept = stride_keep(f, si, self.preds, cids)
             if kept is not None:
                 ks, n_str = kept
@@ -717,7 +783,8 @@ class _ScanContext:
                             cols = {"value": rows}
                         else:
                             cols = {fn: [None if r is None
-                                         else r.get(fn) for r in rows]
+                                         else _dig(r, fn.split("."))
+                                         for r in rows]
                                     for fn in self.root_names}
                     except ValueError:
                         cols = None
@@ -731,18 +798,49 @@ class _ScanContext:
             n_rows = f._load_stripe_directory(si)
             v0, nv0 = f._present(0, n_rows)
             if v0 is not None and nv0 != n_rows:
-                cols, _ = f.read_stripe_columns(si)
+                if any("." in fn for fn in self.root_names):
+                    # dotted projection under a null-bearing root
+                    # struct (pathological): extract from full rows
+                    rows = f._read_column(0, n_rows)
+                    cols = {fn: [None if r is None
+                                 else _dig(r, fn.split("."))
+                                 for r in rows]
+                            for fn in self.root_names}
+                else:
+                    cols, _ = f.read_stripe_columns(si)
             else:
                 cids = _root_col_ids(f)
                 cols = {}
                 for fn in self.root_names:
                     ft = self.arrow_schema.field(fn).type
+                    if "." in fn and fn not in cids:
+                        # dotted nested-field projection (r5): decode
+                        # ONLY the ancestor PRESENT chain + the
+                        # target subtree — sibling streams stay
+                        # compressed (reference cursor.go:29-45)
+                        try:
+                            ids = f.resolve_path(fn)
+                        except ValueError:
+                            # evolve mode: file predates the field
+                            arrays.append(pa.nulls(n_rows, ft))
+                            continue
+                        valids, cnt = f.path_present_chain(ids, n_rows)
+                        try:
+                            fast = _fast_arrow(f, ids[-1], cnt, ft)
+                        except Exception:
+                            fast = None
+                        if fast is not None:
+                            arrays.append(_ancestor_expand(fast,
+                                                           valids))
+                        else:
+                            cols[fn] = f.read_path(ids, n_rows)
+                            arrays.append(None)
+                        continue
                     if fn not in cids:
                         # schema evolution: this file predates the
                         # column — null-fill (name-based, the Spark
                         # convention)
-                        import pyarrow as _pa
-                        arrays.append(_pa.nulls(n_rows, ft))
+                        arrays.append(pa.nulls(n_rows, ft))
                         continue
                     try:
                         fast = _fast_arrow(f, cids[fn], n_rows, ft)
@@ -809,12 +907,17 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
     preds = _pred_list(predicate)
     for col, _, _ in preds:
         if col not in full_root.field_names:
-            raise ValueError(
-                f"orc_scan: predicate column {col!r} not in "
-                f"{full_root.field_names}")
+            # dotted nested-leaf predicates (r5) validate by
+            # resolving against the type tree
+            if "." not in col:
+                raise ValueError(
+                    f"orc_scan: predicate column {col!r} not in "
+                    f"{full_root.field_names}")
+            _subtree(full_root, col)  # raises with the fields on miss
     root = full_root
     if columns:
-        missing = [c for c in columns if c not in root.field_names]
+        missing = [c for c in columns
+                   if "." not in c and c not in root.field_names]
         if missing:
             raise ValueError(f"orc_scan: no such column(s) {missing}; "
                              f"file has {root.field_names}")
@@ -824,13 +927,24 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         need = set(columns) | {c for c, _, _ in preds}
         keep = [(fn, c) for fn, c in
                 zip(root.field_names, root.children) if fn in need]
+        # dotted paths (r5): each becomes ONE flattened output column
+        # named by the literal path, typed as the resolved subtree
+        # (reference cursor Select semantics, cursor.go:29-45)
+        kept_names = {fn for fn, _ in keep}
+        for c in list(columns) + [p for p, _, _ in preds]:
+            if "." in c and c not in kept_names:
+                keep.append((c, _subtree(full_root, c)))
+                kept_names.add(c)
         root = orctypes.OrcType(
             "struct", [c for _, c in keep], [fn for fn, _ in keep])
     schema = _spark_of(root, timestamp_nanos)
     # plain-dict closure state for the kernel (no Spark objects)
     root_children = root.children
     root_names = root.field_names
-    sel = list(root_names) if columns else None
+    # select() operates on ROOT fields: a dotted path contributes its
+    # top segment so row-path fallbacks still see the subtree
+    sel = list(dict.fromkeys(c.split(".")[0] for c in root_names)) \
+        if columns else None
 
     def n_parts(n_tasks: int, total_rows: int) -> int:
         # one task per stripe unless stripes are tiny: then group
@@ -857,7 +971,9 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         n_tasks = agg["n"]
         if n_tasks == 0:
             out = spark.createDataFrame([], schema)
-            return out.select(*columns) if columns else out
+            return out.select(
+                *[F.col(f"`{c}`") if "." in c else F.col(c)
+                  for c in columns]) if columns else out
         tdf = tdf.drop("rows") \
             .repartition(n_parts(n_tasks, agg["r"] or 0))
     else:
@@ -866,7 +982,9 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                               strict_cols=not evolve)
         if not tasks:
             out = spark.createDataFrame([], schema)
-            return out.select(*columns) if columns else out
+            return out.select(
+                *[F.col(f"`{c}`") if "." in c else F.col(c)
+                  for c in columns]) if columns else out
         # kept-stripe rows ride along from the SAME footer pass (no
         # second ORCFile open per file — r4 review fix)
         total_rows = sum(r for _, _, r in tasks)
@@ -898,14 +1016,19 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
 
     out = tdf.mapInArrow(kernel, schema)
     for col, op, val in preds:
-        c = F.col(col)
+        # a dotted predicate references the LITERAL flattened column
+        # when projected (backticks), or the nested struct field when
+        # the full schema is surfaced
+        c = F.col(f"`{col}`") if "." in col and col in root_names \
+            else F.col(col)
         cond = {">=": c >= val, ">": c > val, "<=": c <= val,
                 "<": c < val, "==": c == val}.get(op)
         if cond is None:  # between
             cond = c.between(val[0], val[1])
         out = out.where(cond)
     if columns:
-        out = out.select(*columns)
+        out = out.select(*[F.col(f"`{c}`") if "." in c else F.col(c)
+                           for c in columns])
     return out
 
 

@@ -254,16 +254,30 @@ def _count_file(path: str, preds: list[tuple]) -> int:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .orcscan import (_conv, _fast_arrow, _needs_conv,
-                          _stats_can_match, orc_arrow)
+    from .orcscan import (_ancestor_expand, _conv, _fast_arrow,
+                          _needs_conv, _stats_can_match, _subtree,
+                          orc_arrow)
     f = ORCFile(path)
     root = f.types[0]
     if root.kind != "struct":
         names = {"value": 0}
     else:
         names = dict(zip(root.field_names, root.children))
+    from .. import orctypes as _ot
+    troot = _ot.type_from_file(path)
+    if troot.kind != "struct":
+        troot = _ot.OrcType("struct", [troot], ["value"])
+    nodes = dict(zip(troot.field_names, troot.children))
+    # dotted nested-leaf predicates (r5): resolve the id chain once;
+    # decode expands through ancestor PRESENT so row positions align
+    paths: dict[str, list[int]] = {}
     for c, _, _ in preds:
-        if c not in names:
+        if c in names:
+            paths[c] = [names[c]]
+        elif "." in c:
+            paths[c] = f.resolve_path(c)   # raises on a miss
+            nodes[c] = _subtree(troot, c)
+        else:
             raise ValueError(f"orc_stats: no column {c!r}; file has "
                              f"{list(names)}")
     # float literals against integer columns rewrite to exact integer
@@ -271,30 +285,29 @@ def _count_file(path: str, preds: list[tuple]) -> int:
     # compare, so the two paths agree bit-for-bit
     norm = []
     for c, op, val in preds:
-        if f.types[names[c]].kind in _INT_KINDS:
+        if f.types[paths[c][-1]].kind in _INT_KINDS:
             rewritten = _int_exact(op, val)
             if rewritten is None:
                 return 0  # no integer can satisfy (e.g. v == 1.5)
             op, val = rewritten
         norm.append((c, op, val))
     preds = norm
-    from .. import orctypes as _ot
-    troot = _ot.type_from_file(path)
-    if troot.kind != "struct":
-        troot = _ot.OrcType("struct", [troot], ["value"])
-    nodes = dict(zip(troot.field_names, troot.children))
     total = 0
     for si, stripe in enumerate(f.stripes):
         n_rows = stripe.get(5, [0])[0]
         sstats = f.stripe_statistics[si] \
             if si < len(f.stripe_statistics) else None
         if sstats is not None:
-            per_col = [sstats[names[c]] for c, _, _ in preds]
+            per_col = [sstats[paths[c][-1]] for c, _, _ in preds]
             if not all(_stats_can_match(st, op, val)
                        for st, (_, op, val) in zip(per_col, preds)):
                 continue  # no row can match: free skip
+            # full-match needs every ROW to carry a matching value:
+            # the leaf count must equal the stripe row count (an
+            # ancestor-null row has a NULL leaf that stats don't see)
             if all(_full_match(st, op, val) and
-                   not st.get("has_null", True)
+                   not st.get("has_null", True) and
+                   st.get("n", -1) == n_rows
                    for st, (_, op, val) in zip(per_col, preds)):
                 total += n_rows  # every row matches: free count
                 continue
@@ -302,17 +315,20 @@ def _count_file(path: str, preds: list[tuple]) -> int:
         nr = f._load_stripe_directory(si)
         combined = None
         for c, op, val in preds:
-            cid, node = names[c], nodes[c]
+            ids, node = paths[c], nodes[c]
+            cid = ids[-1]
             ft = orc_arrow(node)
+            valids, cnt = f.path_present_chain(ids, nr)
             try:
-                arr = _fast_arrow(f, cid, nr, ft)
+                arr = _fast_arrow(f, cid, cnt, ft)
             except Exception:
                 arr = None
             if arr is None:
-                vals = f._read_column(cid, nr)
+                vals = f._read_column(cid, cnt)
                 if _needs_conv(node):
                     vals = [_conv(node, v) for v in vals]
                 arr = pa.array(vals, type=ft)
+            arr = _ancestor_expand(arr, valids)
             if op == "between":
                 m = pc.and_kleene(
                     pc.greater_equal(arr, pa.scalar(val[0], ft)),

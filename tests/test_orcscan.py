@@ -847,3 +847,153 @@ def test_orc_scan_schema_evolution_opt_in(spark, tmp_path):
     assert orcscan.orc_scan(
         spark, str(d), evolve=True,
         predicate="v >= 150").count() == 50
+
+
+# -------------------------------------------------------------------
+# dotted nested-field projection (r5)
+# -------------------------------------------------------------------
+
+
+def _write_nested(path, n=4000, stripe_rows=1000, with_nulls=False,
+                  codec="zlib"):
+    """struct<rec:struct<x:bigint,y:string,big:string>,plain:bigint>
+    with `rec.x` sorted (disjoint stripe ranges for pruning tests);
+    `big` is a bulky sibling whose streams a rec.x projection must
+    never decompress."""
+    null_at = (lambda i: with_nulls and i % 7 == 3)
+    recs = pa.array(
+        [None if null_at(i)
+         else {"x": i, "y": f"y{i % 13}", "big": "Z" * 40}
+         for i in range(n)],
+        pa.struct([("x", pa.int64()), ("y", pa.string()),
+                   ("big", pa.string())]))
+    batch = pa.RecordBatch.from_arrays(
+        [recs, pa.array(np.arange(n, dtype=np.int64) * 10)],
+        names=["rec", "plain"])
+    w = orcwriter.ORCFileWriter(str(path), codec=codec,
+                                stripe_rows=stripe_rows)
+    w.write_batch(batch)
+    w.close()
+
+
+def test_orc_scan_dotted_projection_values(spark, tmp_path):
+    """columns=["rec.x"] surfaces ONE flattened column named by the
+    literal path (reference cursor.go:29-45 Select semantics), values
+    exact, mixed with plain top-level names."""
+    p = str(tmp_path / "nested.orc")
+    _write_nested(p)
+    df = orcscan.orc_scan(spark, p, columns=["rec.x", "plain"])
+    assert df.columns == ["rec.x", "plain"]
+    rows = df.orderBy(F.col("`rec.x`")).collect()
+    assert len(rows) == 4000
+    assert rows[17]["rec.x"] == 17 and rows[17]["plain"] == 170
+    # deeper dotted leaf of a string kind
+    dy = orcscan.orc_scan(spark, p, columns=["rec.y"])
+    assert dy.distinct().count() == 13
+
+
+def test_orc_scan_dotted_projection_ancestor_nulls(spark, tmp_path):
+    """Rows whose ancestor struct is NULL surface as NULL leaves in
+    the flattened column (present-chain expansion), exact counts."""
+    p = str(tmp_path / "nestednull.orc")
+    _write_nested(p, with_nulls=True)
+    df = orcscan.orc_scan(spark, p, columns=["rec.x", "plain"])
+    n_null = sum(1 for i in range(4000) if i % 7 == 3)
+    assert df.where(F.col("`rec.x`").isNull()).count() == n_null
+    got = df.where(F.col("`rec.x`").isNotNull()) \
+        .agg({"`rec.x`": "sum"}).collect()[0][0]
+    assert got == sum(i for i in range(4000) if i % 7 != 3)
+    # positional alignment with the sibling top-level column
+    row = df.where("plain = 30").collect()[0]   # i=3 -> rec NULL
+    assert row["rec.x"] is None
+
+
+def test_orc_scan_dotted_projection_skips_sibling_streams(tmp_path):
+    """Projecting rec.x decompresses ONLY the ancestor PRESENT chain
+    and the x subtree — sibling streams (rec.y, rec.big, plain) stay
+    untouched (the r4 gap: full-subtree decode on nested projects)."""
+    p = str(tmp_path / "sib.orc")
+    _write_nested(p)
+    f = ORCFile(p)
+    x_ids = set(f.resolve_path("rec.x"))
+    touched = []
+    orig = ORCFile._stream
+
+    def spy(self, col, kind):
+        touched.append((col, kind))
+        return orig(self, col, kind)
+
+    ORCFile._stream = spy
+    try:
+        ids = f.resolve_path("rec.x")
+        n = f._load_stripe_directory(0)
+        vals = f.read_path(ids, n)
+    finally:
+        ORCFile._stream = orig
+    assert vals[:3] == [0, 1, 2] and len(vals) == 1000
+    allowed = x_ids | {0, ids[0]}  # target subtree + ancestors
+    assert {c for c, _ in touched} <= allowed, touched
+
+
+def test_orc_scan_dotted_predicate_prunes(spark, tmp_path):
+    """Predicates on nested leaves prune at stripe AND stride
+    granularity from the leaf's statistics, results exact."""
+    p = str(tmp_path / "npred.orc")
+    _write_nested(p)  # rec.x sorted, 4 stripes of 1000
+    kept, total = orcscan.plan_tasks([p],
+                                     predicate=("rec.x", ">=", 3500))
+    assert total == 4 and len(kept) == 1
+    df = orcscan.orc_scan(spark, p, predicate="rec.x >= 3500")
+    assert df.count() == 500
+    # projected + predicate together (internal projection carries it)
+    dfp = orcscan.orc_scan(spark, p, columns=["plain"],
+                           predicate=("rec.x", ">=", 3995))
+    assert sorted(r["plain"] for r in dfp.collect()) == \
+        [39950, 39960, 39970, 39980, 39990]
+    # full-schema dotted predicate filters via the nested reference
+    assert orcscan.orc_scan(
+        spark, p, predicate=("rec.x", "<", 10)).count() == 10
+
+
+def test_orc_count_dotted_predicate(spark, tmp_path):
+    """orc_count's hybrid stats+boundary path accepts dotted leaves,
+    exact under ancestor nulls."""
+    from orc_spark.sources import orcstats
+    p = str(tmp_path / "ncount.orc")
+    _write_nested(p, with_nulls=True)
+    want = sum(1 for i in range(4000) if i % 7 != 3 and i >= 2500)
+    assert orcstats.orc_count(spark, p,
+                              predicate=("rec.x", ">=", 2500)) == want
+
+
+def test_orc_scan_dotted_golden_cross_check(spark):
+    """Dotted projection on a JAVA-written nested golden file agrees
+    with the full-scan nested values (test1.orc: middle.list)."""
+    p = f"{EX}/TestOrcFile.test1.orc"
+    full = orcscan.orc_scan(spark, p).select(
+        F.col("middle.list").alias("ml")).collect()
+    dotted = orcscan.orc_scan(spark, p, columns=["middle.list"]) \
+        .collect()
+    assert [r["middle.list"] for r in dotted] == \
+        [r["ml"] for r in full]
+
+
+def test_datasource_dotted_projection(spark, tmp_path):
+    """The DataSource surface: option("columns", "rec.x,plain") and
+    nested-attribute filter pushdown prune by leaf statistics."""
+    from orc_spark.sources import datasource
+    datasource.register(spark)
+    d = tmp_path / "dsn"
+    d.mkdir()
+    _write_nested(str(d / "a.orc"))
+    df = spark.read.format("orc_spark") \
+        .option("columns", "rec.x,plain").load(str(d))
+    assert df.columns == ["rec.x", "plain"]
+    assert df.count() == 4000
+    assert df.where(F.col("`rec.x`") >= 3995).count() == 5
+    # planner-level: nested pushFilters prune partitions
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    r = datasource.OrcReader({"path": str(d)})
+    list(r.pushFilters([GreaterThanOrEqual(("rec", "x"), 3500)]))
+    assert r.pushed == [("rec.x", ">=", 3500)]
+    assert sum(len(p.stripes) for p in r.partitions()) == 1
