@@ -55,15 +55,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_rt_roundtrip(spark, sf_dir):
+    """Bit-exact encode->decode round-trip, plain AND FSST-string
+    variants in one result (r5 consolidation: one driver row covers
+    both codec paths)."""
     tok = token_src.token_table(spark, sf_dir)
-    return verify.roundtrip_check(tok).select(
-        "n_rows", "n_match", "n_token_match")
 
+    def tagged(variant, **kw):
+        return verify.roundtrip_check(tok, **kw).select(
+            F.lit(variant).alias("variant"),
+            "n_rows", "n_match", "n_token_match")
 
-def _q_rt_roundtrip_fsst(spark, sf_dir):
-    tok = token_src.token_table(spark, sf_dir)
-    return verify.roundtrip_check(tok, use_fsst=True).select(
-        "n_rows", "n_match", "n_token_match")
+    return tagged("plain").unionByName(tagged("fsst", use_fsst=True))
 
 
 def _q_enc_token_profile(spark, sf_dir):
@@ -438,10 +440,11 @@ def _mix_emb(a_col: str, b_col: str, wa: float, wb: float):
         lambda v: v.cast("float"))
 
 
-def _q_sim_ann_lsh(spark, sf_dir):
-    """ANN recall oracle: plant 10 deterministic near-neighbors of
-    vector 0 (0.8*v0 + 0.2*v_j mixes); ANN top-10 must equal the exact
-    top-10 (= the planted set), which DuckDB computes independently."""
+def _ann_planted(spark, sf_dir):
+    """Shared planted ANN corpus: 10 deterministic near-neighbors of
+    vector 0 (0.8*v0 + 0.2*v_j mixes).  All three ANN variants must
+    return the exact top-10 (= the planted set), which DuckDB
+    computes independently."""
     emb = _emb(spark, sf_dir)
     query = emb.where(F.col("vec_id") == 0) \
         .select("embedding").first()["embedding"]
@@ -454,30 +457,31 @@ def _q_sim_ann_lsh(spark, sf_dir):
                        .alias("embedding"),
                        F.lit(0).alias("label")))
     table = emb.where(F.col("vec_id") != 0).unionByName(planted)
-    return similarity.lsh_ann_topk(table, list(query), k=10)
+    return table, list(query)
 
 
-def _q_sim_ivf_topk(spark, sf_dir):
-    """IVF (KMeans inverted-file) ANN path: build the list-partitioned
-    index over the planted corpus, probe the nearest lists only — the
-    result must equal the exact top-10 (same planted oracle as
-    sim_ann_lsh)."""
+def _q_sim_ann(spark, sf_dir):
+    """All three ANN paths over the same planted corpus in one result
+    (r5 consolidation): banded hyperplane LSH, the MATERIALIZED
+    partition-pruned signature index, and the KMeans inverted-file
+    (IVF, nprobe list pruning).  Each variant's top-10 must equal the
+    exact top-10 independently recomputed by DuckDB — a recall miss
+    in any path fails the hash."""
     import tempfile
-    emb = _emb(spark, sf_dir)
-    query = emb.where(F.col("vec_id") == 0) \
-        .select("embedding").first()["embedding"]
-    e0 = emb.where(F.col("vec_id") == 0) \
-        .select(F.col("embedding").alias("e0"))
-    planted = (emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 10))
-               .crossJoin(F.broadcast(e0))
-               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
-                       _mix_emb("e0", "embedding", 0.8, 0.2)
-                       .alias("embedding"),
-                       F.lit(0).alias("label")))
-    table = emb.where(F.col("vec_id") != 0).unionByName(planted)
-    path = tempfile.mkdtemp(prefix="ivfidx_") + "/idx"
-    similarity.build_ivf_index(table, path, n_lists=16)
-    return similarity.ivf_topk(spark, path, list(query), k=10, nprobe=8)
+    table, query = _ann_planted(spark, sf_dir)
+
+    def tag(df, v):
+        return df.select(F.lit(v).alias("variant"), "vec_id", "cosine")
+
+    lsh = similarity.lsh_ann_topk(table, query, k=10)
+    idx_path = tempfile.mkdtemp(prefix="annidx_")
+    similarity.build_ann_index(table, idx_path, dim=len(query))
+    idx = similarity.ann_index_topk(spark, idx_path, query, k=10)
+    ivf_path = tempfile.mkdtemp(prefix="ivfidx_") + "/idx"
+    similarity.build_ivf_index(table, ivf_path, n_lists=16)
+    ivf = similarity.ivf_topk(spark, ivf_path, query, k=10, nprobe=8)
+    return tag(lsh, "lsh").unionByName(tag(idx, "index")) \
+        .unionByName(tag(ivf, "ivf"))
 
 
 def _knn_planted(spark, sf_dir):
@@ -500,28 +504,26 @@ def _knn_planted(spark, sf_dir):
     return emb.unionByName(planted), emb.where(F.col("vec_id") < 5)
 
 
-def _q_sim_knn_join(spark, sf_dir):
-    """kNN-join recall oracle: the banded LSH join must recover the
-    planted neighbors as the exact top-3, verified against DuckDB's
-    exact window ranking."""
-    table, probes = _knn_planted(spark, sf_dir)
-    return similarity.knn_join(table, probes, k=3) \
-        .select("probe_id", "nn_id", "cosine", "rank")
-
-
-def _q_sim_knn_join_index(spark, sf_dir):
-    """kNN-join against the MATERIALIZED signature index (the
-    batch-probe scale path: base signatures computed once at build
-    time, probes pay only probe-side hashing).  Same planted corpus
-    and exact-top-3 oracle as sim_knn_join — the index round-trip must
-    not change a single neighbor."""
+def _q_sim_knn(spark, sf_dir):
+    """kNN-join recall oracle, AD-HOC and MATERIALIZED-INDEX variants
+    in one result (r5 consolidation): the banded LSH join must
+    recover the planted neighbors as the exact top-3, and the index
+    round-trip (base signatures computed at build time, probes pay
+    only probe-side hashing) must not change a single neighbor —
+    both verified against DuckDB's exact window ranking."""
     import tempfile
     table, probes = _knn_planted(spark, sf_dir)
+
+    def tag(df, v):
+        return df.select(F.lit(v).alias("variant"), "probe_id",
+                         "nn_id", "cosine", "rank")
+
+    adhoc = similarity.knn_join(table, probes, k=3)
     dim = table.select(F.size("embedding").alias("d")).first()["d"]
     path = tempfile.mkdtemp(prefix="knnidx_") + "/idx"
     similarity.build_ann_index(table, path, dim)
-    return similarity.knn_join_index(spark, path, probes, k=3) \
-        .select("probe_id", "nn_id", "cosine", "rank")
+    indexed = similarity.knn_join_index(spark, path, probes, k=3)
+    return tag(adhoc, "adhoc").unionByName(tag(indexed, "indexed"))
 
 
 def _q_orc_file_roundtrip(spark, sf_dir):
@@ -798,6 +800,34 @@ _q_orc_scan_golden_lz4 = _make_lz_golden("TestVectorOrcFile.testLz4")
 _q_orc_scan_golden_lzo = _make_lz_golden("TestVectorOrcFile.testLzo")
 
 
+def _long_metrics(df, tag: str):
+    """One-row aggregate -> long (file, metric, value-string) rows so
+    differently-shaped golden scans union into ONE driver query."""
+    pairs = []
+    for c in df.columns:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    return df.select(
+        F.lit(tag).alias("file"),
+        F.explode(F.create_map(*pairs)).alias("metric", "value"))
+
+
+def _q_orc_scan_golden(spark, sf_dir):
+    """All five golden-corpus scans in one long-format result (r5
+    consolidation — every codec keeps its own oracle constants):
+    v0.11 RLE-v1/dict-v1/decimal, pure-Python snappy, uniontype
+    (a file Spark's JVM reader rejects), lz4 and lzo blocks."""
+    return (
+        _long_metrics(_q_orc_scan_golden_v11(spark, sf_dir), "v11")
+        .unionByName(_long_metrics(
+            _q_orc_scan_golden_snappy(spark, sf_dir), "snappy"))
+        .unionByName(_long_metrics(
+            _q_orc_scan_golden_union(spark, sf_dir), "union"))
+        .unionByName(_long_metrics(
+            _q_orc_scan_golden_lz4(spark, sf_dir), "lz4"))
+        .unionByName(_long_metrics(
+            _q_orc_scan_golden_lzo(spark, sf_dir), "lzo")))
+
+
 def _q_orc_scan_ts_nanos(spark, sf_dir):
     """Nanosecond timestamp fidelity (r4): testTimestamp.orc read with
     ``timestamp_nanos=True`` surfaces LONG wall-clock nanos; frac_sum
@@ -855,28 +885,6 @@ def _q_csv_export(spark, sf_dir):
         F.countDistinct("doc_id").alias("n_ids"))
 
 
-def _q_sim_ann_index(spark, sf_dir):
-    """Materialized ANN index path: build the (band, bucket)-partitioned
-    signature index once, query with partition pruning — same planted
-    near-neighbor oracle as sim_ann_lsh (results must equal exact)."""
-    import tempfile
-    emb = _emb(spark, sf_dir)
-    query = emb.where(F.col("vec_id") == 0) \
-        .select("embedding").first()["embedding"]
-    e0 = emb.where(F.col("vec_id") == 0) \
-        .select(F.col("embedding").alias("e0"))
-    planted = (emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 10))
-               .crossJoin(F.broadcast(e0))
-               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
-                       _mix_emb("e0", "embedding", 0.8, 0.2)
-                       .alias("embedding"),
-                       F.lit(0).alias("label")))
-    table = emb.where(F.col("vec_id") != 0).unionByName(planted)
-    path = tempfile.mkdtemp(prefix="annidx_")
-    similarity.build_ann_index(table, path, dim=len(query))
-    return similarity.ann_index_topk(spark, path, list(query), k=10)
-
-
 def _q_orc_stats_roundtrip(spark, sf_dir):
     """Statistics pipeline proof: write a real .orc file with our
     kernels, parse the FILE FOOTER statistics back with our reader
@@ -898,21 +906,6 @@ def _q_orc_stats_roundtrip(spark, sf_dir):
           int(ntok["sum"]), int(child["n"]))],
         "n_rows long, min_ntok long, max_ntok long, sum_ntok long, "
         "n_token_values long")
-
-
-def _q_mm_frame_sample(spark, sf_dir):
-    """Video frame-sampling plan over metadata (decode itself is the
-    declared stub): one row per sampled timestamp."""
-    docs = _docs(spark, sf_dir)
-    media = multimodal.synthesize_media(spark, docs) \
-        .withColumn("kind", F.lit("video")) \
-        .join(docs.select(
-            F.concat(F.lit("img-"), F.col("doc_id").cast("string"))
-            .alias("media_id"),
-            (F.col("n_chars") * 10).cast("int").alias("dur")), "media_id") \
-        .drop("duration_ms") \
-        .withColumnRenamed("dur", "duration_ms")
-    return multimodal.frame_sample_stub(media, every_ms=1000)
 
 
 def _q_stream_dedup(spark, sf_dir):
@@ -1050,19 +1043,6 @@ def _q_stream_dedup_near(spark, sf_dir):
                                             min_jaccard=0.4)
 
 
-def _q_mm_features(spark, sf_dir):
-    """Legacy plumbing oracle: fake byte-math features over utf-8
-    payloads (kept — it pins the mapInPandas schema/batch shape)."""
-    media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
-    feats = multimodal.extract_features(media)
-    return feats.select(
-        "media_id", F.size("features").cast("long").alias("dim"),
-        F.round(F.aggregate(F.transform("features",
-                                        lambda x: x.cast("double")),
-                            F.lit(0.0), lambda a, x: a + x), 3)
-        .alias("feat_sum"))
-
-
 def _feat_sum_df(feats):
     return feats.select(
         "media_id", F.size("features").cast("long").alias("dim"),
@@ -1072,35 +1052,62 @@ def _feat_sum_df(feats):
         .alias("feat_sum"))
 
 
-def _q_mm_decode_real(spark, sf_dir):
-    """REAL media decode (r4): deterministic 24-bit BMP and PCM16 WAV
-    containers are synthesized per doc (raster/sample i of doc d is a
-    pure function of (d, i)), then extract_features DECODES the
-    actual containers — header parse, row padding, bottom-up flip,
-    BGR->RGB, RIFF chunk walk — and emits pixel/sample statistics.
-    The DuckDB oracle recomputes the identical statistics from the
-    (d, i) formula: a single header-offset or channel-order bug
-    changes every mean and fails the hash."""
-    media = multimodal.synthesize_real_media(spark, _docs(spark, sf_dir))
-    return _feat_sum_df(multimodal.extract_features(media))
+def _q_mm_decode(spark, sf_dir):
+    """ALL media decode paths in one result (r5 consolidation):
+    the legacy fake byte-math features (img-* rows — they pin the
+    mapInPandas schema/batch shape), REAL 24-bit BMP + PCM16 WAV
+    container decode (bmp-*/wav-* rows, r4 — header parse, row
+    padding, bottom-up flip, BGR->RGB, RIFF chunk walk), and REAL
+    PNG decode (png-* rows, r5 — CRC-verified chunk walk, zlib
+    inflate, all five scanline filters exercised by cycling row
+    filter types).  Raster/sample i of doc d is a pure function of
+    (d, i), so the DuckDB oracle recomputes every statistic
+    independently: a single header-offset, channel-order or filter
+    bug changes a mean and fails the hash."""
+    docs = _docs(spark, sf_dir)
+    fake = multimodal.synthesize_media(spark, docs)
+    real = multimodal.synthesize_real_media(spark, docs)
+    png = multimodal.synthesize_png_media(spark, docs)
+    return _feat_sum_df(multimodal.extract_features(
+        fake.unionByName(real).unionByName(png)))
 
 
-def _q_mm_resize(spark, sf_dir):
-    """Image resize operator (r4): BMP payloads decode -> 8x8
-    nearest-neighbor resize -> re-encode -> decode again for
-    statistics.  The oracle recomputes the resized raster from the
-    source-pixel formula through the same index arithmetic
-    (yi = y*H//8, xi = x*W//8)."""
-    media = multimodal.synthesize_real_media(spark, _docs(spark, sf_dir))
+def _q_mm_transform(spark, sf_dir):
+    """Media transforms in one result (r5 consolidation): 8x8
+    nearest-neighbor BMP resize (decode -> index-arithmetic resize ->
+    re-encode -> decode for statistics; 'resize' rows) and the video
+    frame-sampling plan over duration metadata ('frame' rows).  The
+    oracle recomputes resized pixels from the source formula through
+    the same yi = y*H//8 arithmetic, and frame timestamps from
+    generate_series."""
+    docs = _docs(spark, sf_dir)
+    media = multimodal.synthesize_real_media(spark, docs)
     imgs = media.where(F.col("kind") == "image")
-    resized = multimodal.resize_media(imgs, 8, 8)
-    return _feat_sum_df(multimodal.extract_features(resized))
+    resized = _feat_sum_df(multimodal.extract_features(
+        multimodal.resize_media(imgs, 8, 8)))
+    r1 = resized.select(
+        "media_id", F.lit("resize").alias("op"),
+        F.col("dim").cast("double").alias("v1"),
+        F.col("feat_sum").cast("double").alias("v2"))
+    vids = multimodal.synthesize_media(spark, docs) \
+        .withColumn("kind", F.lit("video")) \
+        .join(docs.select(
+            F.concat(F.lit("img-"), F.col("doc_id").cast("string"))
+            .alias("media_id"),
+            (F.col("n_chars") * 10).cast("int").alias("dur")),
+            "media_id") \
+        .drop("duration_ms").withColumnRenamed("dur", "duration_ms")
+    frames = multimodal.frame_sample_stub(vids, every_ms=1000)
+    r2 = frames.select(
+        "media_id", F.lit("frame").alias("op"),
+        F.col("frame_ts_ms").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"))
+    return r1.unionByName(r2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_roundtrip": _q_rt_roundtrip,
-        "rt_roundtrip_fsst": _q_rt_roundtrip_fsst,
         "rt_projection": _q_rt_projection,
         "rt_pruned_decode": _q_rt_pruned_decode,
         "rt_stride_pruned": _q_rt_stride_pruned,
@@ -1138,27 +1145,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_merge_compact": _q_orc_merge_compact,
         "orc_scan_decimal": _q_orc_scan_decimal,
         "orc_scan_nested_proj": _q_orc_scan_nested_proj,
-        "orc_scan_golden_v11": _q_orc_scan_golden_v11,
-        "orc_scan_golden_snappy": _q_orc_scan_golden_snappy,
-        "orc_scan_golden_union": _q_orc_scan_golden_union,
-        "orc_scan_golden_lz4": _q_orc_scan_golden_lz4,
-        "orc_scan_golden_lzo": _q_orc_scan_golden_lzo,
+        "orc_scan_golden": _q_orc_scan_golden,
         "orc_scan_ts_nanos": _q_orc_scan_ts_nanos,
         "stream_encode": _q_stream_encode,
         "stream_dedup": _q_stream_dedup,
         "stream_dedup_near": _q_stream_dedup_near,
         "sim_cosine_topk": _q_sim_cosine_topk,
-        "sim_ann_lsh": _q_sim_ann_lsh,
-        "sim_ann_index": _q_sim_ann_index,
-        "sim_ivf_topk": _q_sim_ivf_topk,
-        "sim_knn_join": _q_sim_knn_join,
-        "sim_knn_join_index": _q_sim_knn_join_index,
+        "sim_ann": _q_sim_ann,
+        "sim_knn": _q_sim_knn,
         "orc_stats_roundtrip": _q_orc_stats_roundtrip,
         "csv_export": _q_csv_export,
-        "mm_features": _q_mm_features,
-        "mm_decode_real": _q_mm_decode_real,
-        "mm_resize": _q_mm_resize,
-        "mm_frame_sample": _q_mm_frame_sample,
+        "mm_decode": _q_mm_decode,
+        "mm_transform": _q_mm_transform,
     }
 
 
@@ -1357,11 +1355,11 @@ def oracle_sql() -> dict[str, str]:
         FROM scored"""
     return {
         "rt_roundtrip": (
-            "SELECT count(*) AS n_rows, count(*) AS n_match, "
-            "count(*) AS n_token_match FROM documents"),
-        "rt_roundtrip_fsst": (
-            "SELECT count(*) AS n_rows, count(*) AS n_match, "
-            "count(*) AS n_token_match FROM documents"),
+            "SELECT 'plain' AS variant, count(*) AS n_rows, "
+            "count(*) AS n_match, count(*) AS n_token_match "
+            "FROM documents UNION ALL "
+            "SELECT 'fsst', count(*), count(*), count(*) "
+            "FROM documents"),
         "rt_projection": (
             f"SELECT CAST(sum({n_tok}) AS BIGINT) AS sum_ntok, "
             f"count(*) AS n_docs FROM documents"),
@@ -1445,7 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         # word-13-gram overlap vs the eval subset, recomputed over
         # STRING n-grams (clipped window for short docs mirrors the
         # hashed-tuple convention; concat_ws skips the NULL tail)
-        "text_decontaminate": """
+        "text_decontaminate": r"""
             WITH w AS (
               SELECT doc_id,
                      regexp_split_to_array(trim(text), '\s+') AS ws
@@ -1470,7 +1468,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)""",
         # dup-line / dup-2gram / top-word fractions over documents
         # plus the planted doubled-text docs
-        "text_repetition": """
+        "text_repetition": r"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents
               UNION ALL
@@ -1503,7 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         # exact shared-passage oracle: string 8-grams, hot grams
         # (doc-frequency > 256) dropped exactly like _cap_buckets,
         # pairs sharing >= 3 remaining grams
-        "dedup_ngram_overlap": """
+        "dedup_ngram_overlap": r"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents
               UNION ALL
@@ -1603,44 +1601,50 @@ def oracle_sql() -> dict[str, str]:
         # constants below are derived from the reference's OWN
         # expected outputs (examples/expected/*.jsn.gz) — independent
         # of our reader; see _q_orc_scan_golden_* docstrings
-        "orc_scan_golden_v11": (
-            "SELECT CAST(7500 AS BIGINT) AS n, "
-            "CAST(3750 AS BIGINT) AS n_true, "
-            "CAST(378750 AS BIGINT) AS sum_byte1, "
-            "CAST(11520000 AS BIGINT) AS sum_short1, "
-            "CAST(491520000 AS BIGINT) AS sum_int1, "
-            "CAST(2 AS BIGINT) AS n_strings, "
-            "CAST(CAST('92592589910.5923750' AS DECIMAL(38,10)) "
-            "AS VARCHAR) AS sum_dec"),
-        "orc_scan_golden_snappy": (
-            "SELECT CAST(10000 AS BIGINT) AS n, "
-            "CAST(-60390886051 AS BIGINT) AS sum_int1, "
-            "CAST(10000 AS BIGINT) AS n_strings, "
-            "'100105e0' AS min_str, 'fffee5c6' AS max_str"),
-        "orc_scan_golden_union": (
-            "SELECT CAST(5077 AS BIGINT) AS n, "
-            "CAST(5040 AS BIGINT) AS n_tag0, "
-            "CAST(36 AS BIGINT) AS n_tag1, "
-            "CAST(1 AS BIGINT) AS n_null, "
-            "CAST(8660390656586 AS BIGINT) AS sum_u0, "
-            # 35: one tag-1 row carries a NULL string (count distinct
-            # of non-null values)
-            "CAST(35 AS BIGINT) AS n_u1, "
-            "CAST(71 AS BIGINT) AS n_dec, "
-            "CAST(CAST('53246247702808099200.531856403454526690' "
-            "AS DECIMAL(38,18)) AS VARCHAR) AS sum_dec"),
-        "orc_scan_golden_lz4": (
-            "SELECT CAST(10000 AS BIGINT) AS n, "
-            "CAST(-29723113824 AS BIGINT) AS sum_x, "
-            "CAST(49995000 AS BIGINT) AS sum_y, "
-            "CAST(-9221825976469149409 AS BIGINT) AS min_z, "
-            "CAST(9222553191715006506 AS BIGINT) AS max_z"),
-        "orc_scan_golden_lzo": (
-            "SELECT CAST(10000 AS BIGINT) AS n, "
-            "CAST(-104378124950 AS BIGINT) AS sum_x, "
-            "CAST(49995000 AS BIGINT) AS sum_y, "
-            "CAST(-9220797878164861576 AS BIGINT) AS min_z, "
-            "CAST(9221970999439637511 AS BIGINT) AS max_z"),
+        # long-format (file, metric, value) constants — one row per
+        # aggregate of each golden file, same values as the r4
+        # per-file oracles (derived from the reference's expected
+        # JSON); decimals render through the same DECIMAL->VARCHAR
+        # cast the Spark side's .cast("string") produces.
+        # n_u1 = 35: one tag-1 row carries a NULL string (count
+        # distinct of non-null values).
+        "orc_scan_golden": ("""
+            SELECT * FROM (VALUES
+              ('v11', 'n', '7500'),
+              ('v11', 'n_true', '3750'),
+              ('v11', 'sum_byte1', '378750'),
+              ('v11', 'sum_short1', '11520000'),
+              ('v11', 'sum_int1', '491520000'),
+              ('v11', 'n_strings', '2'),
+              ('v11', 'sum_dec',
+               CAST(CAST('92592589910.5923750' AS DECIMAL(38,10))
+                    AS VARCHAR)),
+              ('snappy', 'n', '10000'),
+              ('snappy', 'sum_int1', '-60390886051'),
+              ('snappy', 'n_strings', '10000'),
+              ('snappy', 'min_str', '100105e0'),
+              ('snappy', 'max_str', 'fffee5c6'),
+              ('union', 'n', '5077'),
+              ('union', 'n_tag0', '5040'),
+              ('union', 'n_tag1', '36'),
+              ('union', 'n_null', '1'),
+              ('union', 'sum_u0', '8660390656586'),
+              ('union', 'n_u1', '35'),
+              ('union', 'n_dec', '71'),
+              ('union', 'sum_dec',
+               CAST(CAST('53246247702808099200.531856403454526690'
+                    AS DECIMAL(38,18)) AS VARCHAR)),
+              ('lz4', 'n', '10000'),
+              ('lz4', 'sum_x', '-29723113824'),
+              ('lz4', 'sum_y', '49995000'),
+              ('lz4', 'min_z', '-9221825976469149409'),
+              ('lz4', 'max_z', '9222553191715006506'),
+              ('lzo', 'n', '10000'),
+              ('lzo', 'sum_x', '-104378124950'),
+              ('lzo', 'sum_y', '49995000'),
+              ('lzo', 'min_z', '-9220797878164861576'),
+              ('lzo', 'max_z', '9221970999439637511')
+            ) AS t(file, metric, value)"""),
         "orc_scan_ts_nanos": (
             "SELECT CAST(12 AS BIGINT) AS n, "
             "CAST(788918400688888888 AS BIGINT) AS min_ns, "
@@ -1812,7 +1816,8 @@ def oracle_sql() -> dict[str, str]:
                 CAST(b.embedding AS DOUBLE[])) >= 0.9""",
         # exact top-10 over the table + 10 planted near-neighbors of
         # v0; the ANN result must equal it (recall-1 oracle)
-        "sim_ann_lsh": """
+        "sim_ann": """
+            WITH base AS (
             WITH q AS (SELECT embedding AS e FROM embeddings
                        WHERE vec_id = 0),
             planted AS (
@@ -1829,30 +1834,17 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(
                        CAST(embedding AS DOUBLE[]),
                        (SELECT CAST(e AS DOUBLE[]) FROM q)), 6) AS cosine
-            FROM tbl ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+            FROM tbl ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+            SELECT v.variant, b.vec_id, b.cosine
+            FROM base b, (VALUES ('lsh'), ('index'), ('ivf'))
+                 AS v(variant)""",
         # same planted exact-top-10 oracle for the IVF path
-        "sim_ivf_topk": """
-            WITH q AS (SELECT embedding AS e FROM embeddings
-                       WHERE vec_id = 0),
-            planted AS (
-              SELECT e.vec_id + 1000000 AS vec_id,
-                     list_transform(list_zip(q.e, e.embedding),
-                       p -> CAST(0.8::DOUBLE * p[1]::DOUBLE
-                                 + 0.2::DOUBLE * p[2]::DOUBLE AS REAL))
-                     AS embedding
-              FROM embeddings e, q WHERE e.vec_id BETWEEN 1 AND 10),
-            tbl AS (
-              SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
-              UNION ALL SELECT vec_id, embedding FROM planted)
-            SELECT vec_id,
-                   round(list_cosine_similarity(
-                       CAST(embedding AS DOUBLE[]),
-                       (SELECT CAST(e AS DOUBLE[]) FROM q)), 6) AS cosine
-            FROM tbl ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        
         # exact per-probe top-3 over table + planted neighbors (the
         # index-probe variant must return the identical ranking, so
         # both keys share this oracle)
-        **dict.fromkeys(["sim_knn_join", "sim_knn_join_index"], """
+        "sim_knn": """
+            WITH base AS (
             WITH probes AS (SELECT vec_id AS probe_id, embedding AS ep
                             FROM embeddings WHERE vec_id < 5),
             src AS (SELECT vec_id AS sid, embedding AS esrc,
@@ -1879,11 +1871,15 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cosine DESC, nn_id ASC) AS rank
                        FROM scored)
             SELECT probe_id, nn_id, cosine, CAST(rank AS INT) AS rank
-            FROM ranked WHERE rank <= 3"""),
+            FROM ranked WHERE rank <= 3)
+            SELECT v.variant, b.probe_id, b.nn_id, b.cosine, b.rank
+            FROM base b, (VALUES ('adhoc'), ('indexed'))
+                 AS v(variant)""",
         # fake-decode features are deterministic byte math over the
         # utf-8 payload (ASCII corpus): numpy array_split chunk means,
         # float32-quantized — re-derived exactly in SQL
-        "mm_features": """
+        "mm_decode": """
+            SELECT * FROM (
             WITH b AS (
               SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id,
                      list_transform(range(1, strlen(text) + 1),
@@ -1896,11 +1892,8 @@ def oracle_sql() -> dict[str, str]:
                            (c*(L//16) + least(c, L%16) + 1):
                            ((c+1)*(L//16) + least(c+1, L%16))])
                        AS REAL)::DOUBLE)) AS DOUBLE), 3) AS feat_sum
-            FROM b""",
-        # REAL decode (r4): raster/sample i of doc d is the pure
-        # function below; feature addition order mirrors the Spark
-        # kernel's left-to-right fold exactly (bit-identical doubles)
-        "mm_decode_real": """
+            FROM b)
+            UNION ALL SELECT * FROM (
             WITH img AS (
               SELECT doc_id AS d,
                      list_transform(range(0, 1152), i ->
@@ -1937,10 +1930,41 @@ def oracle_sql() -> dict[str, str]:
                      + CAST(list_aggregate(s, 'min') AS REAL)::DOUBLE
                      + CAST(list_aggregate(s, 'max') AS REAL)::DOUBLE,
                      3) AS feat_sum
-            FROM aud""",
+            FROM aud)
+            UNION ALL SELECT * FROM (
+            WITH png AS (
+              SELECT doc_id AS d,
+                     list_transform(range(0, 1152), i ->
+                       CAST((d*11 + i*19) % 256 AS DOUBLE)) AS v
+              FROM documents)
+            SELECT 'png-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(24.0 + 16.0 + 3.0
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 384), j ->
+                         CAST((d*11 + (3*j)*19) % 256 AS DOUBLE)))
+                         AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 384), j ->
+                         CAST((d*11 + (3*j+1)*19) % 256 AS DOUBLE)))
+                         AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 384), j ->
+                         CAST((d*11 + (3*j+2)*19) % 256 AS DOUBLE)))
+                         AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM png)""",
+        # REAL decode (r4): raster/sample i of doc d is the pure
+        # function below; feature addition order mirrors the Spark
+        # kernel's left-to-right fold exactly (bit-identical doubles)
+        
         # 8x8 nearest-neighbor resize of the 24x16 BMPs: resized
         # pixel (y,x,c) = source raster ((2y*24 + 3x)*3 + c)
-        "mm_resize": """
+        "mm_transform": """
+            SELECT media_id, 'resize' AS op,
+                   CAST(dim AS DOUBLE) AS v1,
+                   CAST(feat_sum AS DOUBLE) AS v2
+            FROM (
             WITH img AS (
               SELECT doc_id AS d,
                      list_transform(range(0, 192), j ->
@@ -1963,27 +1987,19 @@ def oracle_sql() -> dict[str, str]:
                      + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
                      + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
                      3) AS feat_sum
-            FROM img""",
+            FROM img)
+            UNION ALL
+            SELECT media_id, 'frame' AS op,
+                   CAST(frame_ts_ms AS DOUBLE) AS v1,
+                   CAST(0.0 AS DOUBLE) AS v2
+            FROM (
+            SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(unnest(generate_series(0, n_chars * 10, 1000))
+                        AS BIGINT) AS frame_ts_ms
+            FROM documents)""",
         # same planted-neighbor exact-top-10 as sim_ann_lsh: the
         # materialized index must return identical results
-        "sim_ann_index": """
-            WITH q AS (SELECT embedding AS e FROM embeddings
-                       WHERE vec_id = 0),
-            planted AS (
-              SELECT e.vec_id + 1000000 AS vec_id,
-                     list_transform(list_zip(q.e, e.embedding),
-                       p -> CAST(0.8::DOUBLE * p[1]::DOUBLE
-                                 + 0.2::DOUBLE * p[2]::DOUBLE AS REAL))
-                     AS embedding
-              FROM embeddings e, q WHERE e.vec_id BETWEEN 1 AND 10),
-            tbl AS (
-              SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
-              UNION ALL SELECT vec_id, embedding FROM planted)
-            SELECT vec_id,
-                   round(list_cosine_similarity(
-                       CAST(embedding AS DOUBLE[]),
-                       (SELECT CAST(e AS DOUBLE[]) FROM q)), 6) AS cosine
-            FROM tbl ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        
         "csv_export": (
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok, "
@@ -1995,9 +2011,5 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok, "
             f"CAST(sum({n_tok}) AS BIGINT) AS n_token_values "
             f"FROM documents"),
-        "mm_frame_sample": """
-            SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id,
-                   CAST(unnest(generate_series(0, n_chars * 10, 1000))
-                        AS BIGINT) AS frame_ts_ms
-            FROM documents""",
+        
     }

@@ -12,14 +12,18 @@ REAL decoders (r4, pure numpy — no codec libraries needed):
   maxval <= 255) -> (h, w, 3) RGB uint8.
 * ``decode_wav`` — RIFF/WAVE PCM (8-bit unsigned / 16-bit signed,
   any channel count; chunk-walking parser) -> (n, ch) samples + rate.
+* ``decode_png`` (r5) — 8-bit gray/RGB/RGBA non-interlaced PNG:
+  chunk walk with CRC verification, stdlib-zlib inflate, all five
+  scanline filters (None/Sub/Up/Average/Paeth) -> (h, w, 3) RGB.
 
-Both container formats are fully public (the BMP and WAVE layouts are
-documented by Microsoft, PPM by netpbm) and patent-free — exactly the
-"decode behind the mapInPandas surface" the brief asks for without
-shipping a codec stack.  ``extract_features`` dispatches on mime and
-produces fixed-width pixel/sample statistics; compressed formats
-(JPEG/PNG/MP3/video) still raise NotImplementedError — plug
-PIL/ffmpeg into the same kernel seam on a production cluster.
+All container formats are fully public (BMP and WAVE documented by
+Microsoft, PPM by netpbm, PNG by the W3C spec) and patent-free —
+exactly the "decode behind the mapInPandas surface" the brief asks
+for without shipping a codec stack.  ``extract_features`` dispatches
+on mime and produces fixed-width pixel/sample statistics; formats
+needing licensed/complex codecs (JPEG/MP3/video) still raise
+NotImplementedError — plug PIL/ffmpeg into the same kernel seam on a
+production cluster.
 ``_fake_decode`` remains only for the legacy ``image/x-fake`` mime
 used by the plumbing oracle.
 """
@@ -202,6 +206,135 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return s.reshape(-1, ch), rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data +
+            struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 -> PNG
+    (8-bit, non-interlaced).  Rows are filtered with type ``row % 5``
+    — filtering uses RAW neighbors so it vectorizes whole-row, and
+    cycling through None/Sub/Up/Average/Paeth means a decoder must
+    implement every filter correctly to round-trip."""
+    import struct
+    import zlib
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"encode_png: {ch} channels unsupported")
+    raw = a.reshape(h, w * ch).astype(np.int16)
+    up = np.vstack([np.zeros((1, w * ch), np.int16), raw[:-1]])
+    left = np.zeros_like(raw)
+    left[:, ch:] = raw[:, :-ch]
+    ul = np.zeros_like(raw)
+    ul[1:, ch:] = raw[:-1, :-ch]
+    # Paeth predictor, whole-array (PNG spec §9.4)
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where((pa <= pb) & (pa <= pc), left,
+                     np.where(pb <= pc, up, ul))
+    preds = [np.zeros_like(raw), left, up, (left + up) // 2, paeth]
+    out = bytearray()
+    for r in range(h):
+        ft = r % 5
+        out.append(ft)
+        out += ((raw[r] - preds[ft][r]) % 256).astype(np.uint8) \
+            .tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) +
+            _png_chunk(b"IDAT", zlib.compress(bytes(out), 6)) +
+            _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) RGB uint8 (r5, pure numpy + stdlib zlib —
+    PNG is DEFLATE (we already ship inflate for ORC zlib chunks) plus
+    the five scanline filters of spec §9).  Supports 8-bit gray /
+    RGB / RGBA, non-interlaced; gray broadcasts to 3 channels, alpha
+    is dropped (feature pipelines read color planes).  CRCs are
+    verified; palette/16-bit/interlaced variants reject loudly.
+    Up is whole-row vectorized; Sub/Average/Paeth recurrences run
+    per-byte within a row (sequential by construction)."""
+    import struct
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"interlace={interlace})")
+    ch = {0: 1, 2: 3, 6: 4}.get(color)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color} "
+                         f"(palette needs PLTE handling)")
+    data = zlib.decompress(bytes(idat))
+    rb = w * ch
+    if len(data) != h * (rb + 1):
+        raise ValueError("PNG raster length mismatch")
+    out = np.zeros((h, rb), np.uint8)
+    prev = np.zeros(rb, np.int32)
+    for r in range(h):
+        ft = data[r * (rb + 1)]
+        cur = np.frombuffer(data, np.uint8, rb,
+                            r * (rb + 1) + 1).astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 2:                      # Up: whole-row
+            cur = (cur + prev) % 256
+        elif ft in (1, 3, 4):              # left-recurrent filters
+            row = cur.tolist()
+            pv = prev.tolist()
+            for i in range(rb):
+                a = row[i - ch] if i >= ch else 0
+                if ft == 1:
+                    row[i] = (row[i] + a) & 0xFF
+                elif ft == 3:
+                    row[i] = (row[i] + ((a + pv[i]) >> 1)) & 0xFF
+                else:
+                    b = pv[i]
+                    c = pv[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else \
+                        (b if pb <= pc else c)
+                    row[i] = (row[i] + pr) & 0xFF
+            cur = np.array(row, np.int32)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
 def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
     """(h0, w0, 3) -> (h, w, 3) nearest-neighbor resize, pure numpy
     index arithmetic (the standard training-pipeline pre-resize)."""
@@ -285,6 +418,40 @@ def synthesize_real_media(spark, docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(kernel, out_schema)
 
 
+def _png_pixels_for(seed: int, n: int) -> np.ndarray:
+    # distinct formula from _pixels_for so a PNG-path bug can't hide
+    # behind the BMP oracle's identical statistics
+    i = np.arange(n, dtype=np.int64)
+    return ((seed * 11 + i * 19) % 256).astype(np.uint8)
+
+
+def synthesize_png_media(spark, docs: DataFrame) -> DataFrame:
+    """REAL PNG payloads (r5): every doc becomes a 24x16 RGB PNG
+    whose pixel i is ``(doc_id*11 + i*19) % 256`` — rows are filtered
+    with cycling types (row % 5), so decoding exercises all five
+    scanline filters; the oracle recomputes the decoded statistics
+    from the formula."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "mime",
+                                    "payload", "width", "height",
+                                    "duration_ms")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                arr = _png_pixels_for(d, MEDIA_W * MEDIA_H * 3) \
+                    .reshape(MEDIA_H, MEDIA_W, 3)
+                rows["media_id"].append(f"png-{d}")
+                rows["kind"].append("image")
+                rows["mime"].append("image/png")
+                rows["payload"].append(encode_png(arr))
+                rows["width"].append(MEDIA_W)
+                rows["height"].append(MEDIA_H)
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def _image_features(arr: np.ndarray, dim: int) -> np.ndarray:
     h, w, _ = arr.shape
     px = arr.astype(np.float64)
@@ -308,13 +475,15 @@ def _audio_features(samples: np.ndarray, rate: int,
 def decode_media(payload: bytes, mime: str, dim: int = FEATURE_DIM
                  ) -> np.ndarray:
     """payload -> fixed-width feature vector, dispatched on mime.
-    BMP/PPM/WAV decode for REAL; image/x-fake keeps the legacy
-    byte-math stand-in (plumbing oracle); anything else (JPEG, PNG,
+    BMP/PNG/PPM/WAV decode for REAL; image/x-fake keeps the legacy
+    byte-math stand-in (plumbing oracle); anything else (JPEG, MP3,
     video codecs) raises — plug a real codec stack into this seam."""
     if payload is None:
         return np.zeros(dim, dtype=np.float32)
     if mime == "image/bmp":
         return _image_features(decode_bmp(payload), dim)
+    if mime == "image/png":
+        return _image_features(decode_png(payload), dim)
     if mime == "image/x-portable-pixmap":
         return _image_features(decode_ppm(payload), dim)
     if mime == "audio/wav":
@@ -370,6 +539,11 @@ def resize_media(media: DataFrame, w: int, h: int) -> DataFrame:
                 elif m == "image/x-portable-pixmap" and p is not None:
                     out_p.append(encode_ppm(
                         resize_nearest(decode_ppm(p), w, h)))
+                    out_w.append(w)
+                    out_h.append(h)
+                elif m == "image/png" and p is not None:
+                    out_p.append(encode_png(
+                        resize_nearest(decode_png(p), w, h)))
                     out_w.append(w)
                     out_h.append(h)
                 else:

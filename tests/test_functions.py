@@ -822,3 +822,74 @@ def test_ngram_overlap_catches_quote_minhash_misses(spark):
                                        max_bucket=2,
                                        pre_collapse=False).count()
     assert capped == 0
+
+
+def test_png_codec_spec_anchored():
+    """decode_png against a BYTE-LITERAL 2x2 RGB PNG hand-assembled
+    from the W3C spec (sig + IHDR + zlib(filter-0 scanlines) + IEND,
+    CRCs computed in the test) — anchors the codec to the format,
+    not to our encoder."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data +
+                struct.pack(">I", zlib.crc32(ctype + data)))
+
+    exp = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [255, 255, 255]]], np.uint8)
+    scan = b"\x00" + exp[0].tobytes() + b"\x00" + exp[1].tobytes()
+    payload = (b"\x89PNG\r\n\x1a\n" +
+               chunk(b"IHDR",
+                     struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) +
+               chunk(b"IDAT", zlib.compress(scan)) +
+               chunk(b"IEND", b""))
+    assert (multimodal.decode_png(payload) == exp).all()
+    # CRC corruption is detected, not silently decoded
+    bad = bytearray(payload)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|IHDR|raster"):
+        multimodal.decode_png(bytes(bad))
+
+
+def test_png_round_trip_all_filters():
+    """encode_png cycles filter types row % 5, so a 10-row image
+    round-trips only if Sub/Up/Average/Paeth all decode correctly
+    (encoder predicts from RAW neighbors, decoder reconstructs
+    recurrently — independent formulations)."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)
+    got = multimodal.decode_png(multimodal.encode_png(arr))
+    assert (got == arr).all()
+    # grayscale broadcasts to 3 channels
+    g = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    gg = multimodal.decode_png(multimodal.encode_png(g))
+    assert gg.shape == (6, 9, 3) and (gg[:, :, 0] == g).all() \
+        and (gg[:, :, 2] == g).all()
+    # RGBA drops alpha
+    a4 = rng.integers(0, 256, (7, 5, 4), dtype=np.uint8)
+    d4 = multimodal.decode_png(multimodal.encode_png(a4))
+    assert (d4 == a4[:, :, :3]).all()
+
+
+def test_png_features_and_resize(spark, docs):
+    """image/png flows through the extract_features and resize_media
+    kernels like BMP (decode -> stats / decode -> resize ->
+    re-encode)."""
+    arrs = {f"png-{i}": ((i * 7 + np.arange(24 * 16 * 3) * 13) % 256)
+            .astype(np.uint8).reshape(16, 24, 3) for i in range(4)}
+    media = spark.createDataFrame(
+        [(mid, "image", "image/png",
+          bytearray(multimodal.encode_png(a)), 24, 16, None)
+         for mid, a in arrs.items()], multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["features"]
+             for r in multimodal.extract_features(media).collect()}
+    for mid, a in arrs.items():
+        f = feats[mid]
+        assert f[0] == 24 and f[1] == 16
+        assert abs(f[3] - a.astype(np.float64).mean()) < 1e-3
+    small = multimodal.resize_media(media, 8, 8).collect()
+    for r in small:
+        got = multimodal.decode_png(bytes(r["payload"]))
+        want = multimodal.resize_nearest(arrs[r["media_id"]], 8, 8)
+        assert got.shape == (8, 8, 3) and (got == want).all()
