@@ -19,7 +19,7 @@ MAX_CHUNK = (1 << 23) - 1
 
 NONE = "none"
 ZLIB = "zlib"
-SNAPPY = "snappy"  # decode only, like the reference (codec gate C5)
+SNAPPY = "snappy"  # r5: read AND write (the reference is decode-only)
 ZSTD = "zstd"
 
 def _zstd_codec():
@@ -61,6 +61,14 @@ def _compress_chunk(chunk: bytes, kind: str) -> bytes:
         return c.compress(chunk) + c.flush()
     if kind == ZSTD:
         return _zstd_codec().compress(chunk, asbytes=True)
+    if kind == SNAPPY:
+        # r5: pure-Python snappy WRITE (beyond the reference, whose
+        # encoder errors out); JVM-reader interop pinned in tests
+        from . import snappy_pure
+        return snappy_pure.compress(chunk)
+    if kind == "lz4":
+        from . import lz4_pure
+        return lz4_pure.compress(chunk)
     raise ValueError(kind)
 
 

@@ -99,15 +99,16 @@ def merge_orc_files(inputs: list[str], out_path: str) -> dict:
     files = [ORCFile(p) for p in inputs]
     schema = orctypes.type_from_file(inputs[0]).orc_string()
     comp = files[0].compression
-    if comp not in ("none", "zlib", "zstd"):
+    if comp not in ("none", "zlib", "zstd", "snappy", "lz4"):
         # stripe bytes could copy verbatim, but the merged tail
         # (metadata + footer + postscript) must be framed under the
-        # same codec and we only ENCODE none/zlib/zstd — fail before
-        # writing anything, not mid-file with a bare codec error
+        # same codec and lzo stays decode-only — fail before writing
+        # anything, not mid-file with a bare codec error (snappy/lz4
+        # became writable in r5)
         raise ValueError(
             f"orc_merge: cannot re-frame the merged footer under "
             f"{comp!r} (decode-only codec); transcode the inputs to "
-            f"none/zlib/zstd first")
+            f"none/zlib/zstd/snappy/lz4 first")
     stride = files[0].row_index_stride
     for p, f in zip(inputs, files):
         got = orctypes.type_from_types(f.types).orc_string()

@@ -45,3 +45,28 @@ def test_byterle_fast_equals_slow_and_roundtrips(vals):
     fast = byterle.encode(arr)
     assert fast == byterle.encode_slow(arr)
     assert (byterle.decode(fast, len(arr)) == arr).all()
+
+
+# bytes mixing runs, periodic patterns and noise — the LZ-match shape
+_blob_piece = st.one_of(
+    st.tuples(st.integers(0, 255), st.integers(1, 300)).map(
+        lambda t: bytes([t[0]]) * t[1]),
+    st.binary(min_size=1, max_size=120),
+    st.tuples(st.binary(min_size=1, max_size=12),
+              st.integers(2, 60)).map(lambda t: t[0] * t[1]),
+)
+blobs = st.lists(_blob_piece, min_size=0, max_size=10).map(b"".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=blobs)
+def test_snappy_compress_roundtrips(data):
+    from orc_spark.codecs import snappy_pure
+    assert snappy_pure.decompress(snappy_pure.compress(data)) == data
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=blobs)
+def test_lz4_compress_roundtrips(data):
+    from orc_spark.codecs import lz4_pure
+    assert lz4_pure.decompress(lz4_pure.compress(data)) == data

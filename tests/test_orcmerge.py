@@ -193,8 +193,24 @@ def test_merge_decimal_stats_numeric_not_lexicographic(spark,
 
 
 def test_merge_rejects_decode_only_codec(tmp_path):
-    """r5 (ADVICE): snappy/lz4/lzo inputs fail UP FRONT with a clear
-    re-framing error, not mid-write with a bare codec ValueError."""
-    snappy = "/root/reference/examples/TestOrcFile.testSnappy.orc"
+    """r5 (ADVICE): lzo inputs (the one codec still decode-only) fail
+    UP FRONT with a clear re-framing error, not mid-write with a bare
+    codec ValueError."""
+    lzo = "/root/reference/examples/TestVectorOrcFile.testLzo.orc"
     with pytest.raises(ValueError, match="cannot re-frame"):
-        orcmerge.merge_orc_files([snappy], str(tmp_path / "o.orc"))
+        orcmerge.merge_orc_files([lzo], str(tmp_path / "o.orc"))
+
+
+def test_merge_snappy_inputs_reframe(spark, tmp_path):
+    """r5: snappy files MERGE now (the tail re-frames through the new
+    snappy encoder); the merged file scans identically to the input
+    and stays JVM-readable."""
+    src = "/root/reference/examples/TestOrcFile.testSnappy.orc"
+    out = str(tmp_path / "m.orc")
+    res = orcmerge.merge_orc_files([src, src], out)
+    assert res["n_rows"] == 20000
+    assert ORCFile(out).compression == "snappy"
+    assert spark.read.orc(out).count() == 20000  # JVM reads the tail
+    a = orc_scan(spark, src).agg({"int1": "sum"}).collect()[0][0]
+    b = orc_scan(spark, out).agg({"int1": "sum"}).collect()[0][0]
+    assert b == 2 * a

@@ -997,3 +997,20 @@ def test_datasource_dotted_projection(spark, tmp_path):
     list(r.pushFilters([GreaterThanOrEqual(("rec", "x"), 3500)]))
     assert r.pushed == [("rec.x", ">=", 3500)]
     assert sum(len(p.stripes) for p in r.partitions()) == 1
+
+
+def test_orc_scan_dotted_corpus_parity(spark):
+    """Every struct-nested dotted path in the golden corpus projects
+    to the same values a full scan's nested access yields — Java
+    writers, varied codecs and sizes (testSeek is 32k rows of deep
+    random nesting; orc-file-11-format is the v0.11 layout)."""
+    cases = ["TestOrcFile.test1.orc", "TestOrcFile.testSeek.orc",
+             "TestOrcFile.metaData.orc", "orc-file-11-format.orc"]
+    for fname in cases:
+        p = f"{EX}/{fname}"
+        full = orcscan.orc_scan(spark, p).select(
+            F.col("middle.list").alias("v")).collect()
+        dotted = orcscan.orc_scan(
+            spark, p, columns=["middle.list"]).collect()
+        assert [r["middle.list"] for r in dotted] == \
+            [r["v"] for r in full], fname
