@@ -48,6 +48,10 @@ def _col_id(f: ORCFile, column: str) -> int:
             return 0
         raise ValueError(f"orc_stats: bare-root file has only "
                          f"'value', not {column!r}")
+    if "." in column:
+        # dotted nested leaf (r5): file statistics exist for every
+        # column id, so footer-only aggregates reach struct leaves too
+        return f.resolve_path(column)[-1]
     try:
         return dict(zip(root.field_names, root.children))[column]
     except KeyError:

@@ -44,14 +44,30 @@ def main(argv=None, out=None) -> int:
     root = r.types[0]
     selected = [c.strip() for c in args.cols.split(",") if c.strip()] \
         or list(root.field_names)
-    missing = [c for c in selected if c not in root.field_names]
-    if missing:
-        raise SystemExit(f"orc2csv: no such column(s): {missing}; "
-                         f"file has {root.field_names}")
-    r.select(*selected)
+    # dotted paths (r5) select nested struct leaves, matching
+    # orc_scan's columns= grammar (reference GetField semantics)
+    for c in selected:
+        if "." in c:
+            try:
+                r.resolve_path(c)
+            except ValueError as e:
+                raise SystemExit(f"orc2csv: {e}")
+        elif c not in root.field_names:
+            raise SystemExit(f"orc2csv: no such column(s): [{c!r}]; "
+                             f"file has {root.field_names}")
+    r.select(*{c.split(".")[0] for c in selected})
     w = csv.writer(out or sys.stdout)
+
+    def pick(row, path):
+        v = row
+        for seg in path.split("."):
+            if v is None:
+                return None
+            v = v.get(seg)
+        return v
+
     for row in r.read_all():
-        w.writerow([_fmt(row[c]) for c in selected])
+        w.writerow([_fmt(pick(row, c)) for c in selected])
     return 0
 
 

@@ -893,3 +893,22 @@ def test_png_features_and_resize(spark, docs):
         got = multimodal.decode_png(bytes(r["payload"]))
         want = multimodal.resize_nearest(arrs[r["media_id"]], 8, 8)
         assert got.shape == (8, 8, 3) and (got == want).all()
+
+
+def test_png_fuzz_shapes_and_values():
+    """Seeded fuzz over random shapes/channel counts: encode->decode
+    is lossless for every filter combination the cycling encoder
+    emits."""
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        ch = int(rng.choice([1, 3, 4]))
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = multimodal.decode_png(multimodal.encode_png(arr))
+        want = arr[:, :, None] if ch == 1 else arr
+        if ch == 1:
+            assert (got[:, :, 0] == arr).all()
+        else:
+            assert (got == want[:, :, :3]).all()

@@ -197,3 +197,27 @@ def test_orc_count_float_literal_on_int_column_exact(spark, tmp_path):
     w.write_batch(pa.RecordBatch.from_arrays(
         [pa.array(np.arange(10, dtype=np.int64))], names=["v"]))
     w.close()
+
+
+def test_stats_agg_dotted_nested_leaf(spark, tmp_path):
+    """r5: footer-only aggregates reach struct leaves through dotted
+    paths — file ColumnStatistics exist for every column id, so
+    min/max/sum of rec.x come from tails without any decode."""
+    import pyarrow as pa
+    d = tmp_path / "nst"
+    d.mkdir()
+    n = 3000
+    recs = pa.array(
+        [{"x": i, "y": f"y{i % 7}"} for i in range(n)],
+        pa.struct([("x", pa.int64()), ("y", pa.string())]))
+    w = orcwriter.ORCFileWriter(str(d / "a.orc"), codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [recs, pa.array(np.arange(n, dtype=np.int64))],
+        names=["rec", "plain"]))
+    w.close()
+    agg = orcstats.footer_aggregate(spark, str(d), ["rec.x", "plain"])
+    a = agg["cols"]["rec.x"]
+    assert a["min"] == 0 and a["max"] == n - 1
+    assert a["sum"] == n * (n - 1) // 2
+    [row] = orcstats.stats_agg(spark, str(d), ["rec.y"]).collect()
+    assert row["min"] == "y0" and row["max"] == "y6"

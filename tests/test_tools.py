@@ -123,3 +123,21 @@ def test_orc2csv_module_entrypoint():
     lines = res.stdout.splitlines()
     assert len(lines) == 6000
     assert lines[0] == "-1000.5"
+
+
+def test_orc2csv_dotted_column():
+    """r5: -c accepts dotted nested paths like orc_scan's columns=
+    (reference GetField semantics); unknown paths fail loudly."""
+    import io
+    from orc_spark.tools import orc2csv
+    buf = io.StringIO()
+    orc2csv.main(["-f", f"{EX}/TestOrcFile.test1.orc",
+                  "-c", "int1,middle.list"], out=buf)
+    lines = buf.getvalue().strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].startswith("65536,")
+    assert '""bye""' in lines[0]  # nested list-of-struct surfaced
+    import pytest
+    with pytest.raises(SystemExit, match="no field"):
+        orc2csv.main(["-f", f"{EX}/TestOrcFile.test1.orc",
+                      "-c", "middle.nope"], out=io.StringIO())
