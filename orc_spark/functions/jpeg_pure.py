@@ -1,0 +1,519 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 / JFIF).
+
+Decode supports the format real corpora actually contain: baseline
+sequential DCT (SOF0), 8-bit samples, gray / 4:4:4 / 4:2:2 / 4:2:0
+chroma subsampling, restart markers, 0xFF00 byte stuffing, multiple
+DQT/DHT segments.  Progressive (SOF2), arithmetic coding and 12-bit
+depth reject loudly.  Encode emits baseline 4:4:4 (or grayscale)
+with the spec's Annex K quantization + huffman tables and a quality
+knob — enough to synthesize deterministic fixtures and re-encode
+after transforms.
+
+Everything here follows the PUBLIC spec; the entropy decode is a
+Python bit loop (sequential by nature), while dequantize + IDCT +
+color convert run whole-image in numpy (the IDCT is two 8x8 matrix
+multiplies batched over every block with einsum).  Speed is fixture-
+grade, not throughput-grade — production clusters plug libjpeg into
+the same ``decode_media`` seam.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# Annex K (informative) tables — the de-facto standard set
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K huffman specs: (bits[1..16], values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+     0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+     0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+     0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+     0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+     0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+     0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+     0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+     0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+     0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+     0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+     0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+     0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+     0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+     0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+     0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+     0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+     0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+# 8-point DCT-II basis: _DCT_M[k, x] = c(k)/2 * cos((2x+1)k*pi/16)
+_DCT_M = np.zeros((8, 8))
+for _k in range(8):
+    _c = np.sqrt(0.5) if _k == 0 else 1.0
+    for _x in range(8):
+        _DCT_M[_k, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _k *
+                                           np.pi / 16)
+
+
+def _build_huffman(bits, values):
+    """(code -> (symbol, length)) decode dict keyed by (length, code),
+    built per T.81 C.2: codes assigned in increasing length order."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_huffman(bits, values):
+    """symbol -> (code, length) for the encoder."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    stuffing removal; stops at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(
+                    f"jpeg: marker 0xFF{nxt:02X} inside scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self):
+        self.acc = 0
+        self.n = 0
+
+    def decode(self, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid huffman code")
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t raw bits to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w, 3) RGB uint8 (grayscale broadcasts)."""
+    d = bytes(payload)
+    if d[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}   # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    while True:
+        if d[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:       # EOI
+            raise ValueError("jpeg: EOI before SOS")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue             # standalone
+        ln = struct.unpack_from(">H", d, pos)[0]
+        seg = d[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:       # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i) \
+                        .astype(np.int64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i) \
+                        .astype(np.int64)
+                    i += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:     # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                values = list(seg[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _build_huffman(bits, values)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+            prec, h, w, nc = seg[0], \
+                struct.unpack_from(">H", seg, 1)[0], \
+                struct.unpack_from(">H", seg, 3)[0], seg[5]
+            if prec != 8:
+                raise ValueError(f"jpeg: {prec}-bit precision "
+                                 f"unsupported (baseline is 8)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + c * 3], seg[7 + c * 3], \
+                    seg[8 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"jpeg: SOF 0x{marker:02X} unsupported (progressive/"
+                f"arithmetic/hierarchical — baseline SOF0 only)")
+        elif marker == 0xDD:     # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:     # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + c * 2], seg[2 + c * 2]
+                sel[cs] = (tt >> 4, tt & 15)
+            break
+        # APPn / COM / others: skipped via the length field
+
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]          # blocks per row
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+        c["dc_t"], c["ac_t"] = sel[c["id"]]
+        c["pred"] = 0
+
+    br = _BitReader(d, pos)
+    mcu = 0
+    n_mcu = mcux * mcuy
+    while mcu < n_mcu:
+        try:
+            my, mx = divmod(mcu, mcux)
+            for c in comps:
+                dct = huff[(0, c["dc_t"])]
+                act = huff[(1, c["ac_t"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.int64)
+                        t = br.decode(dct)
+                        diff = _extend(br.bits(t), t)
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16   # ZRL
+                                    continue
+                                break         # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "jpeg: AC run past block end")
+                            blk[k] = _extend(br.bits(s), s)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["coef"][row * c["bw"] + col] = blk
+            mcu += 1
+            if restart_interval and mcu % restart_interval == 0 \
+                    and mcu < n_mcu:
+                br.align_to_marker()
+                # consume the RSTn marker if present
+                if d[br.pos] == 0xFF and 0xD0 <= d[br.pos + 1] <= 0xD7:
+                    br.pos += 2
+                for c in comps:
+                    c["pred"] = 0
+        except _RestartMarker:
+            br.pos += 1          # second marker byte
+            br.align_to_marker()
+            for c in comps:
+                c["pred"] = 0
+
+    # dequantize + dezigzag + IDCT, whole-plane batched
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        coef = c["coef"] * q          # (nblocks, 64) zigzag order
+        nat = np.zeros_like(coef)
+        nat[:, ZIGZAG] = coef
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        # IDCT: M.T @ B @ M batched
+        px = np.einsum("kx,nky,yl->nxl", _DCT_M, blocks, _DCT_M)
+        px = np.clip(np.round(px + 128), 0, 255).astype(np.uint8)
+        plane = px.reshape(c["bh"], c["bw"], 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        # upsample to full MCU-padded resolution
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = planes[0]
+        return np.repeat(y[:, :, None], 3, axis=2).copy()
+    if len(planes) != 3:
+        raise ValueError(f"jpeg: {len(planes)}-component images "
+                         f"unsupported (gray or YCbCr)")
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+# -------------------------------------------------------------------
+# encoder (baseline, 4:4:4 / grayscale, Annex K tables)
+# -------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, ln: int):
+        self.acc = (self.acc << ln) | code
+        self.n += ln
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)   # stuffing
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)   # 1-fill per spec
+
+
+def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of an Annex K matrix."""
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (base * s + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _encode_block(bw, blk_zz, qtab, dc_codes, ac_codes, pred):
+    """One quantized-zigzag block -> bits; returns the new DC pred."""
+    dc = int(blk_zz[0])
+    diff = dc - pred
+    mag = abs(diff)
+    t = int(mag).bit_length()
+    bw.write(*dc_codes[t])
+    if t:
+        v = diff if diff >= 0 else diff + (1 << t) - 1
+        bw.write(v & ((1 << t) - 1), t)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(blk_zz[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, 64):
+        v = int(blk_zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])   # ZRL
+            run -= 16
+        s = abs(v).bit_length()
+        bw.write(*ac_codes[(run << 4) | s])
+        u = v if v >= 0 else v + (1 << s) - 1
+        bw.write(u & ((1 << s) - 1), s)
+        run = 0
+    if last_nz < 63:
+        bw.write(*ac_codes[0x00])       # EOB
+    return dc
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 -> baseline JFIF bytes."""
+    a = np.asarray(arr, np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    qts = [_scaled_q(_Q_LUMA, quality), _scaled_q(_Q_CHROMA, quality)]
+    out = bytearray(b"\xFF\xD8")
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xFF\xE0" + struct.pack(">H", len(app0) + 2) + app0
+    for tq, q in enumerate(qts[:1 if gray else 2]):
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq]) + \
+            bytes(int(x) for x in q)
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xFF\xC0" + struct.pack(">H", len(sof) + 2) + sof
+    specs = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
+    if not gray:
+        specs += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
+    for tc, th, (bits, values) in specs:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        out += b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3F\x00"
+    out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_l = _encode_huffman(*_DC_LUMA)
+    ac_l = _encode_huffman(*_AC_LUMA)
+    dc_c = _encode_huffman(*_DC_CHROMA)
+    ac_c = _encode_huffman(*_AC_CHROMA)
+    bw = _BitWriter()
+    bh_, bw_ = -(-h // 8), -(-w // 8)
+    # pad planes to block multiples by edge replication
+    padded = []
+    for p in planes:
+        pp = np.pad(p, ((0, bh_ * 8 - h), (0, bw_ * 8 - w)),
+                    mode="edge")
+        padded.append(pp)
+    # forward DCT whole-plane: blocks (n, 8, 8)
+    quant = []
+    for ci, pp in enumerate(padded):
+        blocks = pp.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8) - 128.0
+        coef = np.einsum("kx,nxy,ly->nkl", _DCT_M, blocks, _DCT_M)
+        q = qts[0 if ci == 0 else 1]
+        # quantize in natural order, store zigzag (scan order)
+        qn = np.round(coef.reshape(-1, 64) /
+                      _nat_order(q)[None, :]).astype(np.int64)
+        quant.append(qn[:, ZIGZAG])
+    preds = [0] * len(planes)
+    for m in range(bh_ * bw_):
+        for ci in range(len(planes)):
+            dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            preds[ci] = _encode_block(bw, quant[ci][m],
+                                      None, dct, act, preds[ci])
+    bw.flush()
+    out += bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _nat_order(q_zz: np.ndarray) -> np.ndarray:
+    """Zigzag-order quant table -> natural (row-major) order."""
+    nat = np.zeros(64, np.int64)
+    nat[ZIGZAG] = q_zz
+    return nat

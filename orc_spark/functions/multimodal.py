@@ -15,13 +15,20 @@ REAL decoders (r4, pure numpy — no codec libraries needed):
 * ``decode_png`` (r5) — 8-bit gray/RGB/RGBA non-interlaced PNG:
   chunk walk with CRC verification, stdlib-zlib inflate, all five
   scanline filters (None/Sub/Up/Average/Paeth) -> (h, w, 3) RGB.
+* ``jpeg_pure.decode_jpeg`` (r5) — baseline JPEG (SOF0): huffman
+  entropy decode, gray/4:4:4/4:2:2/4:2:0 subsampling, restart
+  markers, batched-einsum IDCT, YCbCr->RGB; ``encode_jpeg`` emits
+  baseline 4:4:4/gray with the spec's Annex K tables.  Verified
+  against real libjpeg-produced files (tests decode them) and
+  q=100 round-trips within +-3/255 on noise.
 
 All container formats are fully public (BMP and WAVE documented by
-Microsoft, PPM by netpbm, PNG by the W3C spec) and patent-free —
-exactly the "decode behind the mapInPandas surface" the brief asks
-for without shipping a codec stack.  ``extract_features`` dispatches
-on mime and produces fixed-width pixel/sample statistics; formats
-needing licensed/complex codecs (JPEG/MP3/video) still raise
+Microsoft, PPM by netpbm, PNG by the W3C spec, JPEG by ITU-T T.81 —
+whose patents expired decades ago) — exactly the "decode behind the
+mapInPandas surface" the brief asks for without shipping a codec
+stack.  ``extract_features`` dispatches on mime and produces
+fixed-width pixel/sample statistics; the remaining formats
+(progressive JPEG, MP3, video codecs) still raise
 NotImplementedError — plug PIL/ffmpeg into the same kernel seam on a
 production cluster.
 ``_fake_decode`` remains only for the legacy ``image/x-fake`` mime
@@ -475,15 +482,19 @@ def _audio_features(samples: np.ndarray, rate: int,
 def decode_media(payload: bytes, mime: str, dim: int = FEATURE_DIM
                  ) -> np.ndarray:
     """payload -> fixed-width feature vector, dispatched on mime.
-    BMP/PNG/PPM/WAV decode for REAL; image/x-fake keeps the legacy
-    byte-math stand-in (plumbing oracle); anything else (JPEG, MP3,
-    video codecs) raises — plug a real codec stack into this seam."""
+    BMP/PNG/JPEG/PPM/WAV decode for REAL; image/x-fake keeps the
+    legacy byte-math stand-in (plumbing oracle); anything else
+    (progressive JPEG, MP3, video codecs) raises — plug a real codec
+    stack into this seam."""
     if payload is None:
         return np.zeros(dim, dtype=np.float32)
     if mime == "image/bmp":
         return _image_features(decode_bmp(payload), dim)
     if mime == "image/png":
         return _image_features(decode_png(payload), dim)
+    if mime == "image/jpeg":
+        from .jpeg_pure import decode_jpeg
+        return _image_features(decode_jpeg(payload), dim)
     if mime == "image/x-portable-pixmap":
         return _image_features(decode_ppm(payload), dim)
     if mime == "audio/wav":
@@ -544,6 +555,12 @@ def resize_media(media: DataFrame, w: int, h: int) -> DataFrame:
                 elif m == "image/png" and p is not None:
                     out_p.append(encode_png(
                         resize_nearest(decode_png(p), w, h)))
+                    out_w.append(w)
+                    out_h.append(h)
+                elif m == "image/jpeg" and p is not None:
+                    from .jpeg_pure import decode_jpeg, encode_jpeg
+                    out_p.append(encode_jpeg(
+                        resize_nearest(decode_jpeg(p), w, h)))
                     out_w.append(w)
                     out_h.append(h)
                 else:
