@@ -1014,3 +1014,68 @@ def test_orc_scan_dotted_corpus_parity(spark):
             spark, p, columns=["middle.list"]).collect()
         assert [r["middle.list"] for r in dotted] == \
             [r["v"] for r in full], fname
+
+
+def test_orc_scan_dotted_fuzz_random_nested_schemas(spark, tmp_path):
+    """Seeded fuzz (mirrors test_merge_fuzz): random nullable nested
+    struct schemas, random dotted leaf selections — flattened dotted
+    values must equal nested extraction from a full scan on every
+    trial.  Catches ancestor-PRESENT chain bugs (nulls at any level),
+    fast-path/generic divergence, and id-resolution errors."""
+    import pyarrow as pa
+    rng = np.random.default_rng(77)
+    leaf_makers = [
+        lambda n, null: pa.array(
+            [None if null(i) else int(rng.integers(-10**9, 10**9))
+             for i in range(n)], pa.int64()),
+        lambda n, null: pa.array(
+            [None if null(i) else f"s{int(rng.integers(0, 30)):02d}"
+             for i in range(n)], pa.string()),
+        lambda n, null: pa.array(
+            [None if null(i) else float(rng.normal())
+             for i in range(n)], pa.float64()),
+    ]
+    for trial in range(4):
+        n = int(rng.integers(50, 300))
+        p_null = float(rng.uniform(0, 0.3))
+        null = lambda i: rng.random() < p_null  # noqa: E731
+        # two-level nesting: outer struct of (inner struct + leaf)
+        inner_fields, inner_arrays = [], []
+        for j in range(int(rng.integers(1, 4))):
+            mk = leaf_makers[int(rng.integers(0, 3))]
+            arr = mk(n, null)
+            inner_fields.append((f"l{j}", arr.type))
+            inner_arrays.append(arr)
+        inner = pa.StructArray.from_arrays(
+            inner_arrays, names=[f for f, _ in inner_fields],
+            mask=pa.array([null(i) for i in range(n)]))
+        outer = pa.StructArray.from_arrays(
+            [inner, leaf_makers[0](n, null)],
+            names=["mid", "leaf"],
+            mask=pa.array([null(i) for i in range(n)]))
+        tbl = pa.table({"rec": outer,
+                        "plain": pa.array(range(n), pa.int64())})
+        d = tmp_path / f"fz{trial}"
+        d.mkdir()
+        w = orcwriter.ORCFileWriter(str(d / "a.orc"), codec="zlib",
+                                    stripe_rows=max(16, n // 3))
+        for b in tbl.to_batches():
+            w.write_batch(b)
+        w.close()
+        paths = ["rec.leaf"] + \
+            [f"rec.mid.{f}" for f, _ in inner_fields]
+        sel = [p for p in paths
+               if rng.random() < 0.8] or [paths[0]]
+        full = orcscan.orc_scan(spark, str(d / "a.orc")) \
+            .select("plain", *[F.col(p).alias(p.replace(".", "_"))
+                               for p in sel]) \
+            .orderBy("plain").collect()
+        dotted = orcscan.orc_scan(spark, str(d / "a.orc"),
+                                  columns=["plain"] + sel) \
+            .orderBy("plain").collect()
+        for fr, dr in zip(full, dotted):
+            for p in sel:
+                a, b = fr[p.replace(".", "_")], dr[p]
+                assert (a == b) or (a is None and b is None) or \
+                    (isinstance(a, float) and a != a and b != b), \
+                    (trial, p, a, b)
