@@ -1068,8 +1068,12 @@ def _q_mm_decode(spark, sf_dir):
     fake = multimodal.synthesize_media(spark, docs)
     real = multimodal.synthesize_real_media(spark, docs)
     png = multimodal.synthesize_png_media(spark, docs)
+    # jpg-* rows: 8x8-constant-tile grayscale baseline JPEGs decode
+    # BIT-EXACTLY (DC-only blocks, unscaled Annex K tables at q=50),
+    # so even the lossy format gets an exact DuckDB oracle
+    jpg = multimodal.synthesize_jpeg_media(spark, docs)
     return _feat_sum_df(multimodal.extract_features(
-        fake.unionByName(real).unionByName(png)))
+        fake.unionByName(real).unionByName(png).unionByName(jpg)))
 
 
 def _q_mm_transform(spark, sf_dir):
@@ -1953,7 +1957,26 @@ def oracle_sql() -> dict[str, str]:
                      + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
                      + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
                      3) AS feat_sum
-            FROM png)""",
+            FROM png)
+            UNION ALL SELECT * FROM (
+            WITH jpg AS (
+              SELECT doc_id AS d,
+                     list_transform(range(0, 1152), i ->
+                       CAST(2*((d*13 +
+                         ((i//72//8)*3 + ((i%72)//3)//8)*29) % 128)
+                            AS DOUBLE)) AS v
+              FROM documents)
+            SELECT 'jpg-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(24.0 + 16.0 + 3.0
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM jpg)""",
         # REAL decode (r4): raster/sample i of doc d is the pure
         # function below; feature addition order mirrors the Spark
         # kernel's left-to-right fold exactly (bit-identical doubles)

@@ -459,6 +459,41 @@ def synthesize_png_media(spark, docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def synthesize_jpeg_media(spark, docs: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG payloads with an EXACT oracle (r5): each
+    doc becomes a 24x16 grayscale JPEG of 8x8-CONSTANT tiles, tile t
+    of doc d valued ``2*((d*13 + t*29) % 128)``.  Constant tiles have
+    a DC-only DCT; at quality 50 the Annex K tables apply unscaled
+    and even tile values make the quantized DC exact, so the decode
+    is BIT-EXACT (pinned by test) and a DuckDB oracle recomputes the
+    decoded statistics from the tile formula — a real lossy-format
+    codec behind a driver correctness row."""
+    from .jpeg_pure import encode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "mime",
+                                    "payload", "width", "height",
+                                    "duration_ms")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = np.zeros((MEDIA_H, MEDIA_W), np.uint8)
+                for t in range(6):
+                    ty, tx = divmod(t, 3)
+                    img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = \
+                        2 * ((d * 13 + t * 29) % 128)
+                rows["media_id"].append(f"jpg-{d}")
+                rows["kind"].append("image")
+                rows["mime"].append("image/jpeg")
+                rows["payload"].append(encode_jpeg(img, quality=50))
+                rows["width"].append(MEDIA_W)
+                rows["height"].append(MEDIA_H)
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def _image_features(arr: np.ndarray, dim: int) -> np.ndarray:
     h, w, _ = arr.shape
     px = arr.astype(np.float64)

@@ -999,3 +999,20 @@ def test_jpeg_features_and_resize(spark):
     for r in small:
         got = J.decode_jpeg(bytes(r["payload"]))
         assert got.shape == (8, 8, 3)
+
+
+def test_jpeg_tile_constant_decode_is_bit_exact():
+    """The mm_decode oracle premise: 8x8-constant-tile grayscale
+    JPEGs at quality 50 (unscaled Annex K tables, DC-only blocks,
+    even values) round-trip BIT-EXACTLY — any quantizer, predictor,
+    or IDCT drift breaks this before it breaks the driver row."""
+    from orc_spark.functions import jpeg_pure as J
+    for d in (0, 1, 7, 123, 9999, 54321):
+        img = np.zeros((16, 24), np.uint8)
+        for t in range(6):
+            ty, tx = divmod(t, 3)
+            img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = \
+                2 * ((d * 13 + t * 29) % 128)
+        dec = J.decode_jpeg(J.encode_jpeg(img, quality=50))
+        assert (dec[:, :, 0] == img).all() and \
+            (dec[:, :, 1] == img).all() and (dec[:, :, 2] == img).all()
