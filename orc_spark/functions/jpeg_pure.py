@@ -1,13 +1,24 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 / JFIF).
+"""Pure-numpy JPEG codec (ITU-T T.81 / JFIF): baseline + progressive.
 
-Decode supports the format real corpora actually contain: baseline
-sequential DCT (SOF0), 8-bit samples, gray / 4:4:4 / 4:2:2 / 4:2:0
-chroma subsampling, restart markers, 0xFF00 byte stuffing, multiple
-DQT/DHT segments.  Progressive (SOF2), arithmetic coding and 12-bit
-depth reject loudly.  Encode emits baseline 4:4:4 (or grayscale)
-with the spec's Annex K quantization + huffman tables and a quality
-knob — enough to synthesize deterministic fixtures and re-encode
-after transforms.
+Decode supports the formats real corpora actually contain: baseline
+sequential DCT (SOF0/1) and progressive DCT (SOF2, r5) — 8-bit
+samples, gray / 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart
+markers, 0xFF00 byte stuffing, multiple DQT/DHT segments, and for
+progressive the full scan alphabet of T.81 G.1.2: spectral-selection
+bands, successive-approximation DC/AC first and refinement passes,
+interleaved DC scans, EOB runs (EOBn) and in-run correction bits.
+Coefficients accumulate across every scan and the image is
+reconstructed once at EOI.  Arithmetic coding, hierarchical mode and
+12-bit depth reject loudly.
+
+Encode emits baseline 4:4:4 (or grayscale) with the spec's Annex K
+tables and a quality knob, or — with ``progressive=True`` — an SOF2
+stream using libjpeg's standard simple-progression scan script with
+OPTIMIZED per-scan huffman tables (T.81 K.2 two-least-frequent merge
+with the 16-bit length limit), which exercises EOBn symbols Annex K
+tables cannot express.  Both modes quantize identically, so decoding
+a progressive encode is bit-identical to decoding the baseline
+encode of the same image (pinned by test).
 
 Everything here follows the PUBLIC spec; the entropy decode is a
 Python bit loop (sequential by nature), while dequantize + IDCT +
@@ -150,6 +161,7 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 2
             elif 0xD0 <= nxt <= 0xD7:
+                self.pos += 2            # consume the whole RSTn
                 raise _RestartMarker(nxt)
             else:
                 raise ValueError(
@@ -198,7 +210,9 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, 3) RGB uint8 (grayscale broadcasts)."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (h, w, 3) RGB
+    uint8 (grayscale broadcasts).  Progressive accumulates DCT
+    coefficients across every scan and reconstructs once at EOI."""
     d = bytes(payload)
     if d[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (no SOI)")
@@ -206,14 +220,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}   # (class, id) -> table
     frame = None
+    progressive = False
     restart_interval = 0
-    while True:
+    scanned = False
+    while pos < len(d) - 1:
         if d[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        while d[pos + 1] == 0xFF:            # optional fill bytes
+            pos += 1
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD9:       # EOI
-            raise ValueError("jpeg: EOI before SOS")
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue             # standalone
         ln = struct.unpack_from(">H", d, pos)[0]
@@ -233,7 +251,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         .astype(np.int64)
                     i += 128
                 qt[tq] = tbl
-        elif marker == 0xC4:     # DHT
+        elif marker == 0xC4:     # DHT (redefinable between scans)
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 15
@@ -242,7 +260,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(seg[i + 17:i + 17 + nv])
                 huff[(tc, th)] = _build_huffman(bits, values)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], \
                 struct.unpack_from(">H", seg, 1)[0], \
                 struct.unpack_from(">H", seg, 3)[0], seg[5]
@@ -255,88 +274,254 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     seg[8 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]          # blocks per row
+                c["bh"] = mcuy * c["v"]
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+                # non-interleaved scan grid (T.81 A.2.2): ceil of the
+                # component's own sample dimensions, NOT the MCU pad
+                cw = -(-w * c["h"] // hmax)
+                ch = -(-h * c["v"] // vmax)
+                c["nbw"] = -(-cw // 8)
+                c["nbh"] = -(-ch // 8)
+            frame = {"h": h, "w": w, "comps": comps, "hmax": hmax,
+                     "vmax": vmax, "mcux": mcux, "mcuy": mcuy}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"jpeg: SOF 0x{marker:02X} unsupported (progressive/"
-                f"arithmetic/hierarchical — baseline SOF0 only)")
+                f"jpeg: SOF 0x{marker:02X} unsupported (arithmetic/"
+                f"hierarchical/lossless — SOF0/1/2 only)")
         elif marker == 0xDD:     # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xDA:     # SOS
+        elif marker == 0xDA:     # SOS: decode one scan, keep parsing
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
-            ns = seg[0]
-            sel = {}
-            for c in range(ns):
-                cs, tt = seg[1 + c * 2], seg[2 + c * 2]
-                sel[cs] = (tt >> 4, tt & 15)
-            break
+            pos = _decode_scan(d, pos, seg, frame, huff,
+                               restart_interval, progressive)
+            scanned = True
         # APPn / COM / others: skipped via the length field
+    if frame is None or not scanned:
+        raise ValueError("jpeg: no image scan present")
+    return _reconstruct(frame, qt)
 
-    comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]          # blocks per row
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
-        c["dc_t"], c["ac_t"] = sel[c["id"]]
-        c["pred"] = 0
 
+def _decode_scan(d: bytes, pos: int, seg: bytes, frame, huff,
+                 restart_interval: int, progressive: bool) -> int:
+    """Decode one entropy-coded scan into the frame's coefficient
+    arrays; returns the offset of the next marker.  Handles baseline
+    full-band scans and all four progressive scan kinds."""
+    ns = seg[0]
+    scomps = []
+    for c in range(ns):
+        cs, tt = seg[1 + c * 2], seg[2 + c * 2]
+        comp = next((cc for cc in frame["comps"] if cc["id"] == cs),
+                    None)
+        if comp is None:
+            raise ValueError(f"jpeg: scan references unknown "
+                             f"component {cs}")
+        comp["dc_t"], comp["ac_t"] = tt >> 4, tt & 15
+        comp["pred"] = 0
+        scomps.append(comp)
+    if progressive:
+        ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+        ahal = seg[3 + ns * 2]
+        ah, al = ahal >> 4, ahal & 15
+        if ss > 0 and ns != 1:
+            raise ValueError("jpeg: interleaved progressive AC scan")
+        if ss == 0 and se != 0:
+            raise ValueError("jpeg: progressive DC scan with Se != 0")
+    else:
+        ss, se, ah, al = 0, 63, 0, 0
+
+    interleaved = ns > 1
+    if interleaved:
+        n_units = frame["mcux"] * frame["mcuy"]
+    else:
+        c0 = scomps[0]
+        n_units = c0["nbw"] * c0["nbh"]
+    state = {"eobrun": 0}
     br = _BitReader(d, pos)
-    mcu = 0
-    n_mcu = mcux * mcuy
-    while mcu < n_mcu:
-        try:
-            my, mx = divmod(mcu, mcux)
-            for c in comps:
-                dct = huff[(0, c["dc_t"])]
-                act = huff[(1, c["ac_t"])]
+
+    def visit(unit):
+        """Yield (comp, storage_index) for each block of this unit in
+        scan order."""
+        if interleaved:
+            my, mx = divmod(unit, frame["mcux"])
+            for c in scomps:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = np.zeros(64, np.int64)
-                        t = br.decode(dct)
-                        diff = _extend(br.bits(t), t)
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode(act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16   # ZRL
-                                    continue
-                                break         # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "jpeg: AC run past block end")
-                            blk[k] = _extend(br.bits(s), s)
-                            k += 1
                         row = my * c["v"] + by
                         col = mx * c["h"] + bx
-                        c["coef"][row * c["bw"] + col] = blk
-            mcu += 1
-            if restart_interval and mcu % restart_interval == 0 \
-                    and mcu < n_mcu:
+                        yield c, row * c["bw"] + col
+        else:
+            c = scomps[0]
+            row, col = divmod(unit, c["nbw"])
+            yield c, row * c["bw"] + col
+
+    u = 0
+    while u < n_units:
+        try:
+            for c, idx in visit(u):
+                blk = c["coef"][idx]
+                if not progressive:
+                    _block_baseline(br, blk, c, huff)
+                elif ss == 0 and ah == 0:
+                    _block_dc_first(br, blk, c, huff, al)
+                elif ss == 0:
+                    blk[0] |= br.bit() << al
+                elif ah == 0:
+                    _block_ac_first(br, blk, huff[(1, c["ac_t"])],
+                                    ss, se, al, state)
+                else:
+                    _block_ac_refine(br, blk, huff[(1, c["ac_t"])],
+                                     ss, se, al, state)
+            u += 1
+            if restart_interval and u % restart_interval == 0 \
+                    and u < n_units:
                 br.align_to_marker()
-                # consume the RSTn marker if present
                 if d[br.pos] == 0xFF and 0xD0 <= d[br.pos + 1] <= 0xD7:
                     br.pos += 2
-                for c in comps:
+                for c in scomps:
                     c["pred"] = 0
+                state["eobrun"] = 0
         except _RestartMarker:
-            br.pos += 1          # second marker byte
+            # marker arrived mid-unit: resync (the unit restarts)
             br.align_to_marker()
-            for c in comps:
+            for c in scomps:
                 c["pred"] = 0
+            state["eobrun"] = 0
+    # skip any padding / stray RSTs up to the next true marker
+    p = br.pos
+    while p < len(d) - 1:
+        if d[p] == 0xFF and d[p + 1] not in (0x00, 0xFF):
+            if 0xD0 <= d[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(d)
 
-    # dequantize + dezigzag + IDCT, whole-plane batched
+
+def _block_baseline(br, blk, c, huff):
+    """Full-band sequential block (T.81 F.2.2)."""
+    dct = huff[(0, c["dc_t"])]
+    act = huff[(1, c["ac_t"])]
+    t = br.decode(dct)
+    diff = _extend(br.bits(t), t)
+    c["pred"] += diff
+    blk[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = br.decode(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16   # ZRL
+                continue
+            break         # EOB
+        k += r
+        if k > 63:
+            raise ValueError("jpeg: AC run past block end")
+        blk[k] = _extend(br.bits(s), s)
+        k += 1
+
+
+def _block_dc_first(br, blk, c, huff, al):
+    """Progressive DC first pass (G.1.2.1): the point-transformed DC
+    arrives as a normal DPCM diff, stored shifted up by Al."""
+    t = br.decode(huff[(0, c["dc_t"])])
+    diff = _extend(br.bits(t), t)
+    c["pred"] += diff
+    blk[0] = c["pred"] << al
+
+
+def _block_ac_first(br, blk, act, ss, se, al, state):
+    """Progressive AC first pass over band [Ss, Se] (G.1.2.2) with
+    EOBn run-length accounting shared across blocks via ``state``."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16          # ZRL
+                continue
+            er = 1 << r          # EOBn: run of 2^r + appended bits
+            if r:
+                er += br.bits(r)
+            state["eobrun"] = er - 1   # this block is run member 1
+            return
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC run past band end")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+
+
+def _block_ac_refine(br, blk, act, ss, se, al, state):
+    """Progressive AC refinement (G.1.2.3): correction bits for
+    history-nonzero coefficients, magnitude-1 insertions for newly
+    nonzero ones, EOB runs still carrying correction bits."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = br.decode(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    er = 1 << r
+                    if r:
+                        er += br.bits(r)
+                    state["eobrun"] = er
+                    break        # rest of block under EOB logic below
+                newval = 0       # ZRL: skip 16 zero-history coeffs
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "jpeg: refinement coefficient size != 1")
+                newval = p1 if br.bit() else m1
+            # advance over r zero-history coefficients, correcting
+            # the nonzero-history ones passed on the way
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break    # target zero-history slot
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("jpeg: refinement run past band")
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        # EOB-run blocks still carry correction bits for their
+        # remaining nonzero-history coefficients
+        while k <= se:
+            if blk[k] != 0:
+                if br.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(frame, qt) -> np.ndarray:
+    """Dequantize + dezigzag + IDCT, whole-plane batched; upsample
+    and color-convert."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
         q = qt[c["tq"]]
@@ -438,8 +623,13 @@ def _encode_block(bw, blk_zz, qtab, dc_codes, ac_codes, pred):
     return dc
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) RGB or (h, w) gray uint8 -> baseline JFIF bytes."""
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                progressive: bool = False) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 -> JFIF bytes.  Baseline
+    SOF0 with Annex K tables by default; ``progressive=True`` emits
+    an SOF2 stream (libjpeg's simple-progression scan script,
+    optimized per-scan AC huffman tables).  Both modes quantize
+    identically, so their decodes are bit-identical."""
     a = np.asarray(arr, np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
@@ -453,6 +643,21 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
     qts = [_scaled_q(_Q_LUMA, quality), _scaled_q(_Q_CHROMA, quality)]
+    bh_, bw_ = -(-h // 8), -(-w // 8)
+    # pad planes to block multiples by edge replication, then forward
+    # DCT whole-plane (blocks (n, 8, 8)); store quantized zigzag
+    quant = []
+    for ci, p in enumerate(planes):
+        pp = np.pad(p, ((0, bh_ * 8 - h), (0, bw_ * 8 - w)),
+                    mode="edge")
+        blocks = pp.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8) - 128.0
+        coef = np.einsum("kx,nxy,ly->nkl", _DCT_M, blocks, _DCT_M)
+        q = qts[0 if ci == 0 else 1]
+        qn = np.round(coef.reshape(-1, 64) /
+                      _nat_order(q)[None, :]).astype(np.int64)
+        quant.append(qn[:, ZIGZAG])
+
     out = bytearray(b"\xFF\xD8")
     # JFIF APP0
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -464,52 +669,45 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for c in range(nc):
         sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
-    out += b"\xFF\xC0" + struct.pack(">H", len(sof) + 2) + sof
+    sof_marker = b"\xFF\xC2" if progressive else b"\xFF\xC0"
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    if progressive:
+        _emit_progressive_scans(out, quant, gray)
+    else:
+        _emit_baseline_scan(out, quant, gray, nc)
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _dht_segment(tc: int, th: int, bits, values) -> bytes:
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    return b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _emit_baseline_scan(out: bytearray, quant, gray: bool, nc: int):
     specs = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
     if not gray:
         specs += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
     for tc, th, (bits, values) in specs:
-        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
-        out += b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+        out += _dht_segment(tc, th, bits, values)
     sos = bytes([nc])
     for c in range(nc):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
     sos += b"\x00\x3F\x00"
     out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
-
     dc_l = _encode_huffman(*_DC_LUMA)
     ac_l = _encode_huffman(*_AC_LUMA)
     dc_c = _encode_huffman(*_DC_CHROMA)
     ac_c = _encode_huffman(*_AC_CHROMA)
     bw = _BitWriter()
-    bh_, bw_ = -(-h // 8), -(-w // 8)
-    # pad planes to block multiples by edge replication
-    padded = []
-    for p in planes:
-        pp = np.pad(p, ((0, bh_ * 8 - h), (0, bw_ * 8 - w)),
-                    mode="edge")
-        padded.append(pp)
-    # forward DCT whole-plane: blocks (n, 8, 8)
-    quant = []
-    for ci, pp in enumerate(padded):
-        blocks = pp.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3) \
-            .reshape(-1, 8, 8) - 128.0
-        coef = np.einsum("kx,nxy,ly->nkl", _DCT_M, blocks, _DCT_M)
-        q = qts[0 if ci == 0 else 1]
-        # quantize in natural order, store zigzag (scan order)
-        qn = np.round(coef.reshape(-1, 64) /
-                      _nat_order(q)[None, :]).astype(np.int64)
-        quant.append(qn[:, ZIGZAG])
-    preds = [0] * len(planes)
-    for m in range(bh_ * bw_):
-        for ci in range(len(planes)):
+    preds = [0] * len(quant)
+    for m in range(quant[0].shape[0]):
+        for ci in range(len(quant)):
             dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
             preds[ci] = _encode_block(bw, quant[ci][m],
                                       None, dct, act, preds[ci])
     bw.flush()
     out += bw.out
-    out += b"\xFF\xD9"
-    return bytes(out)
 
 
 def _nat_order(q_zz: np.ndarray) -> np.ndarray:
@@ -517,3 +715,268 @@ def _nat_order(q_zz: np.ndarray) -> np.ndarray:
     nat = np.zeros(64, np.int64)
     nat[ZIGZAG] = q_zz
     return nat
+
+
+# -------------------------------------------------------------------
+# progressive encoder (SOF2, libjpeg simple-progression scan script,
+# optimized per-scan AC huffman tables per T.81 K.2)
+# -------------------------------------------------------------------
+
+# (component indices, Ss, Se, Ah, Al) — ends at Al=0 everywhere, so
+# the full quantized coefficients are transmitted losslessly
+_SCANS_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),   # DC first, coarse
+    ((0,), 1, 5, 0, 2),        # luma low AC band, coarse
+    ((2,), 1, 63, 0, 1),       # chroma full AC bands
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),       # luma high AC band, coarse
+    ((0,), 1, 63, 2, 1),       # luma AC refine 2 -> 1
+    ((0, 1, 2), 0, 0, 1, 0),   # DC refine -> exact
+    ((2,), 1, 63, 1, 0),       # chroma AC refine -> exact
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),       # luma AC refine -> exact
+]
+_SCANS_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _emit_progressive_scans(out: bytearray, quant, gray: bool):
+    """Emit every scan of the progression: per scan, an optimized
+    DHT (AC scans) or the Annex K DC tables (first DC scan), the SOS
+    header, then the entropy-coded token stream."""
+    dc_emitted = False
+    for scan in (_SCANS_GRAY if gray else _SCANS_COLOR):
+        comps, ss, se, ah, al = scan
+        toks = _scan_tokens(quant, comps, ss, se, ah, al)
+        tables = {}
+        if ss == 0 and ah == 0:          # DC first needs DC tables
+            if not dc_emitted:
+                out += _dht_segment(0, 0, *_DC_LUMA)
+                if not gray:
+                    out += _dht_segment(0, 1, *_DC_CHROMA)
+                dc_emitted = True
+            tables[(0, 0)] = _encode_huffman(*_DC_LUMA)
+            tables[(0, 1)] = _encode_huffman(*_DC_CHROMA)
+        elif ss > 0:                     # AC scan: optimized table
+            tid = 0 if comps[0] == 0 else 1
+            freqs = {}
+            for t in toks:
+                if t[0] == "s":
+                    freqs[t[3]] = freqs.get(t[3], 0) + 1
+            if freqs:
+                bits, values = _optimal_table(freqs)
+            else:                        # all-EOB scan still needs
+                bits, values = _optimal_table({0x00: 1})   # a table
+            out += _dht_segment(1, tid, bits, values)
+            tables[(1, tid)] = _encode_huffman(bits, values)
+        # DC refinement reads raw bits only: no tables
+        sos = bytes([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) |
+                          (0 if ci == 0 else 1)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+        bw = _BitWriter()
+        for t in toks:
+            if t[0] == "s":
+                code, ln = tables[(t[1], t[2])][t[3]]
+                bw.write(code, ln)
+            else:
+                bw.write(t[1], t[2])
+        bw.flush()
+        out += bw.out
+
+
+def _scan_tokens(quant, comps, ss, se, ah, al):
+    """One scan -> token list: ("s", tc, th, symbol) huffman symbols
+    and ("b", value, nbits) raw appended bits, in stream order."""
+    if ss == 0 and ah == 0:
+        return _tokens_dc_first(quant, comps, al)
+    if ss == 0:
+        return _tokens_dc_refine(quant, comps, al)
+    ci = comps[0]
+    tid = 0 if ci == 0 else 1
+    if ah == 0:
+        return _tokens_ac_first(quant[ci], ss, se, al, tid)
+    return _tokens_ac_refine(quant[ci], ss, se, al, tid)
+
+
+def _tokens_dc_first(quant, comps, al):
+    toks = []
+    preds = {ci: 0 for ci in comps}
+    for m in range(quant[comps[0]].shape[0]):
+        for ci in comps:
+            v = int(quant[ci][m][0]) >> al   # DC: arithmetic shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = abs(diff).bit_length()
+            toks.append(("s", 0, 0 if ci == 0 else 1, t))
+            if t:
+                u = diff if diff >= 0 else diff + (1 << t) - 1
+                toks.append(("b", u & ((1 << t) - 1), t))
+    return toks
+
+
+def _tokens_dc_refine(quant, comps, al):
+    return [("b", (int(quant[ci][m][0]) >> al) & 1, 1)
+            for m in range(quant[comps[0]].shape[0])
+            for ci in comps]
+
+
+def _tokens_ac_first(q, ss, se, al, tid):
+    toks = []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            toks.append(("s", 1, tid, nb << 4))
+            if nb:
+                toks.append(("b", eobrun - (1 << nb), nb))
+            eobrun = 0
+
+    for m in range(q.shape[0]):
+        blk = q[m]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al                 # AC: magnitude shift
+            if t == 0:
+                r += 1
+                continue
+            if v < 0:
+                t = -t
+            flush()
+            while r > 15:
+                toks.append(("s", 1, tid, 0xF0))   # ZRL
+                r -= 16
+            s = abs(t).bit_length()
+            toks.append(("s", 1, tid, (r << 4) | s))
+            u = t if t >= 0 else t + (1 << s) - 1
+            toks.append(("b", u & ((1 << s) - 1), s))
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return toks
+
+
+def _tokens_ac_refine(q, ss, se, al, tid):
+    """G.1.2.3 refinement encoder: correction bits buffer per block
+    (``br``), EOB-run correction bits (``pend``) flushed after the
+    EOBn symbol, ZRLs suppressed past the last newly-nonzero
+    coefficient (folded into the EOB run)."""
+    toks = []
+    eobrun = 0
+    pend = []
+
+    def flush():
+        nonlocal eobrun, pend
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            toks.append(("s", 1, tid, nb << 4))
+            if nb:
+                toks.append(("b", eobrun - (1 << nb), nb))
+            eobrun = 0
+        toks.extend(("b", b, 1) for b in pend)
+        pend = []
+
+    for m in range(q.shape[0]):
+        blk = q[m]
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush()
+                toks.append(("s", 1, tid, 0xF0))
+                toks.extend(("b", b, 1) for b in br)
+                br = []
+                r -= 16
+            if t > 1:                    # history-nonzero: 1 bit
+                br.append(t & 1)
+                continue
+            flush()                      # newly nonzero (t == 1)
+            toks.append(("s", 1, tid, (r << 4) | 1))
+            toks.append(("b", 1 if int(blk[ss + i]) > 0 else 0, 1))
+            toks.extend(("b", b, 1) for b in br)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF or len(pend) > 900:
+                flush()
+    flush()
+    return toks
+
+
+def _optimal_table(freq_map):
+    """Frequencies -> (bits[1..16], values) per T.81 K.2: repeated
+    two-least-frequent merge with the ``others`` chain, 16-bit code
+    length limiting (figure K.3), reserved all-ones symbol dropped."""
+    freq = [0] * 257
+    for s, f in freq_map.items():
+        freq[s] = f
+    freq[256] = 1          # reserved: guarantees no all-1s code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1, mn = -1, None
+        for i in range(257):
+            if freq[i] > 0 and (mn is None or freq[i] <= mn):
+                mn, v1 = freq[i], i
+        v2, mn = -1, None
+        for i in range(257):
+            if freq[i] > 0 and i != v1 and \
+                    (mn is None or freq[i] <= mn):
+                mn, v2 = freq[i], i
+        if v2 < 0:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for ln in range(32, 16, -1):         # limit to 16 bits
+        while bits[ln] > 0:
+            j = ln - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[ln] -= 2
+            bits[ln - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    ln = 16
+    while bits[ln] == 0:
+        ln -= 1
+    bits[ln] -= 1                        # drop the reserved symbol
+    values = [sym for L in range(1, 33) for sym in range(256)
+              if codesize[sym] == L]
+    return bits[1:17], values

@@ -460,14 +460,18 @@ def synthesize_png_media(spark, docs: DataFrame) -> DataFrame:
 
 
 def synthesize_jpeg_media(spark, docs: DataFrame) -> DataFrame:
-    """REAL baseline-JPEG payloads with an EXACT oracle (r5): each
-    doc becomes a 24x16 grayscale JPEG of 8x8-CONSTANT tiles, tile t
-    of doc d valued ``2*((d*13 + t*29) % 128)``.  Constant tiles have
-    a DC-only DCT; at quality 50 the Annex K tables apply unscaled
-    and even tile values make the quantized DC exact, so the decode
-    is BIT-EXACT (pinned by test) and a DuckDB oracle recomputes the
+    """REAL JPEG payloads with an EXACT oracle (r5): each doc becomes
+    a 24x16 grayscale JPEG of 8x8-CONSTANT tiles, tile t of doc d
+    valued ``2*((d*13 + t*29) % 128)``.  Constant tiles have a
+    DC-only DCT; at quality 50 the Annex K tables apply unscaled and
+    even tile values make the quantized DC exact, so the decode is
+    BIT-EXACT (pinned by test) and a DuckDB oracle recomputes the
     decoded statistics from the tile formula — a real lossy-format
-    codec behind a driver correctness row."""
+    codec behind a driver correctness row.  ODD docs encode
+    PROGRESSIVE (SOF2, successive approximation + EOB runs); both
+    modes transmit identical quantized coefficients, so the oracle
+    formula is mode-blind while the driver row exercises both entropy
+    layouts."""
     from .jpeg_pure import encode_jpeg
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -485,7 +489,8 @@ def synthesize_jpeg_media(spark, docs: DataFrame) -> DataFrame:
                 rows["media_id"].append(f"jpg-{d}")
                 rows["kind"].append("image")
                 rows["mime"].append("image/jpeg")
-                rows["payload"].append(encode_jpeg(img, quality=50))
+                rows["payload"].append(
+                    encode_jpeg(img, quality=50, progressive=d % 2 == 1))
                 rows["width"].append(MEDIA_W)
                 rows["height"].append(MEDIA_H)
                 rows["duration_ms"].append(None)
