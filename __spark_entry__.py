@@ -1068,12 +1068,17 @@ def _q_mm_decode(spark, sf_dir):
     fake = multimodal.synthesize_media(spark, docs)
     real = multimodal.synthesize_real_media(spark, docs)
     png = multimodal.synthesize_png_media(spark, docs)
-    # jpg-* rows: 8x8-constant-tile grayscale baseline JPEGs decode
-    # BIT-EXACTLY (DC-only blocks, unscaled Annex K tables at q=50),
-    # so even the lossy format gets an exact DuckDB oracle
+    # jpg-* rows: 8x8-constant-tile grayscale JPEGs decode BIT-EXACTLY
+    # (DC-only blocks, unscaled Annex K tables at q=50), so even the
+    # lossy format gets an exact DuckDB oracle; odd docs encode
+    # PROGRESSIVE (SOF2, r5) — same coefficients, second entropy layout
     jpg = multimodal.synthesize_jpeg_media(spark, docs)
+    # gif-* rows: animated 3-frame grayscale GIF89a (r5) — lossless
+    # LZW, first composited frame statistics recomputed by DuckDB
+    gif = multimodal.synthesize_gif_media(spark, docs)
     return _feat_sum_df(multimodal.extract_features(
-        fake.unionByName(real).unionByName(png).unionByName(jpg)))
+        fake.unionByName(real).unionByName(png).unionByName(jpg)
+        .unionByName(gif)))
 
 
 def _q_mm_transform(spark, sf_dir):
@@ -1106,7 +1111,15 @@ def _q_mm_transform(spark, sf_dir):
         "media_id", F.lit("frame").alias("op"),
         F.col("frame_ts_ms").cast("double").alias("v1"),
         F.lit(0.0).alias("v2"))
-    return r1.unionByName(r2)
+    # gifframe rows (r5): REAL decoded animation frames — every
+    # composited frame's start timestamp and mean, exact vs DuckDB
+    gf = multimodal.gif_frame_stats(
+        multimodal.synthesize_gif_media(spark, docs))
+    r3 = gf.select(
+        "media_id", F.lit("gifframe").alias("op"),
+        F.col("frame_ts_ms").cast("double").alias("v1"),
+        F.round("frame_mean", 3).alias("v2"))
+    return r1.unionByName(r2).unionByName(r3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1976,7 +1989,27 @@ def oracle_sql() -> dict[str, str]:
                      + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
                      + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
                      3) AS feat_sum
-            FROM jpg)""",
+            FROM jpg)
+            UNION ALL SELECT * FROM (
+            -- gif-*: first frame (f=0) of the animated grayscale
+            -- GIF; gray pixel j = (d*23 + j*29) % 256, broadcast to
+            -- RGB so the 1152-long v repeats each gray value thrice
+            WITH gif AS (
+              SELECT doc_id AS d,
+                     list_transform(range(0, 1152), i ->
+                       CAST((d*23 + (i//3)*29) % 256 AS DOUBLE)) AS v
+              FROM documents)
+            SELECT 'gif-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(24.0 + 16.0 + 3.0
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM gif)""",
         # REAL decode (r4): raster/sample i of doc d is the pure
         # function below; feature addition order mirrors the Spark
         # kernel's left-to-right fold exactly (bit-identical doubles)
@@ -2019,7 +2052,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id,
                    CAST(unnest(generate_series(0, n_chars * 10, 1000))
                         AS BIGINT) AS frame_ts_ms
-            FROM documents)""",
+            FROM documents)
+            UNION ALL
+            -- gifframe: frame f of doc d starts at f*100 ms and its
+            -- mean is the average of (d*23 + f*31 + j*29) % 256 over
+            -- the 384 gray pixels (RGB broadcast leaves it exact)
+            SELECT 'gif-' || CAST(d AS VARCHAR) AS media_id,
+                   'gifframe' AS op,
+                   CAST(f * 100 AS DOUBLE) AS v1,
+                   round(CAST(list_avg(list_transform(range(0, 384),
+                       j -> CAST((d*23 + f*31 + j*29) % 256
+                            AS DOUBLE))) AS REAL)::DOUBLE, 3) AS v2
+            FROM (SELECT doc_id AS d, unnest([0, 1, 2]) AS f
+                  FROM documents)""",
         # same planted-neighbor exact-top-10 as sim_ann_lsh: the
         # materialized index must return identical results
         

@@ -23,14 +23,15 @@ REAL decoders (r4, pure numpy — no codec libraries needed):
   q=100 round-trips within +-3/255 on noise.
 
 All container formats are fully public (BMP and WAVE documented by
-Microsoft, PPM by netpbm, PNG by the W3C spec, JPEG by ITU-T T.81 —
-whose patents expired decades ago) — exactly the "decode behind the
-mapInPandas surface" the brief asks for without shipping a codec
+Microsoft, PPM by netpbm, PNG by the W3C spec, JPEG — baseline AND
+progressive as of r5 — by ITU-T T.81, GIF by the GIF89a spec; the
+relevant patents expired decades ago) — exactly the "decode behind
+the mapInPandas surface" the brief asks for without shipping a codec
 stack.  ``extract_features`` dispatches on mime and produces
-fixed-width pixel/sample statistics; the remaining formats
-(progressive JPEG, MP3, video codecs) still raise
-NotImplementedError — plug PIL/ffmpeg into the same kernel seam on a
-production cluster.
+fixed-width pixel/sample statistics; ``gif_frame_stats`` decodes
+every frame of animated GIFs (real temporal media).  The remaining
+formats (MP3, real video codecs) still raise NotImplementedError —
+plug PIL/ffmpeg into the same kernel seam on a production cluster.
 ``_fake_decode`` remains only for the legacy ``image/x-fake`` mime
 used by the plumbing oracle.
 """
@@ -499,6 +500,94 @@ def synthesize_jpeg_media(spark, docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def _gif_gray_for(seed: int, frame: int, n: int) -> np.ndarray:
+    # distinct multipliers from the BMP/PNG formulas so a GIF-path
+    # bug can't hide behind another format's identical statistics
+    i = np.arange(n, dtype=np.int64)
+    return ((seed * 23 + frame * 31 + i * 29) % 256).astype(np.uint8)
+
+
+GIF_FRAMES = 3
+GIF_DELAY_MS = 100
+
+
+def synthesize_gif_media(spark, docs: DataFrame) -> DataFrame:
+    """REAL animated-GIF payloads (r5): every doc becomes a 3-frame
+    24x16 grayscale GIF89a (256-entry gray palette, graphic-control
+    delays), gray pixel i of frame f valued
+    ``(doc_id*23 + f*31 + i*29) % 256``.  GIF's LZW is lossless, so
+    the decode is bit-exact and a DuckDB oracle recomputes both the
+    first-frame statistics (mm_decode) and every frame's mean
+    (mm_transform's gifframe rows) from the formula."""
+    from .gif_pure import encode_gif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "mime",
+                                    "payload", "width", "height",
+                                    "duration_ms")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [_gif_gray_for(d, f, MEDIA_W * MEDIA_H)
+                          .reshape(MEDIA_H, MEDIA_W)
+                          for f in range(GIF_FRAMES)]
+                rows["media_id"].append(f"gif-{d}")
+                rows["kind"].append("image")
+                rows["mime"].append("image/gif")
+                rows["payload"].append(
+                    encode_gif(frames, [GIF_DELAY_MS] * GIF_FRAMES))
+                rows["width"].append(MEDIA_W)
+                rows["height"].append(MEDIA_H)
+                rows["duration_ms"].append(GIF_FRAMES * GIF_DELAY_MS)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_ts_ms", T.LongType()),
+    T.StructField("frame_mean", T.DoubleType()),
+])
+
+
+def gif_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL multi-frame extraction (r5): decode every composited
+    frame of GIF payloads (disposal rules applied) and emit
+    (media_id, frame_idx, frame_ts_ms, frame_mean) — frame_ts_ms is
+    the cumulative start time from the graphic-control delays.  A
+    map-only Arrow kernel: the first genuinely decoded temporal
+    media path (the video frame_sample_stub remains a plan-only
+    stub for codecs this container lacks)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from orc_spark._alloc import tune_worker
+        tune_worker()
+        from .gif_pure import decode_gif_frames
+        for pdf in batches:
+            mids, idxs, tss, means = [], [], [], []
+            for mid, mime, p in zip(pdf["media_id"], pdf["mime"],
+                                    pdf["payload"]):
+                if mime != "image/gif" or p is None:
+                    continue
+                frames, delays = decode_gif_frames(bytes(p))
+                ts = 0
+                for i, (fr, de) in enumerate(zip(frames, delays)):
+                    mids.append(mid)
+                    idxs.append(i)
+                    tss.append(ts)
+                    means.append(float(np.float32(fr.mean())))
+                    ts += de
+            yield pd.DataFrame({
+                "media_id": pd.Series(mids, dtype=object),
+                "frame_idx": pd.Series(idxs, dtype=np.int32),
+                "frame_ts_ms": pd.Series(tss, dtype=np.int64),
+                "frame_mean": pd.Series(means, dtype=np.float64),
+            })
+
+    return media.mapInPandas(kernel, GIF_FRAME_SCHEMA)
+
+
 def _image_features(arr: np.ndarray, dim: int) -> np.ndarray:
     h, w, _ = arr.shape
     px = arr.astype(np.float64)
@@ -537,6 +626,9 @@ def decode_media(payload: bytes, mime: str, dim: int = FEATURE_DIM
         return _image_features(decode_jpeg(payload), dim)
     if mime == "image/x-portable-pixmap":
         return _image_features(decode_ppm(payload), dim)
+    if mime == "image/gif":
+        from .gif_pure import decode_gif
+        return _image_features(decode_gif(payload), dim)
     if mime == "audio/wav":
         samples, rate = decode_wav(payload)
         return _audio_features(samples, rate, dim)
@@ -601,6 +693,18 @@ def resize_media(media: DataFrame, w: int, h: int) -> DataFrame:
                     from .jpeg_pure import decode_jpeg, encode_jpeg
                     out_p.append(encode_jpeg(
                         resize_nearest(decode_jpeg(p), w, h)))
+                    out_w.append(w)
+                    out_h.append(h)
+                elif m == "image/gif" and p is not None:
+                    from .gif_pure import decode_gif, encode_gif
+                    r = resize_nearest(decode_gif(p), w, h)
+                    if not ((r[:, :, 0] == r[:, :, 1]).all() and
+                            (r[:, :, 0] == r[:, :, 2]).all()):
+                        raise NotImplementedError(
+                            "gif re-encode of color frames needs "
+                            "palette quantization; decode + resize "
+                            "are supported, re-encode is gray-only")
+                    out_p.append(encode_gif(r[:, :, 0]))
                     out_w.append(w)
                     out_h.append(h)
                 else:
