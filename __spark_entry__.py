@@ -1076,9 +1076,12 @@ def _q_mm_decode(spark, sf_dir):
     # gif-* rows: animated 3-frame grayscale GIF89a (r5) — lossless
     # LZW, first composited frame statistics recomputed by DuckDB
     gif = multimodal.synthesize_gif_media(spark, docs)
+    # avi-* rows: REAL video (r5) — 4-frame MJPEG AVI; the RIFF walk
+    # + constant-tile JPEG frames decode bit-exactly (first frame)
+    avi = multimodal.synthesize_avi_media(spark, docs)
     return _feat_sum_df(multimodal.extract_features(
         fake.unionByName(real).unionByName(png).unionByName(jpg)
-        .unionByName(gif)))
+        .unionByName(gif).unionByName(avi)))
 
 
 def _q_mm_transform(spark, sf_dir):
@@ -1111,12 +1114,16 @@ def _q_mm_transform(spark, sf_dir):
         "media_id", F.lit("frame").alias("op"),
         F.col("frame_ts_ms").cast("double").alias("v1"),
         F.lit(0.0).alias("v2"))
-    # gifframe rows (r5): REAL decoded animation frames — every
-    # composited frame's start timestamp and mean, exact vs DuckDB
-    gf = multimodal.gif_frame_stats(
-        multimodal.synthesize_gif_media(spark, docs))
+    # gifframe + aviframe rows (r5): REAL decoded temporal media —
+    # every frame's start timestamp and mean, exact vs DuckDB (GIF:
+    # graphic-control delays; AVI: stream scale/rate + MJPEG frames)
+    temporal = multimodal.synthesize_gif_media(spark, docs) \
+        .unionByName(multimodal.synthesize_avi_media(spark, docs))
+    gf = multimodal.media_frame_stats(temporal)
     r3 = gf.select(
-        "media_id", F.lit("gifframe").alias("op"),
+        "media_id",
+        F.when(F.col("media_id").startswith("gif-"), F.lit("gifframe"))
+        .otherwise(F.lit("aviframe")).alias("op"),
         F.col("frame_ts_ms").cast("double").alias("v1"),
         F.round("frame_mean", 3).alias("v2"))
     return r1.unionByName(r2).unionByName(r3)
@@ -2009,7 +2016,27 @@ def oracle_sql() -> dict[str, str]:
                      + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
                      + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
                      3) AS feat_sum
-            FROM gif)""",
+            FROM gif)
+            UNION ALL SELECT * FROM (
+            -- avi-*: first MJPEG frame (f=0) of the 4-frame AVI;
+            -- six 8x8-constant tiles t valued 2*((d*37+t*41)%128),
+            -- equal pixel counts so the frame mean is the tile mean
+            WITH avi AS (
+              SELECT doc_id AS d,
+                     list_transform(range(0, 6), t ->
+                       CAST(2*((d*37 + t*41) % 128) AS DOUBLE)) AS v
+              FROM documents)
+            SELECT 'avi-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(24.0 + 16.0 + 3.0
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM avi)""",
         # REAL decode (r4): raster/sample i of doc d is the pure
         # function below; feature addition order mirrors the Spark
         # kernel's left-to-right fold exactly (bit-identical doubles)
@@ -2064,6 +2091,17 @@ def oracle_sql() -> dict[str, str]:
                        j -> CAST((d*23 + f*31 + j*29) % 256
                             AS DOUBLE))) AS REAL)::DOUBLE, 3) AS v2
             FROM (SELECT doc_id AS d, unnest([0, 1, 2]) AS f
+                  FROM documents)
+            UNION ALL
+            -- aviframe: frame f of doc d starts at f*100 ms (10 fps)
+            -- and its mean is the average of the six tile values
+            SELECT 'avi-' || CAST(d AS VARCHAR) AS media_id,
+                   'aviframe' AS op,
+                   CAST(f * 100 AS DOUBLE) AS v1,
+                   round(CAST(list_avg(list_transform(range(0, 6),
+                       t -> CAST(2*((d*37 + f*19 + t*41) % 128)
+                            AS DOUBLE))) AS REAL)::DOUBLE, 3) AS v2
+            FROM (SELECT doc_id AS d, unnest([0, 1, 2, 3]) AS f
                   FROM documents)""",
         # same planted-neighbor exact-top-10 as sim_ann_lsh: the
         # materialized index must return identical results

@@ -28,10 +28,12 @@ progressive as of r5 — by ITU-T T.81, GIF by the GIF89a spec; the
 relevant patents expired decades ago) — exactly the "decode behind
 the mapInPandas surface" the brief asks for without shipping a codec
 stack.  ``extract_features`` dispatches on mime and produces
-fixed-width pixel/sample statistics; ``gif_frame_stats`` decodes
-every frame of animated GIFs (real temporal media).  The remaining
-formats (MP3, real video codecs) still raise NotImplementedError —
-plug PIL/ffmpeg into the same kernel seam on a production cluster.
+fixed-width pixel/sample statistics; ``media_frame_stats`` decodes
+every frame of animated GIFs and of AVI videos (RIFF container walk
++ MJPEG/DIB frame codecs — real temporal media end-to-end).  The
+remaining formats (MP3, modern video codecs like H.264) still raise
+NotImplementedError — plug PIL/ffmpeg into the same kernel seam on
+a production cluster.
 ``_fake_decode`` remains only for the legacy ``image/x-fake`` mime
 used by the plumbing oracle.
 """
@@ -544,6 +546,56 @@ def synthesize_gif_media(spark, docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+AVI_FRAMES = 4
+AVI_FPS = 10
+
+
+def _avi_tile_value(d: int, f: int, t: int) -> int:
+    # even values, distinct multipliers from the jpg-* rows: constant
+    # 8x8 tiles quantize exactly at q=50 (DC-only, unscaled Annex K)
+    return 2 * ((d * 37 + f * 19 + t * 41) % 128)
+
+
+def synthesize_avi_media(spark, docs: DataFrame) -> DataFrame:
+    """REAL video payloads (r5): every doc becomes a 4-frame MJPEG
+    AVI (RIFF container, 10 fps), frame f a 24x16 grayscale image of
+    8x8-constant tiles valued ``2*((d*37 + f*19 + t*41) % 128)``.
+    Constant tiles decode BIT-EXACTLY through the JPEG path, so real
+    video — container walk + per-frame codec — sits behind an exact
+    DuckDB oracle."""
+    from .avi_pure import encode_avi
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "mime",
+                                    "payload", "width", "height",
+                                    "duration_ms")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(AVI_FRAMES):
+                    img = np.zeros((MEDIA_H, MEDIA_W), np.uint8)
+                    for t in range(6):
+                        ty, tx = divmod(t, 3)
+                        img[ty * 8:(ty + 1) * 8,
+                            tx * 8:(tx + 1) * 8] = _avi_tile_value(
+                                d, f, t)
+                    frames.append(img)
+                rows["media_id"].append(f"avi-{d}")
+                rows["kind"].append("video")
+                rows["mime"].append("video/x-msvideo")
+                rows["payload"].append(
+                    encode_avi(frames, fps=AVI_FPS, codec="MJPG",
+                               quality=50))
+                rows["width"].append(MEDIA_W)
+                rows["height"].append(MEDIA_H)
+                rows["duration_ms"].append(
+                    AVI_FRAMES * 1000 // AVI_FPS)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 GIF_FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType()),
     T.StructField("frame_idx", T.IntegerType()),
@@ -552,32 +604,42 @@ GIF_FRAME_SCHEMA = T.StructType([
 ])
 
 
-def gif_frame_stats(media: DataFrame) -> DataFrame:
-    """REAL multi-frame extraction (r5): decode every composited
-    frame of GIF payloads (disposal rules applied) and emit
-    (media_id, frame_idx, frame_ts_ms, frame_mean) — frame_ts_ms is
-    the cumulative start time from the graphic-control delays.  A
-    map-only Arrow kernel: the first genuinely decoded temporal
-    media path (the video frame_sample_stub remains a plan-only
-    stub for codecs this container lacks)."""
+def media_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL multi-frame extraction (r5): decode every frame of
+    temporal media — animated GIFs (composited per the disposal
+    rules, timestamps cumulative over the graphic-control delays)
+    and AVI videos (MJPG/DIB chunks, timestamps from the stream's
+    scale/rate) — emitting (media_id, frame_idx, frame_ts_ms,
+    frame_mean).  A map-only Arrow kernel; rows with other mimes are
+    skipped (the frame_sample_stub plan remains for codecs this
+    container lacks)."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from orc_spark._alloc import tune_worker
         tune_worker()
+        from .avi_pure import decode_avi_frames
         from .gif_pure import decode_gif_frames
         for pdf in batches:
             mids, idxs, tss, means = [], [], [], []
             for mid, mime, p in zip(pdf["media_id"], pdf["mime"],
                                     pdf["payload"]):
-                if mime != "image/gif" or p is None:
+                if p is None:
                     continue
-                frames, delays = decode_gif_frames(bytes(p))
-                ts = 0
-                for i, (fr, de) in enumerate(zip(frames, delays)):
+                if mime == "image/gif":
+                    frames, delays = decode_gif_frames(bytes(p))
+                    ts_list = []
+                    ts = 0
+                    for de in delays:
+                        ts_list.append(ts)
+                        ts += de
+                elif mime == "video/x-msvideo":
+                    frames, ts_list = decode_avi_frames(bytes(p))
+                else:
+                    continue
+                for i, (fr, ts) in enumerate(zip(frames, ts_list)):
                     mids.append(mid)
                     idxs.append(i)
                     tss.append(ts)
                     means.append(float(np.float32(fr.mean())))
-                    ts += de
             yield pd.DataFrame({
                 "media_id": pd.Series(mids, dtype=object),
                 "frame_idx": pd.Series(idxs, dtype=np.int32),
@@ -586,6 +648,10 @@ def gif_frame_stats(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(kernel, GIF_FRAME_SCHEMA)
+
+
+# decoded-frame statistics for GIFs and AVIs share one kernel
+gif_frame_stats = media_frame_stats
 
 
 def _image_features(arr: np.ndarray, dim: int) -> np.ndarray:
@@ -629,6 +695,9 @@ def decode_media(payload: bytes, mime: str, dim: int = FEATURE_DIM
     if mime == "image/gif":
         from .gif_pure import decode_gif
         return _image_features(decode_gif(payload), dim)
+    if mime == "video/x-msvideo":
+        from .avi_pure import decode_avi_frames
+        return _image_features(decode_avi_frames(payload)[0][0], dim)
     if mime == "audio/wav":
         samples, rate = decode_wav(payload)
         return _audio_features(samples, rate, dim)

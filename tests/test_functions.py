@@ -1214,6 +1214,79 @@ def test_gif_frame_stats_and_resize(spark):
         assert np.array_equal(got[:, :, 0], exp)
 
 
+def test_avi_round_trip():
+    """RIFF/AVI container: DIB frames are lossless; MJPG constant-
+    tile frames decode bit-exactly (the mm_decode oracle premise for
+    video); timestamps follow the stream's scale/rate."""
+    from orc_spark.functions import avi_pure as A
+    rng = np.random.default_rng(5)
+    fr = [rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+          for _ in range(3)]
+    frames, ts = A.decode_avi_frames(A.encode_avi(fr, fps=25,
+                                                  codec="DIB"))
+    assert ts == [0, 40, 80]
+    assert all(np.array_equal(a, b) for a, b in zip(frames, fr))
+    tiles = []
+    for f in range(4):
+        img = np.zeros((16, 24), np.uint8)
+        for t in range(6):
+            ty, tx = divmod(t, 3)
+            img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = \
+                2 * ((3 * 37 + f * 19 + t * 41) % 128)
+        tiles.append(img)
+    frames2, ts2 = A.decode_avi_frames(
+        A.encode_avi(tiles, fps=10, codec="MJPG", quality=50))
+    assert ts2 == [0, 100, 200, 300]
+    assert all(np.array_equal(a[:, :, 0], b)
+               for a, b in zip(frames2, tiles))
+
+
+def test_avi_mjpeg_dht_injection():
+    """MJPEG convention: frames may omit huffman tables; the decoder
+    splices the Annex K DHT segments before the SOS and the stripped
+    frame still decodes bit-exactly."""
+    import struct
+    from orc_spark.functions import avi_pure as A
+    from orc_spark.functions import jpeg_pure as J
+    img = np.full((16, 16), 124, np.uint8)
+    enc = J.encode_jpeg(img, quality=50)
+    out = bytearray(enc[:2])
+    pos = 2
+    while pos < len(enc) - 1:
+        m = enc[pos + 1]
+        if m == 0xDA:
+            out += enc[pos:]
+            break
+        ln = struct.unpack_from(">H", enc, pos + 2)[0]
+        if m != 0xC4:
+            out += enc[pos:pos + 2 + ln]
+        pos += 2 + ln
+    stripped = bytes(out)
+    assert b"\xFF\xC4" not in stripped[:len(stripped) - 100]
+    with pytest.raises(Exception):
+        J.decode_jpeg(stripped)          # tables really are required
+    dec = J.decode_jpeg(A._jpeg_ensure_dht(stripped))
+    assert (dec[:, :, 0] == img).all()
+
+
+def test_avi_media_frame_stats(spark):
+    """synthesize_avi_media -> media_frame_stats: one row per
+    (doc, frame), 100 ms cadence, tile-formula-exact means — real
+    video decode through the Spark surface."""
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    avis = multimodal.synthesize_avi_media(spark, docs)
+    rows = multimodal.media_frame_stats(avis).collect()
+    assert len(rows) == 12
+    for r in rows:
+        d = int(r["media_id"].split("-")[1])
+        f = r["frame_idx"]
+        assert r["frame_ts_ms"] == f * 100
+        vals = [2 * ((d * 37 + f * 19 + t * 41) % 128)
+                for t in range(6)]
+        exp = float(np.float32(np.mean(vals)))
+        assert abs(r["frame_mean"] - exp) < 1e-6
+
+
 def test_jpeg_tile_constant_decode_is_bit_exact():
     """The mm_decode oracle premise: 8x8-constant-tile grayscale
     JPEGs at quality 50 (unscaled Annex K tables, DC-only blocks,
