@@ -1079,9 +1079,13 @@ def _q_mm_decode(spark, sf_dir):
     # avi-* rows: REAL video (r5) — 4-frame MJPEG AVI; the RIFF walk
     # + constant-tile JPEG frames decode bit-exactly (first frame)
     avi = multimodal.synthesize_avi_media(spark, docs)
+    # ulw-/alw-* rows: REAL telephony audio (r5) — Sun AU mu-law and
+    # WAV-format-6 A-law; G.711 expansion recomputed by DuckDB from
+    # the CCITT segment formulas (tables pinned against audioop)
+    g711 = multimodal.synthesize_g711_media(spark, docs)
     return _feat_sum_df(multimodal.extract_features(
         fake.unionByName(real).unionByName(png).unionByName(jpg)
-        .unionByName(gif).unionByName(avi)))
+        .unionByName(gif).unionByName(avi).unionByName(g711)))
 
 
 def _q_mm_transform(spark, sf_dir):
@@ -2036,7 +2040,58 @@ def oracle_sql() -> dict[str, str]:
                      + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
                      + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
                      3) AS feat_sum
-            FROM avi)""",
+            FROM avi)
+            UNION ALL SELECT * FROM (
+            -- ulw-*: Sun AU mu-law codes c=(d*7+i*11)%256 expanded
+            -- per CCITT G.711: u=~c; mag=((u&15)*8+132)*2^((u>>4)&7)
+            -- -132, negative when u&0x80
+            WITH ulw AS (
+              SELECT doc_id AS d,
+                     list_transform(
+                       list_transform(range(0, 480), i ->
+                         255 - (d*7 + i*11) % 256),
+                       u -> CAST((CASE WHEN u >= 128 THEN -1 ELSE 1
+                                  END) *
+                            (((u % 16) * 8 + 132) *
+                             CAST(pow(2, (u // 16) % 8) AS BIGINT)
+                             - 132) AS DOUBLE)) AS s
+              FROM documents WHERE doc_id % 2 = 0)
+            SELECT 'ulw-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(480.0 + 8000.0 + 1.0
+                     + CAST(list_avg(s) AS REAL)::DOUBLE
+                     + CAST(list_aggregate(s, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(s, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM ulw)
+            UNION ALL SELECT * FROM (
+            -- alw-*: WAV format-6 A-law codes c=(d*13+i*29)%256:
+            -- a=c^0x55; seg=(a>>4)&7; mag per the three G.711 A-law
+            -- segments; positive when the (uninverted) sign bit set
+            WITH alw AS (
+              SELECT doc_id AS d,
+                     list_transform(
+                       list_transform(range(0, 480), i ->
+                         xor((d*13 + i*29) % 256, 85)),
+                       a -> CAST((CASE WHEN a >= 128 THEN 1 ELSE -1
+                                  END) *
+                            (CASE WHEN (a // 16) % 8 = 0
+                                  THEN (a % 16) * 16 + 8
+                                  WHEN (a // 16) % 8 = 1
+                                  THEN (a % 16) * 16 + 264
+                                  ELSE ((a % 16) * 16 + 264) *
+                                    CAST(pow(2, (a // 16) % 8 - 1)
+                                         AS BIGINT)
+                             END) AS DOUBLE)) AS s
+              FROM documents WHERE doc_id % 2 = 1)
+            SELECT 'alw-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(480.0 + 8000.0 + 1.0
+                     + CAST(list_avg(s) AS REAL)::DOUBLE
+                     + CAST(list_aggregate(s, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(s, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM alw)""",
         # REAL decode (r4): raster/sample i of doc d is the pure
         # function below; feature addition order mirrors the Spark
         # kernel's left-to-right fold exactly (bit-identical doubles)

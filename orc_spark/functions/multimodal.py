@@ -546,6 +546,60 @@ def synthesize_gif_media(spark, docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+G711_SAMPLES = 480
+G711_RATE = 8000
+
+
+def synthesize_g711_media(spark, docs: DataFrame) -> DataFrame:
+    """REAL telephony-audio payloads (r5): even docs become Sun AU
+    files of raw mu-law codes ``(d*7 + i*11) % 256`` (ulw-*), odd
+    docs RIFF/WAVE format-6 files of A-law codes ``(d*13 + i*29) %
+    256`` (alw-*).  G.711 expansion is a fixed table (pinned
+    bit-identical to CPython's audioop), so a DuckDB oracle
+    recomputes the decoded samples from the CCITT segment formulas —
+    two more container walks and both companding laws behind driver
+    correctness rows."""
+    import struct as _struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "mime",
+                                    "payload", "width", "height",
+                                    "duration_ms")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(G711_SAMPLES, dtype=np.int64)
+                if d % 2 == 0:
+                    codes = ((d * 7 + i * 11) % 256).astype(np.uint8)
+                    data = codes.tobytes()
+                    payload = b".snd" + _struct.pack(
+                        ">IIIII", 24, len(data), 1, G711_RATE, 1) + data
+                    rows["media_id"].append(f"ulw-{d}")
+                    rows["mime"].append("audio/basic")
+                else:
+                    codes = ((d * 13 + i * 29) % 256).astype(np.uint8)
+                    data = codes.tobytes()
+                    fmt = _struct.pack("<HHIIHH", 6, 1, G711_RATE,
+                                       G711_RATE, 1, 8)
+                    body = (b"WAVE" + b"fmt " +
+                            _struct.pack("<I", len(fmt)) + fmt +
+                            b"data" + _struct.pack("<I", len(data)) +
+                            data)
+                    payload = b"RIFF" + _struct.pack(
+                        "<I", len(body)) + body
+                    rows["media_id"].append(f"alw-{d}")
+                    rows["mime"].append("audio/wav")
+                rows["kind"].append("audio")
+                rows["payload"].append(payload)
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["duration_ms"].append(
+                    G711_SAMPLES * 1000 // G711_RATE)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 AVI_FRAMES = 4
 AVI_FPS = 10
 
@@ -699,7 +753,19 @@ def decode_media(payload: bytes, mime: str, dim: int = FEATURE_DIM
         from .avi_pure import decode_avi_frames
         return _image_features(decode_avi_frames(payload)[0][0], dim)
     if mime == "audio/wav":
-        samples, rate = decode_wav(payload)
+        # extended decode (r5): PCM 8/16/24/32, IEEE float, G.711
+        # mu-law/A-law, IMA ADPCM — PCM16 path value-identical to the
+        # original decode_wav (pinned by the wav-* oracle rows)
+        from .audio_pure import decode_wav_ex
+        samples, rate = decode_wav_ex(payload)
+        return _audio_features(samples, rate, dim)
+    if mime == "audio/basic":
+        from .audio_pure import decode_au
+        samples, rate = decode_au(payload)
+        return _audio_features(samples, rate, dim)
+    if mime in ("audio/aiff", "audio/x-aiff"):
+        from .audio_pure import decode_aiff
+        samples, rate = decode_aiff(payload)
         return _audio_features(samples, rate, dim)
     if mime == "image/x-fake":
         return _fake_decode(payload, dim)

@@ -1214,6 +1214,166 @@ def test_gif_frame_stats_and_resize(spark):
         assert np.array_equal(got[:, :, 0], exp)
 
 
+def test_g711_tables_match_audioop():
+    """The mu-law/A-law expansion tables are bit-identical to
+    CPython's audioop (an independent C implementation of CCITT
+    G.711) over every one of the 256 codes."""
+    import audioop
+    from orc_spark.functions import audio_pure as AU
+    codes = bytes(range(256))
+    assert np.array_equal(
+        AU.ULAW_TABLE, np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2"))
+    assert np.array_equal(
+        AU.ALAW_TABLE, np.frombuffer(audioop.alaw2lin(codes, 2), "<i2"))
+
+
+def test_audio_decodes_real_stdlib_fixtures():
+    """Independent-producer + independent-decoder check: Python's
+    own test audio fixtures (pluck-* in WAV/AU/AIFF at PCM
+    8/16/24/32 and mu-law/A-law) decode bit-identical to the stdlib
+    wave/sunau/aifc readers (width-converted through audioop; sunau
+    returns raw big-endian, aifc byteswaps)."""
+    import io
+    import os
+    import warnings
+    warnings.filterwarnings("ignore", category=DeprecationWarning)
+    import aifc
+    import audioop
+    import sunau
+    import wave
+    from orc_spark.functions import audio_pure as AU
+    base = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/test/audiodata")
+    if not os.path.isdir(base):
+        pytest.skip("no stdlib audio fixtures present")
+
+    def to16(frames, width, byteswap=False):
+        if byteswap and width > 1:
+            frames = audioop.byteswap(frames, width)
+        if width == 1:
+            frames = audioop.lin2lin(frames, 1, 2)
+        else:
+            frames = audioop.lin2lin(frames, width, 2)
+        return np.frombuffer(frames, "<i2")
+
+    ran = 0
+    for name in ("pluck-pcm8.wav", "pluck-pcm16.wav",
+                 "pluck-pcm24.wav", "pluck-pcm32.wav"):
+        p = f"{base}/{name}"
+        if not os.path.exists(p):
+            continue
+        raw = open(p, "rb").read()
+        s, r = AU.decode_wav_ex(raw)
+        w = wave.open(io.BytesIO(raw))
+        fr = w.readframes(w.getnframes())
+        if w.getsampwidth() == 1:
+            fr = audioop.bias(fr, 1, -128)
+        assert np.array_equal(s.reshape(-1),
+                              to16(fr, w.getsampwidth())), name
+        assert r == w.getframerate()
+        ran += 1
+    for name in ("pluck-ulaw.au", "pluck-pcm8.au", "pluck-pcm16.au",
+                 "pluck-pcm24.au", "pluck-pcm32.au"):
+        p = f"{base}/{name}"
+        if not os.path.exists(p):
+            continue
+        raw = open(p, "rb").read()
+        s, r = AU.decode_au(raw)
+        a = sunau.open(io.BytesIO(raw))
+        fr = a.readframes(a.getnframes())
+        w = a.getsampwidth()
+        if name.endswith("ulaw.au"):
+            ref = np.frombuffer(fr, "<i2")   # sunau expands mu-law
+        else:
+            ref = to16(fr, w, byteswap=w > 1)
+        assert np.array_equal(s.reshape(-1), ref), name
+        assert r == a.getframerate()
+        ran += 1
+    for name in ("pluck-pcm8.aiff", "pluck-pcm16.aiff",
+                 "pluck-pcm24.aiff", "pluck-pcm32.aiff",
+                 "pluck-ulaw.aifc", "pluck-alaw.aifc"):
+        p = f"{base}/{name}"
+        if not os.path.exists(p):
+            continue
+        raw = open(p, "rb").read()
+        s, _ = AU.decode_aiff(raw)
+        a = aifc.open(io.BytesIO(raw))
+        fr = a.readframes(a.getnframes())
+        w = a.getsampwidth()
+        # aifc returns raw big-endian PCM, but mu-law/A-law are
+        # expanded to native-endian linear
+        swap = w > 1 and "law" not in name
+        assert np.array_equal(s.reshape(-1),
+                              to16(fr, w, byteswap=swap)), name
+        ran += 1
+    assert ran >= 10
+
+
+def test_wav_extended_formats():
+    """IEEE-float WAV scales exactly (clip(round(f*32767))); IMA
+    ADPCM decodes deterministically with bounded error on a smooth
+    signal; the EXTENSIBLE wrapper resolves its inner format."""
+    import struct
+    from orc_spark.functions import audio_pure as AU
+
+    def wav(fmt_tag, ch, rate, block, bits, data, extensible=False):
+        if extensible:
+            fmt = struct.pack("<HHIIHHH", 0xFFFE, ch, rate, 0,
+                              block, bits, 22) + \
+                struct.pack("<HI", bits, 1) + \
+                struct.pack("<H", fmt_tag) + b"\x00" * 14
+        else:
+            fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, 0,
+                              block, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) +
+                fmt + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    t = np.arange(505)
+    f = (np.sin(t / 7.0) * 0.5).astype(np.float32)
+    s, r = AU.decode_wav_ex(wav(3, 1, 16000, 4, 32, f.tobytes()))
+    exp = np.clip(np.round(f.astype(np.float64) * 32767), -32768,
+                  32767).astype(np.int16)
+    assert np.array_equal(s[:, 0], exp) and r == 16000
+    sig = (3000 * np.sin(t / 10.0) +
+           500 * np.sin(t / 3.1)).astype(np.int16)
+    block = AU.encode_ima_wav_block(sig)
+    w = wav(0x11, 1, 8000, len(block), 4, block)
+    dec, _ = AU.decode_wav_ex(w)
+    err = np.abs(dec[:len(sig), 0].astype(int) - sig.astype(int))
+    assert err.max() < 3600          # ADPCM slope-limited, bounded
+    assert np.array_equal(dec, AU.decode_wav_ex(w)[0])
+    # EXTENSIBLE wrapping plain PCM16
+    pcm = sig.astype("<i2").tobytes()
+    s2, _ = AU.decode_wav_ex(wav(1, 1, 8000, 2, 16, pcm,
+                                 extensible=True))
+    assert np.array_equal(s2[:, 0], sig)
+
+
+def test_g711_media_through_spark(spark):
+    """synthesize_g711_media -> extract_features: AU mu-law and WAV
+    A-law payloads decode through the mime dispatch with
+    table-exact statistics."""
+    from orc_spark.functions import audio_pure as AU
+    docs = spark.range(4).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthesize_g711_media(spark, docs)
+    feats = {r["media_id"]: r["features"]
+             for r in multimodal.extract_features(media).collect()}
+    assert len(feats) == 4
+    i = np.arange(480)
+    for d in range(4):
+        if d % 2 == 0:
+            mid = f"ulw-{d}"
+            s = AU.ULAW_TABLE[((d * 7 + i * 11) % 256)]
+        else:
+            mid = f"alw-{d}"
+            s = AU.ALAW_TABLE[((d * 13 + i * 29) % 256)]
+        f = feats[mid]
+        assert f[0] == 480 and f[1] == 8000 and f[2] == 1
+        assert abs(f[3] - s.astype(np.float64).mean()) < 1e-3
+        assert f[4] == float(s.min()) and f[5] == float(s.max())
+
+
 def test_avi_round_trip():
     """RIFF/AVI container: DIB frames are lossless; MJPG constant-
     tile frames decode bit-exactly (the mm_decode oracle premise for
