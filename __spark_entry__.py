@@ -1083,9 +1083,13 @@ def _q_mm_decode(spark, sf_dir):
     # WAV-format-6 A-law; G.711 expansion recomputed by DuckDB from
     # the CCITT segment formulas (tables pinned against audioop)
     g711 = multimodal.synthesize_g711_media(spark, docs)
+    # flc-* rows: REAL FLAC (r5) — lossless rice/LPC audio; odd docs
+    # use LPC subframes, even docs FIXED predictors, one oracle
+    flac = multimodal.synthesize_flac_media(spark, docs)
     return _feat_sum_df(multimodal.extract_features(
         fake.unionByName(real).unionByName(png).unionByName(jpg)
-        .unionByName(gif).unionByName(avi).unionByName(g711)))
+        .unionByName(gif).unionByName(avi).unionByName(g711)
+        .unionByName(flac)))
 
 
 def _q_mm_transform(spark, sf_dir):
@@ -2091,7 +2095,23 @@ def oracle_sql() -> dict[str, str]:
                      + CAST(list_aggregate(s, 'min') AS REAL)::DOUBLE
                      + CAST(list_aggregate(s, 'max') AS REAL)::DOUBLE,
                      3) AS feat_sum
-            FROM alw)""",
+            FROM alw)
+            UNION ALL SELECT * FROM (
+            -- flc-*: lossless FLAC of samples ((d*19+i*23)%4096)-2048
+            WITH flc AS (
+              SELECT doc_id AS d,
+                     list_transform(range(0, 480), i ->
+                       CAST((d*19 + i*23) % 4096 - 2048 AS DOUBLE))
+                     AS s
+              FROM documents)
+            SELECT 'flc-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(480.0 + 8000.0 + 1.0
+                     + CAST(list_avg(s) AS REAL)::DOUBLE
+                     + CAST(list_aggregate(s, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(s, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM flc)""",
         # REAL decode (r4): raster/sample i of doc d is the pure
         # function below; feature addition order mirrors the Spark
         # kernel's left-to-right fold exactly (bit-identical doubles)

@@ -600,6 +600,42 @@ def synthesize_g711_media(spark, docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+FLAC_SAMPLES = 480
+FLAC_RATE = 8000
+
+
+def synthesize_flac_media(spark, docs: DataFrame) -> DataFrame:
+    """REAL FLAC payloads (r5): every doc becomes a mono 16-bit FLAC
+    of samples ``((d*19 + i*23) % 4096) - 2048``; odd docs encode
+    with LPC subframes, even docs with FIXED predictors — FLAC is
+    lossless, so both decode bit-exactly and one DuckDB oracle
+    formula covers both entropy paths."""
+    from .flac_pure import encode_flac
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "mime",
+                                    "payload", "width", "height",
+                                    "duration_ms")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(FLAC_SAMPLES, dtype=np.int64)
+                s = (((d * 19 + i * 23) % 4096) - 2048) \
+                    .astype(np.int16)
+                rows["media_id"].append(f"flc-{d}")
+                rows["kind"].append("audio")
+                rows["mime"].append("audio/flac")
+                rows["payload"].append(
+                    encode_flac(s, FLAC_RATE, use_lpc=d % 2 == 1))
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["duration_ms"].append(
+                    FLAC_SAMPLES * 1000 // FLAC_RATE)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 AVI_FRAMES = 4
 AVI_FPS = 10
 
@@ -766,6 +802,10 @@ def decode_media(payload: bytes, mime: str, dim: int = FEATURE_DIM
     if mime in ("audio/aiff", "audio/x-aiff"):
         from .audio_pure import decode_aiff
         samples, rate = decode_aiff(payload)
+        return _audio_features(samples, rate, dim)
+    if mime in ("audio/flac", "audio/x-flac"):
+        from .flac_pure import decode_flac
+        samples, rate = decode_flac(payload)
         return _audio_features(samples, rate, dim)
     if mime == "image/x-fake":
         return _fake_decode(payload, dim)

@@ -1374,6 +1374,65 @@ def test_g711_media_through_spark(spark):
         assert f[4] == float(s.min()) and f[5] == float(s.max())
 
 
+def test_flac_round_trip_all_modes():
+    """FLAC is lossless: FIXED and LPC subframes, all four stereo
+    decorrelations (independent / left-side / right-side / mid-side),
+    noisy (escape-prone), constant, odd-length and 24-bit inputs all
+    decode bit-exactly; CRC-8/CRC-16 verified frame by frame."""
+    from orc_spark.functions import flac_pure as FL
+    rng = np.random.default_rng(7)
+    t = np.arange(10000)
+    sig = np.stack(
+        [(5000 * np.sin(t / 20.0) + 300 * np.sin(t / 3.0)),
+         (5000 * np.sin(t / 20.0) + 280 * np.cos(t / 3.1))],
+        axis=1).astype(np.int16)
+    for mode in ("independent", "left_side", "right_side",
+                 "mid_side"):
+        for lpc in (False, True):
+            enc = FL.encode_flac(sig, 8000, use_lpc=lpc, stereo=mode)
+            dec, rate = FL.decode_flac(enc)
+            assert rate == 8000
+            assert np.array_equal(dec, sig.astype(np.int32)), \
+                (mode, lpc)
+    noise = rng.integers(-32768, 32767, 4097, dtype=np.int16)
+    d, _ = FL.decode_flac(FL.encode_flac(noise, 44100))
+    assert np.array_equal(d[:, 0], noise.astype(np.int32))
+    const = np.full(5000, -123, np.int16)
+    d, _ = FL.decode_flac(FL.encode_flac(const, 44100))
+    assert np.array_equal(d[:, 0], const.astype(np.int32))
+    s24 = rng.integers(-(1 << 22), 1 << 22, 3000).astype(np.int64)
+    d, _ = FL.decode_flac(FL.encode_flac(s24, 48000, bps=24))
+    assert np.array_equal(d[:, 0], s24)
+
+
+def test_flac_rejects_corruption():
+    """A flipped bit in the frame body fails the CRC-16 loudly —
+    never silently garbles samples."""
+    from orc_spark.functions import flac_pure as FL
+    sig = (1000 * np.sin(np.arange(2000) / 9.0)).astype(np.int16)
+    enc = bytearray(FL.encode_flac(sig, 8000))
+    enc[len(enc) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        FL.decode_flac(bytes(enc))
+
+
+def test_flac_media_through_spark(spark):
+    """synthesize_flac_media -> extract_features: lossless decode
+    with formula-exact statistics through the mime dispatch (even
+    docs FIXED, odd docs LPC)."""
+    docs = spark.range(4).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthesize_flac_media(spark, docs)
+    feats = {r["media_id"]: r["features"]
+             for r in multimodal.extract_features(media).collect()}
+    i = np.arange(480)
+    for d in range(4):
+        s = ((d * 19 + i * 23) % 4096) - 2048
+        f = feats[f"flc-{d}"]
+        assert f[0] == 480 and f[1] == 8000 and f[2] == 1
+        assert abs(f[3] - s.astype(np.float64).mean()) < 1e-3
+        assert f[4] == float(s.min()) and f[5] == float(s.max())
+
+
 def test_avi_round_trip():
     """RIFF/AVI container: DIB frames are lossless; MJPG constant-
     tile frames decode bit-exactly (the mm_decode oracle premise for
