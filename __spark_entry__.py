@@ -1134,7 +1134,17 @@ def _q_mm_transform(spark, sf_dir):
         .otherwise(F.lit("aviframe")).alias("op"),
         F.col("frame_ts_ms").cast("double").alias("v1"),
         F.round("frame_mean", 3).alias("v2"))
-    return r1.unionByName(r2).unionByName(r3)
+    # probe rows (r5): container-level header walk — duration and
+    # frame/sample counts without decoding, across five containers
+    probed = multimodal.probe_media_df(
+        temporal.unionByName(multimodal.synthesize_g711_media(
+            spark, docs)).unionByName(
+            multimodal.synthesize_flac_media(spark, docs)))
+    r4 = probed.select(
+        "media_id", F.lit("probe").alias("op"),
+        F.col("duration_ms").cast("double").alias("v1"),
+        F.col("frames").cast("double").alias("v2"))
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2177,7 +2187,22 @@ def oracle_sql() -> dict[str, str]:
                        t -> CAST(2*((d*37 + f*19 + t*41) % 128)
                             AS DOUBLE))) AS REAL)::DOUBLE, 3) AS v2
             FROM (SELECT doc_id AS d, unnest([0, 1, 2, 3]) AS f
-                  FROM documents)""",
+                  FROM documents)
+            UNION ALL
+            -- probe: header-walk constants — gif 3 frames/300 ms,
+            -- avi 4 frames/400 ms, G.711 and FLAC 480 samples/60 ms
+            SELECT prefix || CAST(doc_id AS VARCHAR) AS media_id,
+                   'probe' AS op, v1, v2
+            FROM documents, (VALUES ('gif-', 300.0, 3.0),
+                                    ('avi-', 400.0, 4.0),
+                                    ('flc-', 60.0, 480.0))
+                 probes(prefix, v1, v2)
+            UNION ALL
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'ulw-'
+                        ELSE 'alw-' END || CAST(doc_id AS VARCHAR)
+                   AS media_id,
+                   'probe' AS op, 60.0 AS v1, 480.0 AS v2
+            FROM documents""",
         # same planted-neighbor exact-top-10 as sim_ann_lsh: the
         # materialized index must return identical results
         

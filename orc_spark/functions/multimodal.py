@@ -686,6 +686,52 @@ def synthesize_avi_media(spark, docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("mime_detected", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("frames", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+])
+
+
+def probe_media_df(media: DataFrame) -> DataFrame:
+    """Container-level probe (r5): magic sniff + header walk per
+    payload — no pixel/sample decode — returning detected mime,
+    dimensions, duration, frame/sample counts.  The probe-before-
+    decode scheduling step: cheap enough to run over a whole lake,
+    fails loudly on truncated/corrupt payloads (e.g. the MP3 prober
+    requires every frame boundary to land on a sync).  Map-only
+    Arrow kernel."""
+    from .mediainfo import probe_media
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "mime_detected",
+                                    "width", "height", "duration_ms",
+                                    "frames", "sample_rate",
+                                    "channels")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                info = probe_media(bytes(p)) if p is not None else {
+                    k: None for k in ("mime", "width", "height",
+                                      "duration_ms", "frames",
+                                      "sample_rate", "channels")}
+                rows["media_id"].append(mid)
+                rows["mime_detected"].append(info["mime"])
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["duration_ms"].append(info["duration_ms"])
+                rows["frames"].append(info["frames"])
+                rows["sample_rate"].append(info["sample_rate"])
+                rows["channels"].append(info["channels"])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, PROBE_SCHEMA)
+
+
 GIF_FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType()),
     T.StructField("frame_idx", T.IntegerType()),

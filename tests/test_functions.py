@@ -1374,6 +1374,102 @@ def test_g711_media_through_spark(spark):
         assert f[4] == float(s.min()) and f[5] == float(s.max())
 
 
+def test_probe_media_all_formats():
+    """Magic-sniff probe reports dimensions / durations / frame
+    counts for every container the decode layer handles, without
+    decoding pixels or samples."""
+    from orc_spark.functions import avi_pure as A
+    from orc_spark.functions import flac_pure as FL
+    from orc_spark.functions import gif_pure as G
+    from orc_spark.functions import jpeg_pure as J
+    from orc_spark.functions import mediainfo as MI
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    img3 = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    sig = (1000 * np.sin(np.arange(480) / 9.0)).astype(np.int16)
+    cases = [
+        (multimodal.encode_bmp(img3), "image/bmp", dict(width=24,
+                                                        height=16)),
+        (multimodal.encode_png(img3), "image/png", dict(width=24,
+                                                        height=16)),
+        (J.encode_jpeg(img3, progressive=True), "image/jpeg",
+         dict(width=24, height=16)),
+        (G.encode_gif([img] * 3, [100] * 3), "image/gif",
+         dict(frames=3, duration_ms=300)),
+        (A.encode_avi([img] * 4, fps=10, codec="MJPG"),
+         "video/x-msvideo", dict(frames=4, duration_ms=400)),
+        (multimodal.encode_wav(sig, 8000), "audio/wav",
+         dict(frames=480, duration_ms=60, sample_rate=8000)),
+        (FL.encode_flac(sig, 8000), "audio/flac",
+         dict(frames=480, duration_ms=60, sample_rate=8000)),
+    ]
+    for payload, mime, expect in cases:
+        info = MI.probe_media(payload)
+        assert info["mime"] == mime
+        for k, v in expect.items():
+            assert info[k] == v, (mime, k, info)
+    with pytest.raises(ValueError):
+        MI.probe_media(b"\x00\x01\x02\x03 not a media payload")
+
+
+def test_probe_mp3_real_file_and_corruption():
+    """The MP3 frame walk probes a real libmp3-produced file (every
+    frame boundary must land exactly on a sync) and fails loudly
+    when a frame header is corrupted."""
+    import os
+    from orc_spark.functions import mediainfo as MI
+    path = ("/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+            "test_data/test.mp3")
+    if not os.path.exists(path):
+        pytest.skip("no system MP3 fixture present")
+    raw = open(path, "rb").read()
+    p = MI.probe_mp3(raw)
+    assert p["frames"] > 10 and p["sample_rate"] == 22050
+    assert p["layer"] == 3 and p["channels"] == 1
+    assert 1000 < p["duration_ms"] < 2000
+    assert MI.probe_media(raw)["mime"] == "audio/mpeg"
+    bad = bytearray(raw)
+    # corrupt the bitrate nibble of a mid-stream frame header: the
+    # frame length changes and the walk loses sync
+    idx = None
+    pos = 32
+    for _ in range(5):
+        h = bad[pos:pos + 4]
+        assert h[0] == 0xFF
+        idx = pos
+        br = (h[2] >> 4)
+        flen = 72000 * (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+                        112, 128, 144, 160)[br] // 22050 + \
+            ((h[2] >> 1) & 1)
+        pos += flen
+    old_br = bad[idx + 2] >> 4
+    new_br = old_br % 14 + 1
+    if new_br == old_br:
+        new_br = new_br % 14 + 1
+    bad[idx + 2] = (bad[idx + 2] & 0x0F) | (new_br << 4)
+    with pytest.raises(ValueError):
+        MI.probe_mp3(bytes(bad))
+
+
+def test_probe_media_spark(spark):
+    """probe_media_df over mixed synthesized media: detected mimes
+    and counts match the synthesis constants."""
+    docs = spark.range(2).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthesize_gif_media(spark, docs) \
+        .unionByName(multimodal.synthesize_avi_media(spark, docs)) \
+        .unionByName(multimodal.synthesize_flac_media(spark, docs))
+    rows = {r["media_id"]: r
+            for r in multimodal.probe_media_df(media).collect()}
+    assert len(rows) == 6
+    for d in range(2):
+        assert rows[f"gif-{d}"]["frames"] == 3
+        assert rows[f"gif-{d}"]["duration_ms"] == 300
+        assert rows[f"avi-{d}"]["frames"] == 4
+        assert rows[f"avi-{d}"]["mime_detected"] == "video/x-msvideo"
+        assert rows[f"flc-{d}"]["frames"] == 480
+        assert rows[f"flc-{d}"]["sample_rate"] == 8000
+
+
 def test_flac_round_trip_all_modes():
     """FLAC is lossless: FIXED and LPC subframes, all four stereo
     decorrelations (independent / left-side / right-side / mid-side),
