@@ -318,15 +318,25 @@ def _predicate_bounds(op: str, val) -> tuple:
     if op == "between":
         lo, hi = val
         return lo, hi
+    if op == "in":       # conservative envelope; residual is exact
+        return min(val), max(val)
+    if op == "prefix":   # string range [p, prefix_upper(p)] —
+        from ..sources.orcscan import prefix_upper
+        return val, prefix_upper(val)    # inclusive hi stays safe
     raise ValueError(f"unsupported predicate op: {op!r} "
-                     "(use >=, >, <=, <, ==, between)")
+                     "(use >=, >, <=, <, ==, between, in, prefix)")
 
 
 def _predicate_expr(col: str, op: str, val):
     c = F.col(col)
+    if op == "between":
+        return c.between(*val)
+    if op == "in":
+        return c.isin(list(val))
+    if op == "prefix":
+        return c.startswith(val)
     return {">=": c >= val, ">": c > val, "<=": c <= val, "<": c < val,
-            "==": c == val, "=": c == val,
-            "between": c.between(*val) if op == "between" else None}[op]
+            "==": c == val, "=": c == val}[op]
 
 
 def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
@@ -372,6 +382,11 @@ def decode(enc_df: DataFrame, specs: list[ColumnSpec] = TOKEN_SCHEMA,
             if op in ("==", "=") and isinstance(val, (str, bytes)):
                 # bloom equality pruning when the table carries blobs
                 enc_df = prune_stripes_eq(enc_df, pcol, val)
+            elif op == "in" and all(isinstance(v, (str, bytes))
+                                    for v in val):
+                # finite disjunction: drop stripes whose bloom holds
+                # NONE of the listed values (r5)
+                enc_df = prune_stripes_in(enc_df, pcol, val)
             filters.append((pcol, lo, hi))
             expr = _predicate_expr(pcol, op, val)
             residual = expr if residual is None else residual & expr
@@ -470,11 +485,21 @@ def prune_stripes_eq(enc_df: DataFrame, column: str, value) -> DataFrame:
     zone spans everything.  The test runs as a vectorized pandas UDF
     over stripe METADATA rows (one blob per stripe, never the data);
     stripes without a blob are conservatively kept."""
+    return prune_stripes_in(enc_df, column, [value])
+
+
+def prune_stripes_in(enc_df: DataFrame, column: str,
+                     values) -> DataFrame:
+    """IN-list bloom pruning (r5): drop stripes whose bloom contains
+    NONE of the listed values — the finite-disjunction dual of
+    prune_stripes_eq (a stripe survives if ANY value may be
+    present).  Same metadata-only pandas UDF."""
     bcol = f"{column}__BLOOM"
     if bcol not in enc_df.columns:
         return enc_df
     from pyspark.sql.functions import pandas_udf
-    vb = value.encode() if isinstance(value, str) else bytes(value)
+    vbs = [v.encode() if isinstance(v, str) else bytes(v)
+           for v in values]
 
     @pandas_udf("boolean")
     def may_contain(blobs):
@@ -482,7 +507,8 @@ def prune_stripes_eq(enc_df: DataFrame, column: str, value) -> DataFrame:
         from orc_spark.codecs import bloom as bloom_codec
         return pd.Series([
             True if b is None
-            else bloom_codec.test_serialized(bytes(b), vb)
+            else any(bloom_codec.test_serialized(bytes(b), vb)
+                     for vb in vbs)
             for b in blobs])
 
     return enc_df.where(may_contain(F.col(bcol)))

@@ -9,15 +9,22 @@ conjunction tuples the stats/stripe/stride pruners consume
 Grammar (deliberately the PRUNABLE subset, fail-loud on the rest):
 
     pred     := compare ( AND compare )*
-    compare  := ident op literal | ident BETWEEN literal AND literal
+    compare  := ident op literal
+              | ident BETWEEN literal AND literal
+              | ident IN '(' literal (',' literal)* ')'
+              | ident LIKE 'prefix%'
     ident    := name ( '.' name )*        -- dotted nested leaves (r5)
     op       := >= | <= | > | < | = | ==
     literal  := number | 'single-quoted string' ('' escapes a quote)
 
-OR / NOT / parentheses / IN raise with a pointer to ``df.filter`` —
-a disjunction cannot prune stripes with per-column [min,max] stats
-anyway, so accepting it would silently turn pruning off; better that
-the residual-only filter stays visibly in user code.
+IN (r5) prunes because it is a FINITE disjunction: a stripe survives
+only if some listed value intersects [min,max] (and, with blooms,
+only if some value may be present).  LIKE (r5) is accepted for
+prefix patterns only — ``'abc%'`` prunes through the string range
+[abc, abd); general patterns (inner %, _) and free OR / NOT /
+parentheses still raise with a pointer to ``df.filter`` — those
+cannot prune with per-column [min,max] stats, and accepting them
+would silently turn pruning off.
 """
 
 from __future__ import annotations
@@ -28,10 +35,12 @@ _TOKEN = re.compile(r"""\s*(?:
     (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>'(?:[^']|'')*')
   | (?P<op>>=|<=|==|=|<|>)
+  | (?P<punct>[(),])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
 )""", re.VERBOSE)
 
-_REJECT = {"or", "not", "in", "like"}
+_REJECT = {"or", "not"}
+_KEYWORDS = {"and", "between", "in", "like", "or", "not"}
 
 
 def _tokens(s: str) -> list[tuple[str, object]]:
@@ -54,9 +63,32 @@ def _tokens(s: str) -> list[tuple[str, object]]:
         elif m.group("op") is not None:
             op = m.group("op")
             out.append(("op", "==" if op == "=" else op))
+        elif m.group("punct") is not None:
+            out.append(("punct", m.group("punct")))
         else:
             out.append(("ident", m.group("ident")))
     return out
+
+
+def _like_prefix(pattern: str, s: str) -> str:
+    """Validate a LIKE pattern as prefix-only and return the prefix.
+    ``'abc%'`` -> "abc"; anything with an inner wildcard or ``_``
+    raises (those cannot prune with [min,max] stats)."""
+    if "_" in pattern:
+        raise ValueError(
+            f"LIKE with '_' is not prunable; use df.filter(...) "
+            f"in {s!r}")
+    if not pattern.endswith("%") or "%" in pattern[:-1]:
+        raise ValueError(
+            f"only prefix LIKE patterns ('abc%') can prune; got "
+            f"{pattern!r} in {s!r} — use df.filter(...) for general "
+            f"patterns")
+    prefix = pattern[:-1]
+    if not prefix:
+        raise ValueError(
+            f"LIKE '%' matches everything; drop the predicate "
+            f"in {s!r}")
+    return prefix
 
 
 def parse_predicate(s: str) -> list[tuple]:
@@ -78,12 +110,13 @@ def parse_predicate(s: str) -> list[tuple]:
 
     while True:
         col = expect("ident", "a column name")
-        if str(col).lower() in _REJECT | {"and", "between"}:
+        if str(col).lower() in _KEYWORDS:
             raise ValueError(
                 f"predicate parse error: {col!r} is not a column name "
                 f"in {s!r}")
-        if i < len(toks) and toks[i][0] == "ident" \
-                and str(toks[i][1]).lower() == "between":
+        kw_next = str(toks[i][1]).lower() \
+            if i < len(toks) and toks[i][0] == "ident" else None
+        if kw_next == "between":
             i += 1
             lo = expect("lit", "a literal")
             kw = expect("ident", "AND")
@@ -93,6 +126,27 @@ def parse_predicate(s: str) -> list[tuple]:
                     f"{kw!r} in {s!r}")
             hi = expect("lit", "a literal")
             preds.append((col, "between", (lo, hi)))
+        elif kw_next == "in":
+            i += 1
+            if expect("punct", "'('") != "(":
+                raise ValueError(
+                    f"predicate parse error: IN needs '(' in {s!r}")
+            vals = [expect("lit", "a literal")]
+            while i < len(toks) and toks[i] == ("punct", ","):
+                i += 1
+                vals.append(expect("lit", "a literal"))
+            if expect("punct", "')'") != ")":
+                raise ValueError(
+                    f"predicate parse error: IN needs ')' in {s!r}")
+            preds.append((col, "in", tuple(vals)))
+        elif kw_next == "like":
+            i += 1
+            pattern = expect("lit", "a pattern string")
+            if not isinstance(pattern, str):
+                raise ValueError(
+                    f"predicate parse error: LIKE needs a string "
+                    f"pattern in {s!r}")
+            preds.append((col, "prefix", _like_prefix(pattern, s)))
         else:
             op = expect("op", "a comparison operator")
             val = expect("lit", "a literal")

@@ -41,9 +41,11 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -152,6 +154,15 @@ class OrcReader(DataSourceReader):
             if op is not None and ok and \
                     isinstance(f.value, (int, float, str)):
                 self.pushed.append((name, op, f.value))
+            elif ok and isinstance(f, In) and f.value and \
+                    all(isinstance(v, (int, float, str))
+                        for v in f.value):
+                # finite disjunction prunes: stats any-value overlap
+                # + per-stride bloom union (r5)
+                self.pushed.append((name, "in", tuple(f.value)))
+            elif ok and isinstance(f, StringStartsWith) and \
+                    isinstance(f.value, str) and f.value:
+                self.pushed.append((name, "prefix", f.value))
             yield f
 
     def partitions(self):

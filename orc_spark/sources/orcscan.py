@@ -45,7 +45,18 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .. import orctypes
 from .orcfile import ORCFile
 
-_OPS = (">=", ">", "<=", "<", "==", "between")
+_OPS = (">=", ">", "<=", "<", "==", "between", "in", "prefix")
+
+
+def prefix_upper(p: str) -> str | None:
+    """Smallest string greater than every string with prefix ``p``
+    (exclusive upper bound of the prefix range); None when no such
+    string exists (all characters at the maximum code point)."""
+    for i in range(len(p) - 1, -1, -1):
+        cp = ord(p[i])
+        if cp < 0x10FFFF:
+            return p[:i] + chr(cp + 1)
+    return None
 # max rows per Arrow batch yielded to the JVM (stripes are sliced
 # zero-copy; bounds per-batch bridge memory at ~tens of MB)
 _BATCH_ROWS = 65536
@@ -175,6 +186,11 @@ def _stats_can_match(st: dict, op: str, val) -> bool:
     if op == "between":
         vlo, vhi = val
         return hi >= vlo and lo <= vhi
+    if op == "in":       # finite disjunction: any value in range
+        return any(lo <= v <= hi for v in val)
+    if op == "prefix":   # string range [p, prefix_upper(p))
+        up = prefix_upper(val)
+        return hi >= val and (up is None or lo < up)
     raise ValueError(f"orc_scan: unknown predicate op {op!r}")
 
 
@@ -681,6 +697,21 @@ def stride_keep(f: ORCFile, si: int, preds: list[tuple],
             bs = f.bloom_strides(si, cid, val)
             if bs is not None:
                 keep &= set(bs)
+        elif op == "in" and \
+                f.types[cid].kind in ("string", "varchar", "char") \
+                and all(isinstance(v, (str, bytes)) for v in val):
+            # finite disjunction: a stride survives if ANY listed
+            # value may be present — union the per-value bloom sets
+            acc: set[int] = set()
+            usable = True
+            for v in val:
+                bs = f.bloom_strides(si, cid, v)
+                if bs is None:
+                    usable = False
+                    break
+                acc |= set(bs)
+            if usable:
+                keep &= acc
     return sorted(keep), n_strides
 
 
@@ -1023,8 +1054,13 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
             else F.col(col)
         cond = {">=": c >= val, ">": c > val, "<=": c <= val,
                 "<": c < val, "==": c == val}.get(op)
-        if cond is None:  # between
-            cond = c.between(val[0], val[1])
+        if cond is None:
+            if op == "between":
+                cond = c.between(val[0], val[1])
+            elif op == "in":
+                cond = c.isin(list(val))
+            else:                        # prefix
+                cond = c.startswith(val)
         out = out.where(cond)
     if columns:
         out = out.select(*[F.col(f"`{c}`") if "." in c else F.col(c)

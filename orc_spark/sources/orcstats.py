@@ -216,6 +216,15 @@ def _full_match(st: dict, op: str, val) -> bool:
     if op == "between":
         vlo, vhi = val
         return lo >= vlo and hi <= vhi
+    if op == "in":
+        # provable only when the stripe is single-valued (a row
+        # range can otherwise contain unlisted values)
+        return lo == hi and lo in val
+    if op == "prefix":
+        # [min,max] both prefixed -> every value in between is too
+        # (any non-prefixed s would sort outside [p, prefix_upper))
+        return isinstance(lo, str) and isinstance(hi, str) and \
+            lo.startswith(val) and hi.startswith(val)
     raise ValueError(f"orc_stats: unknown predicate op {op!r}")
 
 
@@ -235,6 +244,12 @@ def _int_exact(op: str, val):
         lo = math.ceil(lo) if isinstance(lo, float) else lo
         hi = math.floor(hi) if isinstance(hi, float) else hi
         return ("between", (lo, hi)) if lo <= hi else None
+    if op == "in":
+        # also before the float early-return: val is a tuple; only
+        # integer-valued members can match an integer column
+        ints = tuple(int(v) for v in val
+                     if not isinstance(v, float) or v.is_integer())
+        return ("in", ints) if ints else None
     if not isinstance(val, float):
         return op, val
     if op == ">=":
@@ -337,6 +352,18 @@ def _count_file(path: str, preds: list[tuple]) -> int:
                 m = pc.and_kleene(
                     pc.greater_equal(arr, pa.scalar(val[0], ft)),
                     pc.less_equal(arr, pa.scalar(val[1], ft)))
+            elif op == "in":
+                m = pc.is_in(arr,
+                             value_set=pa.array(list(val), type=ft))
+                # is_in yields null-in -> false already; align with
+                # kleene AND by keeping the boolean mask as-is
+            elif op == "prefix":
+                if not pa.types.is_string(ft) and \
+                        not pa.types.is_large_string(ft):
+                    raise ValueError(
+                        f"orc_stats: prefix predicate on non-string "
+                        f"column {c!r}")
+                m = pc.starts_with(arr, pattern=val)
             else:
                 fn = {">=": pc.greater_equal, ">": pc.greater,
                       "<=": pc.less_equal, "<": pc.less,

@@ -61,6 +61,24 @@ def test_datasource_filter_pushdown_prunes_partitions(tmp_path):
     assert pruned == 1  # only the last stripe can match
 
 
+def test_datasource_in_and_startswith_pushdown(tmp_path):
+    """Spark's In and StringStartsWith filters push into stripe
+    pruning (r5): the planned partitions shrink, and every filter is
+    still yielded back for Spark's residual evaluation."""
+    from pyspark.sql.datasource import In, StringStartsWith
+    d = _write(tmp_path)
+    r = datasource.OrcReader({"path": d})
+    # v stripes: [0..999][1000..1999][2000..2999][3000..3999]
+    leftover = list(r.pushFilters([In(("v",), (500, 3500))]))
+    assert len(leftover) == 1
+    assert ("v", "in", (500, 3500)) in r.pushed
+    assert sum(len(p.stripes) for p in r.partitions()) == 2
+    r2 = datasource.OrcReader({"path": d})
+    list(r2.pushFilters([StringStartsWith(("tag",), "s1")]))
+    assert ("tag", "prefix", "s1") in r2.pushed
+    assert sum(len(p.stripes) for p in r2.partitions()) == 1
+
+
 def test_datasource_projection_and_options(registered, tmp_path):
     d = _write(tmp_path)
     proj = registered.read.format("orc_spark") \

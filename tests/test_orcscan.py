@@ -57,6 +57,48 @@ def test_plan_tasks_prunes_stripes(tmp_path):
     # string stats prune too
     tasks, _ = orcscan.plan_tasks([p], predicate=("tag", "==", "s0"))
     assert [si for _, si in tasks] == [0]
+    # IN is a finite disjunction: the kept set is the UNION of the
+    # matching stripes, not their envelope's residual
+    tasks, _ = orcscan.plan_tasks([p], predicate=("v", "in",
+                                                  (500, 3500)))
+    assert sorted(si for _, si in tasks) == [0, 3]
+    # prefix LIKE prunes through the string range [p, upper(p))
+    tasks, _ = orcscan.plan_tasks([p], predicate=("tag", "prefix",
+                                                  "s1"))
+    assert [si for _, si in tasks] == [1]
+
+
+def test_orc_scan_in_and_prefix_rows(spark, tmp_path):
+    """End-to-end IN / prefix results are exact (pruning + stride
+    stats + residual), including float literals in IN lists against
+    integer columns through orc_count's exact rewrite."""
+    import pyarrow as pa
+
+    from orc_spark.sources import orcstats
+    n = 4000
+    tbl = pa.table({
+        "doc_id": pa.array([f"doc{i:04d}" for i in range(n)]),
+        "n_tok": pa.array([i % 100 for i in range(n)], pa.int32()),
+        "source": pa.array([["web", "book", "news", "wiki"][i % 4]
+                            for i in range(n)]),
+    })
+    p = str(tmp_path / "t.orc")
+    orcwriter.write_orc(tbl, p, stripe_rows=500, row_index_stride=64,
+                        bloom_columns=["source"])
+    got = orcscan.orc_scan(
+        spark, p, predicate="source IN ('web','book')").toPandas()
+    assert len(got) == n // 2
+    assert sorted(got["source"].unique()) == ["book", "web"]
+    got2 = orcscan.orc_scan(
+        spark, p, predicate="doc_id LIKE 'doc00%'").toPandas()
+    assert len(got2) == 100
+    assert got2["doc_id"].str.startswith("doc00").all()
+    assert orcstats.orc_count(
+        spark, p, "source IN ('web','book')") == n // 2
+    assert orcstats.orc_count(spark, p, "doc_id LIKE 'doc00%'") == 100
+    # 5.5 can never match an int column; 4.0 rewrites to 4 exactly
+    assert orcstats.orc_count(spark, p, "n_tok IN (3, 4.0, 5.5)") \
+        == sum(1 for i in range(n) if i % 100 in (3, 4))
 
 
 def test_plan_tasks_bad_inputs(tmp_path):

@@ -36,11 +36,26 @@ def test_parse_rejects_disjunction_and_garbage():
     with pytest.raises(ValueError):
         parse_predicate("(a > 1)")
     with pytest.raises(ValueError):
-        parse_predicate("a LIKE 'x%'")
-    with pytest.raises(ValueError):
         parse_predicate("a !> 1")
     with pytest.raises(ValueError):
         parse_predicate("a BETWEEN 1 OR 2")
+
+
+def test_parse_in_and_like_prefix():
+    """IN lists and prefix LIKE parse to the pruning grammar (r5);
+    non-prunable LIKE patterns still raise with a df.filter hint."""
+    assert parse_predicate("source IN ('web', 'book') AND n >= 3") \
+        == [("source", "in", ("web", "book")), ("n", ">=", 3)]
+    assert parse_predicate("k in (1, 2.5, 3)") == \
+        [("k", "in", (1, 2.5, 3))]
+    assert parse_predicate("doc_id LIKE 'ab%'") == \
+        [("doc_id", "prefix", "ab")]
+    assert parse_predicate("rec.x IN (7)") == [("rec.x", "in", (7,))]
+    for bad in ("a LIKE '%ab'", "a LIKE 'a%b%'", "a LIKE 'a_b%'",
+                "a LIKE '%'", "a IN ()", "a IN ('x' 'y')",
+                "a IN ('x',)", "a LIKE 5"):
+        with pytest.raises(ValueError):
+            parse_predicate(bad)
 
 
 def test_string_predicate_equals_tuple_predicate(spark, tmp_path):

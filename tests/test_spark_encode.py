@@ -373,6 +373,37 @@ def test_stripe_table_bloom_equality_pruning(spark, token_df):
     enc.unpersist()
 
 
+def test_stripe_table_in_and_prefix_predicates(spark, token_df):
+    """decode(predicate=...) accepts IN lists (bloom union pruning:
+    a stripe survives if ANY value may be present) and prefix LIKE
+    (string-range zone pruning); results exact vs df.filter."""
+    enc = enc_ops.encode(token_df.repartition(2), stripe_rows=100,
+                         bloom_columns=["doc_id"]).cache()
+    n_stripes = enc.count()
+    ids = [r["doc_id"] for r in token_df.limit(2).collect()]
+    got = enc_ops.decode(
+        enc, predicate=("doc_id", "in", tuple(ids))).toPandas()
+    assert sorted(got["doc_id"]) == sorted(ids)
+    # bloom union: both values absent -> all stripes pruned
+    assert enc_ops.prune_stripes_in(
+        enc, "doc_id", ["no-a", "no-b"]).count() == 0
+    # one present, one absent: the present value's stripes survive
+    kept = enc_ops.prune_stripes_in(enc, "doc_id", [ids[0], "no-b"])
+    assert 0 < kept.count() < n_stripes
+    # SQL IN / LIKE forms through the parser
+    sid = ids[0]
+    got2 = enc_ops.decode(
+        enc, predicate=f"doc_id IN ('{sid}', 'absent')").toPandas()
+    assert list(got2["doc_id"]) == [sid]
+    prefix = sid[:8]
+    got3 = enc_ops.decode(
+        enc, predicate=f"doc_id LIKE '{prefix}%'").toPandas()
+    exp = [r["doc_id"] for r in token_df.collect()
+           if r["doc_id"].startswith(prefix)]
+    assert sorted(got3["doc_id"]) == sorted(exp)
+    enc.unpersist()
+
+
 def test_checkpoint_empty_partitions_complete(spark, token_df, tmp_path):
     """pmod buckets with no input rows must not crash the audit write
     or stay pending forever — they get zero audit rows and the job
