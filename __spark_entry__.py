@@ -111,16 +111,24 @@ def _q_rt_projection(spark, sf_dir):
 
 def _q_rt_pruned_decode(spark, sf_dir):
     """Stats-based stripe pruning + selective decode: only stripes
-    whose n_tok range can match survive to decompression."""
+    whose stats can match survive to decompression.  Three predicate
+    shapes through the one-call SQL path (r5): a comparison, an IN
+    list (finite disjunction — any-value stats overlap + bloom
+    union) and a prefix LIKE (string range [p, upper(p)))."""
     tok = token_src.token_table(spark, sf_dir)
     enc = enc_ops.encode(
-        tok.coalesce(2).sortWithinPartitions("n_tok"), stripe_rows=100)
-    # one-call pruning path: stripe-stats skip + residual filter,
-    # written as the SQL string users actually type (r4 —
-    # orc_spark/predicates.py parses it to the pruning grammar)
-    dec = enc_ops.decode(enc, predicate="n_tok >= 60")
-    return dec.agg(F.count("*").alias("n_docs"),
-                   F.sum("n_tok").cast("long").alias("sum_ntok"))
+        tok.coalesce(2).sortWithinPartitions("n_tok"),
+        stripe_rows=100).cache()
+
+    def agg(pred, tag):
+        dec = enc_ops.decode(enc, predicate=pred)
+        return dec.agg(F.lit(tag).alias("pred"),
+                       F.count("*").alias("n_docs"),
+                       F.sum("n_tok").cast("long").alias("sum_ntok"))
+
+    return agg("n_tok >= 60", "cmp") \
+        .unionByName(agg("n_tok IN (60, 64, 128)", "inlist")) \
+        .unionByName(agg("doc_id LIKE 'doc-00000000001%'", "like"))
 
 
 def _q_rt_stride_pruned(spark, sf_dir):
@@ -1406,9 +1414,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST(sum({n_tok}) AS BIGINT) AS sum_ntok, "
             f"count(*) AS n_docs FROM documents"),
         "rt_pruned_decode": (
-            f"SELECT count(*) AS n_docs, "
+            f"SELECT 'cmp' AS pred, count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok FROM documents "
-            f"WHERE {n_tok} >= 60"),
+            f"WHERE {n_tok} >= 60 "
+            f"UNION ALL "
+            f"SELECT 'inlist', count(*), "
+            f"CAST(sum({n_tok}) AS BIGINT) FROM documents "
+            f"WHERE {n_tok} IN (60, 64, 128) "
+            f"UNION ALL "
+            # doc_id formats as doc-%012d, so the LIKE prefix
+            # 'doc-00000000001' is exactly ids 10..19
+            f"SELECT 'like', count(*), "
+            f"CAST(sum({n_tok}) AS BIGINT) FROM documents "
+            f"WHERE doc_id BETWEEN 10 AND 19"),
         "rt_stride_pruned": (
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS sum_ntok FROM documents "
