@@ -1094,10 +1094,13 @@ def _q_mm_decode(spark, sf_dir):
     # flc-* rows: REAL FLAC (r5) — lossless rice/LPC audio; odd docs
     # use LPC subframes, even docs FIXED predictors, one oracle
     flac = multimodal.synthesize_flac_media(spark, docs)
+    # tif-* rows: REAL TIFF (r5) — none/PackBits/LZW strips cycling
+    # by doc, all lossless, one formula oracle
+    tif = multimodal.synthesize_tiff_media(spark, docs)
     return _feat_sum_df(multimodal.extract_features(
         fake.unionByName(real).unionByName(png).unionByName(jpg)
         .unionByName(gif).unionByName(avi).unionByName(g711)
-        .unionByName(flac)))
+        .unionByName(flac).unionByName(tif)))
 
 
 def _q_mm_transform(spark, sf_dir):
@@ -2139,7 +2142,33 @@ def oracle_sql() -> dict[str, str]:
                      + CAST(list_aggregate(s, 'min') AS REAL)::DOUBLE
                      + CAST(list_aggregate(s, 'max') AS REAL)::DOUBLE,
                      3) AS feat_sum
-            FROM flc)""",
+            FROM flc)
+            UNION ALL SELECT * FROM (
+            -- tif-*: lossless TIFF of pixels (d*29 + i*31) % 256
+            -- (compression cycles none/PackBits/LZW by d%3; the
+            -- formula is codec-blind because all three are lossless)
+            WITH tif AS (
+              SELECT doc_id AS d,
+                     list_transform(range(0, 1152), i ->
+                       CAST((d*29 + i*31) % 256 AS DOUBLE)) AS v
+              FROM documents)
+            SELECT 'tif-' || CAST(d AS VARCHAR) AS media_id,
+                   CAST(16 AS BIGINT) AS dim,
+                   round(24.0 + 16.0 + 3.0
+                     + CAST(list_avg(v) AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 384), j ->
+                         CAST((d*29 + (3*j)*31) % 256 AS DOUBLE)))
+                         AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 384), j ->
+                         CAST((d*29 + (3*j+1)*31) % 256 AS DOUBLE)))
+                         AS REAL)::DOUBLE
+                     + CAST(list_avg(list_transform(range(0, 384), j ->
+                         CAST((d*29 + (3*j+2)*31) % 256 AS DOUBLE)))
+                         AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'min') AS REAL)::DOUBLE
+                     + CAST(list_aggregate(v, 'max') AS REAL)::DOUBLE,
+                     3) AS feat_sum
+            FROM tif)""",
         # REAL decode (r4): raster/sample i of doc d is the pure
         # function below; feature addition order mirrors the Spark
         # kernel's left-to-right fold exactly (bit-identical doubles)

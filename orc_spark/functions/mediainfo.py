@@ -154,6 +154,25 @@ def probe_media(payload: bytes) -> dict:
             if m == 0xDA:
                 break
             pos += 2 + struct.unpack_from(">H", d, pos + 2)[0]
+    elif d[:4] in (b"II*\x00", b"MM\x00*"):
+        bo = "<" if d[:2] == b"II" else ">"
+        ifd = struct.unpack_from(bo + "I", d, 4)[0]
+        cnt = struct.unpack_from(bo + "H", d, ifd)[0]
+        w = h = None
+        for i in range(cnt):
+            tag, typ = struct.unpack_from(bo + "HH",
+                                          d, ifd + 2 + i * 12)
+            vpos = ifd + 2 + i * 12 + 8
+            v = struct.unpack_from(bo + ("H" if typ == 3 else "I"),
+                                   d, vpos)[0]
+            if tag == 256:
+                w = v
+            elif tag == 257:
+                h = v
+        if w is None or h is None:
+            raise ValueError("tiff: missing dimensions")
+        out.update(mime="image/tiff", width=w, height=h, frames=1,
+                   duration_ms=0)
     elif d[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack_from("<HH", d, 6)
         # block walk: count image descriptors + sum GCE delays

@@ -600,6 +600,37 @@ def synthesize_g711_media(spark, docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def synthesize_tiff_media(spark, docs: DataFrame) -> DataFrame:
+    """REAL TIFF payloads (r5): every doc becomes a 24x16 RGB TIFF
+    of pixels ``(d*29 + i*31) % 256`` with the compression cycling
+    none / PackBits / LZW by ``d % 3`` — all three are lossless, so
+    one DuckDB formula oracle covers every strip codec (including
+    TIFF-LZW's early code-width change)."""
+    from .tiff_pure import encode_tiff
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "mime",
+                                    "payload", "width", "height",
+                                    "duration_ms")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(MEDIA_W * MEDIA_H * 3, dtype=np.int64)
+                arr = ((d * 29 + i * 31) % 256).astype(np.uint8) \
+                    .reshape(MEDIA_H, MEDIA_W, 3)
+                comp = ("none", "packbits", "lzw")[d % 3]
+                rows["media_id"].append(f"tif-{d}")
+                rows["kind"].append("image")
+                rows["mime"].append("image/tiff")
+                rows["payload"].append(encode_tiff(arr, comp))
+                rows["width"].append(MEDIA_W)
+                rows["height"].append(MEDIA_H)
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 FLAC_SAMPLES = 480
 FLAC_RATE = 8000
 
@@ -831,6 +862,9 @@ def decode_media(payload: bytes, mime: str, dim: int = FEATURE_DIM
     if mime == "image/gif":
         from .gif_pure import decode_gif
         return _image_features(decode_gif(payload), dim)
+    if mime == "image/tiff":
+        from .tiff_pure import decode_tiff
+        return _image_features(decode_tiff(payload), dim)
     if mime == "video/x-msvideo":
         from .avi_pure import decode_avi_frames
         return _image_features(decode_avi_frames(payload)[0][0], dim)
@@ -914,6 +948,12 @@ def resize_media(media: DataFrame, w: int, h: int) -> DataFrame:
                     from .jpeg_pure import decode_jpeg, encode_jpeg
                     out_p.append(encode_jpeg(
                         resize_nearest(decode_jpeg(p), w, h)))
+                    out_w.append(w)
+                    out_h.append(h)
+                elif m == "image/tiff" and p is not None:
+                    from .tiff_pure import decode_tiff, encode_tiff
+                    out_p.append(encode_tiff(
+                        resize_nearest(decode_tiff(p), w, h)))
                     out_w.append(w)
                     out_h.append(h)
                 elif m == "image/gif" and p is not None:

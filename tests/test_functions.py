@@ -1470,6 +1470,88 @@ def test_probe_media_spark(spark):
         assert rows[f"flc-{d}"]["sample_rate"] == 8000
 
 
+def test_tiff_round_trip_and_real_file():
+    """TIFF none/PackBits/LZW strips round-trip bit-exactly (LZW is
+    the TIFF variant: MSB-first, EARLY code-width change) and a real
+    libtiff-produced RGBA file decodes to its declared shape."""
+    import os
+    from orc_spark.functions import tiff_pure as TF
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    for comp in ("none", "packbits", "lzw"):
+        assert np.array_equal(
+            TF.decode_tiff(TF.encode_tiff(img, comp)), img), comp
+        dg = TF.decode_tiff(TF.encode_tiff(g, comp))
+        assert np.array_equal(dg[:, :, 0], g), comp
+    big = rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+    assert np.array_equal(
+        TF.decode_tiff(TF.encode_tiff(big, "lzw")), big)
+    p = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+         "python3.11/test/imghdrdata/python.tiff")
+    if os.path.exists(p):
+        d = TF.decode_tiff(open(p, "rb").read())
+        assert d.shape == (16, 16, 3) and d.std() > 0
+
+
+def test_tiff_horizontal_predictor_decode():
+    """Predictor=2 (horizontal differencing, the standard companion
+    of TIFF LZW): a hand-built stream of per-row sample diffs must
+    reconstruct the original pixels through the cumsum inverse."""
+    import struct
+    from orc_spark.functions import tiff_pure as TF
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    diffed = img.astype(np.int16).copy()
+    diffed[:, 1:, :] = np.diff(img.astype(np.int16), axis=1)
+    body = TF._lzw_encode_tiff(
+        (diffed % 256).astype(np.uint8).tobytes())
+    h, w = img.shape[:2]
+    entries = sorted([
+        (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, 5),
+        (262, 3, 1, 2), (277, 3, 1, 3), (278, 3, 1, h),
+        (279, 4, 1, len(body)), (317, 3, 1, 2),
+    ])
+    nent = len(entries) + 2
+    data_off = 8 + 2 + nent * 12 + 4
+    entries = sorted(entries + [(258, 3, 3, data_off),
+                                (273, 4, 1, data_off + 8)])
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", nent)
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += struct.pack("<HH", val, 0) if typ == 3 and cnt == 1 \
+            else struct.pack("<I", val)
+    out += struct.pack("<I", 0)
+    out += struct.pack("<3H", 8, 8, 8) + b"\x00\x00"
+    out += body
+    assert np.array_equal(TF.decode_tiff(bytes(out)), img)
+
+
+def test_tiff_through_spark_and_probe(spark):
+    """synthesize_tiff_media -> extract_features (formula-exact) and
+    resize; probe_media reports TIFF dimensions header-only."""
+    from orc_spark.functions import mediainfo as MI
+    from orc_spark.functions import tiff_pure as TF
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthesize_tiff_media(spark, docs)
+    feats = {r["media_id"]: r["features"]
+             for r in multimodal.extract_features(media).collect()}
+    i = np.arange(1152)
+    for d in range(3):
+        px = ((d * 29 + i * 31) % 256)
+        f = feats[f"tif-{d}"]
+        assert f[0] == 24 and f[1] == 16
+        assert abs(f[3] - px.astype(np.float64).mean()) < 1e-3
+    small = multimodal.resize_media(media, 8, 8).collect()
+    for r in small:
+        assert TF.decode_tiff(bytes(r["payload"])).shape == (8, 8, 3)
+    info = MI.probe_media(TF.encode_tiff(
+        np.zeros((5, 7), np.uint8), "lzw"))
+    assert info["mime"] == "image/tiff"
+    assert (info["width"], info["height"]) == (7, 5)
+
+
 def test_flac_round_trip_all_modes():
     """FLAC is lossless: FIXED and LPC subframes, all four stereo
     decorrelations (independent / left-side / right-side / mid-side),
