@@ -909,9 +909,17 @@ class _ScanContext:
 
 def orc_scan(spark, path: str, columns: list[str] | None = None,
              predicate=None, timestamp_nanos: bool = False,
-             evolve: bool = False) -> DataFrame:
+             evolve: bool = False, on_error: str = "fail") -> DataFrame:
     """Read a ``.orc`` file or directory of ``.orc`` files into a
     DataFrame via our codec kernels, one task per (file, stripe).
+
+    ``on_error="skip"`` (r5) is the salvage mode a 100 TB lake needs
+    when a handful of objects are corrupt: stripes that fail to
+    decode are DROPPED (logged to executor stderr) instead of
+    failing the job — pair it with ``orc_scan_errors`` for the
+    quarantine report of exactly what was skipped.  The default
+    stays fail-loud: silently missing rows are only acceptable when
+    explicitly requested.
 
     ``timestamp_nanos=True`` surfaces timestamp columns as LONG
     wall-clock nanoseconds since epoch (lossless — Spark's own
@@ -928,6 +936,9 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
     error."""
     import pyarrow as pa
 
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"orc_scan: on_error must be 'fail' or "
+                         f"'skip', got {on_error!r}")
     files = orc_files(path)
     full_root = orctypes.type_from_file(files[0])
     expect_type = None if evolve else full_root.orc_string()
@@ -1026,18 +1037,29 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
 
     ctx = _ScanContext(root, preds, sel, timestamp_nanos)
 
+    skip_errors = on_error == "skip"
+
     def kernel(batches):
+        import sys
+
         from orc_spark._alloc import tune_worker
         tune_worker()  # mallopt thresholds: heap reuse across stripes
         readers: dict[str, ORCFile] = {}
         for b in batches:
             for p, si in zip(b.column("path").to_pylist(),
                              b.column("stripe").to_pylist()):
-                f = readers.get(p)
-                if f is None:
-                    f = ctx.open(p)
-                    readers[p] = f
-                batch = ctx.decode_stripe(f, si)
+                try:
+                    f = readers.get(p)
+                    if f is None:
+                        f = ctx.open(p)
+                        readers[p] = f
+                    batch = ctx.decode_stripe(f, si)
+                except Exception as e:
+                    if not skip_errors:
+                        raise
+                    print(f"orc_scan: SKIPPED corrupt stripe "
+                          f"{si} of {p}: {e!r}", file=sys.stderr)
+                    continue
                 if batch is None:
                     continue
                 # zero-copy slices: a 1M-row stripe must not cross
@@ -1066,6 +1088,59 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         out = out.select(*[F.col(f"`{c}`") if "." in c else F.col(c)
                            for c in columns])
     return out
+
+
+def orc_scan_errors(spark, path: str,
+                    timestamp_nanos: bool = False) -> DataFrame:
+    """Corruption audit over a ``.orc`` lake (r5): attempt a full
+    decode of EVERY stripe of every file and emit one row per
+    failure — ``(path, stripe, error)``; stripe -1 means the file's
+    footer/schema itself failed to open.  An empty result proves the
+    lake decodes end to end.  Distributed one task per file batch;
+    the quarantine report to pair with ``orc_scan(on_error='skip')``
+    before deleting or re-ingesting objects."""
+    import pandas as pd
+
+    files = orc_files(path, "orc_scan_errors")
+    fdf = spark.createDataFrame([(f,) for f in files],
+                                "path string") \
+        .repartition(min(len(files), 256))
+    ts_nanos = timestamp_nanos
+
+    def kern(batches):
+        from orc_spark._alloc import tune_worker
+        tune_worker()
+        for pdf in batches:
+            paths, stripes, errors = [], [], []
+            for p in pdf["path"]:
+                try:
+                    f = ORCFile(p)
+                    root = orctypes.type_from_file(p)
+                    if root.kind != "struct":
+                        root = orctypes.OrcType("struct", [root],
+                                                ["value"])
+                    ctx = _ScanContext(root, [], None, ts_nanos)
+                    fh = ctx.open(p)
+                except Exception as e:
+                    paths.append(p)
+                    stripes.append(-1)
+                    errors.append(repr(e)[:500])
+                    continue
+                for si in range(len(f.stripes)):
+                    try:
+                        ctx.decode_stripe(fh, si)
+                    except Exception as e:
+                        paths.append(p)
+                        stripes.append(si)
+                        errors.append(repr(e)[:500])
+            yield pd.DataFrame({"path": pd.Series(paths, dtype=object),
+                                "stripe": pd.Series(stripes,
+                                                    dtype="int32"),
+                                "error": pd.Series(errors,
+                                                   dtype=object)})
+
+    return fdf.mapInPandas(kern,
+                           "path string, stripe int, error string")
 
 
 def orc_arrow(node: orctypes.OrcType, ts_nanos: bool = False):

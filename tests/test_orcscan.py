@@ -68,6 +68,47 @@ def test_plan_tasks_prunes_stripes(tmp_path):
     assert [si for _, si in tasks] == [1]
 
 
+def test_orc_scan_corruption_skip_and_audit(spark, tmp_path):
+    """Salvage mode (r5): a corrupted stripe fails the default scan
+    loudly, on_error='skip' returns every other stripe's rows, and
+    orc_scan_errors pinpoints exactly the (file, stripe) that
+    failed — with clean files reporting nothing."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_spark.sources.orcfile import ORCFile
+    from orc_spark.sources.orcscan import orc_scan_errors
+    n = 4000
+    tbl = pa.table({"v": pa.array(np.arange(n)),
+                    "tag": pa.array([f"s{i // 1000}"
+                                     for i in range(n)])})
+    good = str(tmp_path / "good.orc")
+    bad = str(tmp_path / "bad.orc")
+    orcwriter.write_orc(tbl, good, stripe_rows=1000)
+    shutil.copy(good, bad)
+    f = ORCFile(bad)
+    st = f.stripes[1]
+    off = st[1][0] + st[2][0] + 8      # inside stripe 1's data
+    d = bytearray(open(bad, "rb").read())
+    d[off:off + 64] = bytes(64)
+    open(bad, "wb").write(bytes(d))
+    with pytest.raises(Exception):
+        orcscan.orc_scan(spark, bad).count()
+    with pytest.raises(ValueError):
+        orcscan.orc_scan(spark, bad, on_error="maybe")
+    got = orcscan.orc_scan(spark, bad, on_error="skip")
+    assert got.count() == 3000
+    assert got.agg(F.min("v"), F.max("v")).first() == (0, 3999)
+    errs = orc_scan_errors(spark, str(tmp_path)).collect()
+    assert [(r["path"].rsplit("/", 1)[-1], r["stripe"])
+            for r in errs] == [("bad.orc", 1)]
+    assert "decompress" in errs[0]["error"] or \
+        "Error" in errs[0]["error"]
+    assert orc_scan_errors(spark, good).count() == 0
+
+
 def test_orc_scan_in_and_prefix_rows(spark, tmp_path):
     """End-to-end IN / prefix results are exact (pruning + stride
     stats + residual), including float literals in IN lists against
