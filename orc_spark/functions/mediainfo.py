@@ -157,22 +157,29 @@ def probe_media(payload: bytes) -> dict:
     elif d[:4] in (b"II*\x00", b"MM\x00*"):
         bo = "<" if d[:2] == b"II" else ">"
         ifd = struct.unpack_from(bo + "I", d, 4)[0]
-        cnt = struct.unpack_from(bo + "H", d, ifd)[0]
         w = h = None
-        for i in range(cnt):
-            tag, typ = struct.unpack_from(bo + "HH",
-                                          d, ifd + 2 + i * 12)
-            vpos = ifd + 2 + i * 12 + 8
-            v = struct.unpack_from(bo + ("H" if typ == 3 else "I"),
-                                   d, vpos)[0]
-            if tag == 256:
-                w = v
-            elif tag == 257:
-                h = v
-        if w is None or h is None:
+        pages = 0
+        seen = set()
+        while ifd and ifd not in seen:   # IFD chain = page count
+            seen.add(ifd)
+            cnt = struct.unpack_from(bo + "H", d, ifd)[0]
+            for i in range(cnt):
+                tag, typ = struct.unpack_from(bo + "HH",
+                                              d, ifd + 2 + i * 12)
+                vpos = ifd + 2 + i * 12 + 8
+                v = struct.unpack_from(
+                    bo + ("H" if typ == 3 else "I"), d, vpos)[0]
+                if tag == 256 and w is None:
+                    w = v
+                elif tag == 257 and h is None:
+                    h = v
+            pages += 1
+            ifd = struct.unpack_from(bo + "I", d,
+                                     ifd + 2 + cnt * 12)[0]
+        if w is None or h is None or pages == 0:
             raise ValueError("tiff: missing dimensions")
-        out.update(mime="image/tiff", width=w, height=h, frames=1,
-                   duration_ms=0)
+        out.update(mime="image/tiff", width=w, height=h,
+                   frames=pages, duration_ms=0)
     elif d[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack_from("<HH", d, 6)
         # block walk: count image descriptors + sum GCE delays

@@ -800,6 +800,11 @@ def media_frame_stats(media: DataFrame) -> DataFrame:
                         ts += de
                 elif mime == "video/x-msvideo":
                     frames, ts_list = decode_avi_frames(bytes(p))
+                elif mime == "image/tiff":
+                    # multi-page documents: no timeline, ts stays 0
+                    from .tiff_pure import decode_tiff_pages
+                    frames = decode_tiff_pages(bytes(p))
+                    ts_list = [0] * len(frames)
                 else:
                     continue
                 for i, (fr, ts) in enumerate(zip(frames, ts_list)):

@@ -162,7 +162,9 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _read_ifd(d: bytes, bo: str, off: int) -> dict[int, tuple]:
+def _read_ifd(d: bytes, bo: str, off: int
+              ) -> tuple[dict[int, tuple], int]:
+    """IFD at ``off`` -> (tags, next-IFD offset; 0 = last page)."""
     n = struct.unpack_from(bo + "H", d, off)[0]
     tags = {}
     sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
@@ -184,19 +186,44 @@ def _read_ifd(d: bytes, bo: str, off: int) -> dict[int, tuple]:
         else:
             vals = (d[vpos:vpos + total],)
         tags[tag] = vals
-    return tags
+    nxt = struct.unpack_from(bo + "I", d, off + 2 + n * 12)[0]
+    return tags, nxt
+
+
+def _byte_order(d: bytes) -> str:
+    if d[:4] == b"II*\x00":
+        return "<"
+    if d[:4] == b"MM\x00*":
+        return ">"
+    raise ValueError("not a TIFF payload")
+
+
+def decode_tiff_pages(payload: bytes) -> list[np.ndarray]:
+    """Multi-page TIFF (IFD chain) -> list of (h, w, 3) RGB uint8
+    frames — the scanned-document layout."""
+    d = bytes(payload)
+    bo = _byte_order(d)
+    off = struct.unpack_from(bo + "I", d, 4)[0]
+    pages = []
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)                    # cycle guard
+        tags, off = _read_ifd(d, bo, off)
+        pages.append(_decode_ifd(d, bo, tags))
+    if not pages:
+        raise ValueError("tiff: no pages")
+    return pages
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Baseline TIFF -> (h, w, 3) RGB uint8."""
+    """Baseline TIFF -> (h, w, 3) RGB uint8 (first page)."""
     d = bytes(payload)
-    if d[:4] == b"II*\x00":
-        bo = "<"
-    elif d[:4] == b"MM\x00*":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF payload")
-    tags = _read_ifd(d, bo, struct.unpack_from(bo + "I", d, 4)[0])
+    bo = _byte_order(d)
+    tags, _ = _read_ifd(d, bo, struct.unpack_from(bo + "I", d, 4)[0])
+    return _decode_ifd(d, bo, tags)
+
+
+def _decode_ifd(d: bytes, bo: str, tags: dict) -> np.ndarray:
     w = tags[256][0]
     h = tags[257][0]
     spp = tags.get(277, (1,))[0]
@@ -259,55 +286,64 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     raise ValueError(f"tiff: photometric {photo} unsupported")
 
 
-def encode_tiff(arr: np.ndarray, compression: str = "none") -> bytes:
-    """(h, w, 3) RGB or (h, w) gray uint8 -> little-endian baseline
-    TIFF (single strip; compression "none", "packbits" or "lzw")."""
-    a = np.asarray(arr, np.uint8)
-    gray = a.ndim == 2
-    h, w = a.shape[:2]
-    spp = 1 if gray else 3
-    data = a.tobytes()
-    if compression == "none":
-        comp_code, body = _COMP_NONE, data
-    elif compression == "packbits":
-        comp_code, body = _COMP_PACKBITS, _packbits(data)
-    elif compression == "lzw":
-        comp_code, body = _COMP_LZW, _lzw_encode_tiff(data)
-    else:
-        raise ValueError(f"tiff: unknown compression {compression!r}")
-    entries = [
-        (256, 3, 1, w), (257, 3, 1, h),
-        (259, 3, 1, comp_code),
-        (262, 3, 1, 1 if gray else 2),
-        (277, 3, 1, spp),
-        (278, 3, 1, h),
-        (279, 4, 1, len(body)),
-    ]
-    extra = bytearray()
-    hdr_size = 8
-    ifd_off = hdr_size
-    # bits-per-sample: inline for 1 sample, pointer for 3
-    nent = len(entries) + 2      # + bits + strip offset
-    data_off = ifd_off + 2 + nent * 12 + 4
-    if gray:
-        bits_entry = (258, 3, 1, 8)
-    else:
-        bits_entry = (258, 3, 3, data_off + len(extra))
-        extra += struct.pack("<3H", 8, 8, 8)
-        extra += b"\x00\x00"     # keep word alignment
-    strip_off = data_off + len(extra)
-    entries = sorted(entries + [bits_entry,
-                                (273, 4, 1, strip_off)])
+def encode_tiff(arr, compression: str = "none") -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 — or a LIST of such arrays
+    for a multi-page file (IFD chain) — to little-endian baseline
+    TIFF (single strip per page; compression "none", "packbits" or
+    "lzw")."""
+    pages = arr if isinstance(arr, (list, tuple)) else [arr]
+    if not pages:
+        raise ValueError("tiff: need at least one page")
     out = bytearray(b"II*\x00")
-    out += struct.pack("<I", ifd_off)
-    out += struct.pack("<H", nent)
-    for tag, typ, cnt, val in entries:
-        out += struct.pack("<HHI", tag, typ, cnt)
-        if typ == 3 and cnt == 1:
-            out += struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 8)          # first IFD right after header
+    next_ptr_pos = 4                     # where the IFD offset lives
+    for page in pages:
+        a = np.asarray(page, np.uint8)
+        gray = a.ndim == 2
+        h, w = a.shape[:2]
+        spp = 1 if gray else 3
+        data = a.tobytes()
+        if compression == "none":
+            comp_code, body = _COMP_NONE, data
+        elif compression == "packbits":
+            comp_code, body = _COMP_PACKBITS, _packbits(data)
+        elif compression == "lzw":
+            comp_code, body = _COMP_LZW, _lzw_encode_tiff(data)
         else:
-            out += struct.pack("<I", val)
-    out += struct.pack("<I", 0)  # no next IFD
-    out += extra
-    out += body
+            raise ValueError(
+                f"tiff: unknown compression {compression!r}")
+        if len(out) & 1:
+            out += b"\x00"               # IFDs must be word-aligned
+        ifd_off = len(out)
+        struct.pack_into("<I", out, next_ptr_pos, ifd_off)
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h),
+            (259, 3, 1, comp_code),
+            (262, 3, 1, 1 if gray else 2),
+            (277, 3, 1, spp),
+            (278, 3, 1, h),
+            (279, 4, 1, len(body)),
+        ]
+        nent = len(entries) + 2          # + bits + strip offset
+        data_off = ifd_off + 2 + nent * 12 + 4
+        extra = bytearray()
+        if gray:
+            bits_entry = (258, 3, 1, 8)
+        else:
+            bits_entry = (258, 3, 3, data_off)
+            extra += struct.pack("<3H", 8, 8, 8) + b"\x00\x00"
+        strip_off = data_off + len(extra)
+        entries = sorted(entries + [bits_entry,
+                                    (273, 4, 1, strip_off)])
+        out += struct.pack("<H", nent)
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHI", tag, typ, cnt)
+            if typ == 3 and cnt == 1:
+                out += struct.pack("<HH", val, 0)
+            else:
+                out += struct.pack("<I", val)
+        next_ptr_pos = len(out)          # this IFD's next pointer
+        out += struct.pack("<I", 0)      # patched by the next page
+        out += extra
+        out += body
     return bytes(out)

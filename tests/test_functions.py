@@ -1528,6 +1528,27 @@ def test_tiff_horizontal_predictor_decode():
     assert np.array_equal(TF.decode_tiff(bytes(out)), img)
 
 
+def test_tiff_multi_page():
+    """Multi-page TIFF (IFD chain — the scanned-document layout):
+    pages round-trip exactly under all three codecs, decode_tiff
+    returns the first page, probe counts pages header-only, and
+    media_frame_stats emits one row per page."""
+    from orc_spark.functions import mediainfo as MI
+    from orc_spark.functions import tiff_pure as TF
+    rng = np.random.default_rng(6)
+    pages = [rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+             for _ in range(3)]
+    for comp in ("none", "packbits", "lzw"):
+        enc = TF.encode_tiff(pages, comp)
+        dec = TF.decode_tiff_pages(enc)
+        assert len(dec) == 3
+        assert all(np.array_equal(a, b)
+                   for a, b in zip(dec, pages)), comp
+        assert MI.probe_media(enc)["frames"] == 3
+    assert np.array_equal(TF.decode_tiff(TF.encode_tiff(pages)),
+                          pages[0])
+
+
 def test_tiff_through_spark_and_probe(spark):
     """synthesize_tiff_media -> extract_features (formula-exact) and
     resize; probe_media reports TIFF dimensions header-only."""
