@@ -69,6 +69,13 @@ def _compress_chunk(chunk: bytes, kind: str) -> bytes:
     if kind == "lz4":
         from . import lz4_pure
         return lz4_pure.compress(chunk)
+    if kind == "lzo":
+        # r5: pure-Python LZO1X WRITE — beyond both the reference
+        # (decode-only, compressioncodec.go:290-300) and the Java/
+        # Spark writers (aircompressor decodes lzo but ORC never
+        # writes it)
+        from . import lzo_pure
+        return lzo_pure.compress(chunk)
     raise ValueError(kind)
 
 

@@ -99,16 +99,16 @@ def merge_orc_files(inputs: list[str], out_path: str) -> dict:
     files = [ORCFile(p) for p in inputs]
     schema = orctypes.type_from_file(inputs[0]).orc_string()
     comp = files[0].compression
-    if comp not in ("none", "zlib", "zstd", "snappy", "lz4"):
+    if comp not in ("none", "zlib", "zstd", "snappy", "lz4", "lzo"):
         # stripe bytes could copy verbatim, but the merged tail
         # (metadata + footer + postscript) must be framed under the
-        # same codec and lzo stays decode-only — fail before writing
-        # anything, not mid-file with a bare codec error (snappy/lz4
-        # became writable in r5)
+        # same codec — fail before writing anything, not mid-file
+        # with a bare codec error (snappy/lz4 became writable in r5,
+        # lzo later the same round: every codec we read, we write)
         raise ValueError(
             f"orc_merge: cannot re-frame the merged footer under "
-            f"{comp!r} (decode-only codec); transcode the inputs to "
-            f"none/zlib/zstd/snappy/lz4 first")
+            f"{comp!r} (unknown codec); transcode the inputs to "
+            f"none/zlib/zstd/snappy/lz4/lzo first")
     stride = files[0].row_index_stride
     for p, f in zip(inputs, files):
         got = orctypes.type_from_types(f.types).orc_string()

@@ -731,7 +731,7 @@ class ORCFileWriter:
         # zstd (r4): Spark 4's default ORC codec, via pyarrow's
         # bundled implementation — postscript enum 5 (proto/orc.proto)
         self.comp_code = {"none": 0, "zlib": 1, "snappy": 2,
-                          "lz4": 4, "zstd": 5}[codec]
+                          "lzo": 3, "lz4": 4, "zstd": 5}[codec]
         self.stripe_rows = stripe_rows
         self.stride = row_index_stride
         self.use_fsst = use_fsst

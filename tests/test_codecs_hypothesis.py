@@ -70,3 +70,10 @@ def test_snappy_compress_roundtrips(data):
 def test_lz4_compress_roundtrips(data):
     from orc_spark.codecs import lz4_pure
     assert lz4_pure.decompress(lz4_pure.compress(data)) == data
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=blobs)
+def test_lzo_compress_roundtrips(data):
+    from orc_spark.codecs import lzo_pure
+    assert lzo_pure.decompress(lzo_pure.compress(data)) == data

@@ -192,13 +192,19 @@ def test_merge_decimal_stats_numeric_not_lexicographic(spark,
     assert agg["cols"]["dec"]["min"] == Decimal("9.50")
 
 
-def test_merge_rejects_decode_only_codec(tmp_path):
-    """r5 (ADVICE): lzo inputs (the one codec still decode-only) fail
-    UP FRONT with a clear re-framing error, not mid-write with a bare
-    codec ValueError."""
+def test_merge_lzo_inputs_reframe(spark, tmp_path):
+    """r5: lzo gained an encoder late in the round, so the golden lzo
+    file MERGES now (the tail re-frames through codecs/lzo_pure
+    compress) — previously this was the one rejected decode-only
+    codec.  The merged file scans identically to a double read of the
+    input."""
     lzo = "/root/reference/examples/TestVectorOrcFile.testLzo.orc"
-    with pytest.raises(ValueError, match="cannot re-frame"):
-        orcmerge.merge_orc_files([lzo], str(tmp_path / "o.orc"))
+    out = str(tmp_path / "o.orc")
+    res = orcmerge.merge_orc_files([lzo, lzo], out)
+    assert ORCFile(out).compression == "lzo"
+    a = orc_scan(spark, lzo).agg({"x": "sum"}).collect()[0][0]
+    b = orc_scan(spark, out).agg({"x": "sum"}).collect()[0][0]
+    assert b == 2 * a and res["n_rows"] == 2 * ORCFile(lzo).n_rows
 
 
 def test_merge_snappy_inputs_reframe(spark, tmp_path):

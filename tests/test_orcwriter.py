@@ -595,10 +595,11 @@ def test_timestamp_pre1970_java_convention(spark, tmp_path):
 
 
 def test_orcwriter_snappy_lz4_write_jvm_interop(spark, tmp_path):
-    """r5: the engine WRITES snappy and lz4 .orc files (pure-Python
-    block encoders — the reference's snappy encoder errors out, and
-    neither it nor Spark writes lz4 ORC at all).  Spark's JVM ORC
-    reader (independent Java/C++ codec implementations) must read the
+    """r5: the engine WRITES snappy, lz4 AND lzo .orc files
+    (pure-Python block encoders — the reference's snappy encoder
+    errors out and it has no lzo/lz4 encoder; Spark never writes
+    lzo/lz4 ORC at all).  Spark's JVM ORC reader (independent
+    Java/aircompressor codec implementations) must read the
     bitstreams back value-exact, and our own scan agrees."""
     import numpy as np
     import pyarrow as pa
@@ -609,7 +610,7 @@ def test_orcwriter_snappy_lz4_write_jvm_interop(spark, tmp_path):
         "s": pa.array([f"row-{i % 97:05d}" for i in range(n)]),
         "d": pa.array(np.linspace(-1.0, 1.0, n)),
     })
-    for codec in ("snappy", "lz4"):
+    for codec in ("snappy", "lz4", "lzo"):
         d = tmp_path / codec
         d.mkdir()
         p = str(d / "a.orc")
