@@ -28,6 +28,17 @@ this is the explicit projection control), ``timestamp_nanos``
 ("true" -> LONG wall-clock nanos), ``evolve`` ("true" -> name-based
 schema evolution: older files null-fill added columns; default
 fail-loud drift).
+
+The source is also a STREAM (r5)::
+
+    spark.readStream.format("orc_spark").load(dir)   # growing lake
+    df.writeStream.format("orc_spark").option("path", dir)...
+
+``OrcStreamReader`` treats the directory as an exactly-once
+replayable file stream (offset = seen-file set; admission control
+via ``max_files_per_trigger``; empty-directory starts via the
+``schema`` option), and ``OrcStreamWriter`` commits each microbatch
+under batch-scoped part names so recovery replays idempotently.
 """
 
 from __future__ import annotations
@@ -38,6 +49,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -60,15 +73,12 @@ def _files_of(path: str) -> list[str]:
     return orc_files(path, "orc_spark datasource")
 
 
-def _resolve_root(path: str, columns: list[str] | None):
-    """(projected root OrcType, expect_type string) for the dataset.
-    ``columns`` may contain DOTTED paths (r5): each resolves through
-    struct fields and surfaces as one flattened output column named
-    by the literal path (reference cursor Select, cursor.go:29-45)."""
+def _project_root(full_root, columns: list[str] | None):
+    """Apply a (possibly DOTTED, r5) column projection to a full
+    root: each path resolves through struct fields and surfaces as
+    one flattened output column named by the literal path (reference
+    cursor Select, cursor.go:29-45)."""
     from .orcscan import _subtree
-    files = _files_of(path)
-    full_root = orctypes.type_from_file(files[0])
-    expect = full_root.orc_string()
     if full_root.kind != "struct":
         full_root = orctypes.OrcType("struct", [full_root], ["value"])
     root = full_root
@@ -85,7 +95,16 @@ def _resolve_root(path: str, columns: list[str] | None):
                 for c in dict.fromkeys(columns)]  # given order, deduped
         root = orctypes.OrcType(
             "struct", [c for _, c in keep], [fn for fn, _ in keep])
-    return files, root, expect
+    return root
+
+
+def _resolve_root(path: str, columns: list[str] | None):
+    """(files, projected root OrcType, expect_type string) for the
+    dataset, from the first file's footer."""
+    files = _files_of(path)
+    full_root = orctypes.type_from_file(files[0])
+    expect = full_root.orc_string()
+    return files, _project_root(full_root, columns), expect
 
 
 class StripesPartition(InputPartition):
@@ -166,7 +185,7 @@ class OrcReader(DataSourceReader):
             yield f
 
     def partitions(self):
-        from .orcscan import _TARGET_ROWS_PER_TASK, plan_tasks
+        from .orcscan import plan_tasks
         files, root, expect = self._resolve()
         # the projected root ships on every partition as its
         # canonical type string — a million-file lake costs zero
@@ -181,49 +200,177 @@ class OrcReader(DataSourceReader):
                               strict_cols=not self.evolve)
         if not tasks:
             return [StripesPartition(files[0], [], root_str)]
-        # coalesce tiny stripes toward the same rows/task target as
-        # orc_scan, preserving per-file grouping
-        parts: list[StripesPartition] = []
-        cur_path, cur, cur_rows = None, [], 0
-        for p, si, rows in tasks:
-            if cur_path != p or (cur and
-                                 cur_rows + rows > _TARGET_ROWS_PER_TASK):
-                if cur:
-                    parts.append(StripesPartition(cur_path, cur,
-                                                  root_str))
-                cur_path, cur, cur_rows = p, [], 0
-            cur.append(si)
-            cur_rows += rows
-        if cur:
-            parts.append(StripesPartition(cur_path, cur, root_str))
-        return parts
+        return _coalesce_parts(tasks, root_str)
 
     def read(self, partition: StripesPartition):
-        from orc_spark._alloc import tune_worker
-        from .orcscan import _BATCH_ROWS, _ScanContext, _pred_list
-        tune_worker()
-        if not partition.stripes:
-            return
-        # metadata-clean: no directory listing, no foreign footer —
-        # the projected root was resolved once at partitions() time
-        # and rides along on the partition as a type string (r5)
-        root = orctypes.parse_orc_type(partition.root_str)
-        # internal projection carries predicate columns (Spark's
-        # residual filter runs post-scan on OUR output schema, which
-        # is exactly the projected schema — predicates outside it
-        # were never pushed)
-        sel = list(dict.fromkeys(
-            c.split(".")[0] for c in root.field_names)) \
-            if self.columns else None
-        ctx = _ScanContext(root, _pred_list(self.pushed or None),
-                           sel, self.ts_nanos)
-        f = ctx.open(partition.path)
-        for si in partition.stripes:
-            batch = ctx.decode_stripe(f, si)
-            if batch is None:
-                continue
-            for off in range(0, batch.num_rows, _BATCH_ROWS):
-                yield batch.slice(off, _BATCH_ROWS)
+        yield from _scan_partition(partition, self.pushed or None,
+                                   bool(self.columns), self.ts_nanos)
+
+
+def _coalesce_parts(tasks, root_str: str) -> list[StripesPartition]:
+    """Coalesce tiny stripes toward the same rows/task target as
+    orc_scan, preserving per-file grouping."""
+    from .orcscan import _TARGET_ROWS_PER_TASK
+    parts: list[StripesPartition] = []
+    cur_path, cur, cur_rows = None, [], 0
+    for p, si, rows in tasks:
+        if cur_path != p or (cur and
+                             cur_rows + rows > _TARGET_ROWS_PER_TASK):
+            if cur:
+                parts.append(StripesPartition(cur_path, cur, root_str))
+            cur_path, cur, cur_rows = p, [], 0
+        cur.append(si)
+        cur_rows += rows
+    if cur:
+        parts.append(StripesPartition(cur_path, cur, root_str))
+    return parts
+
+
+def _scan_partition(partition: StripesPartition, pushed,
+                    has_projection: bool, ts_nanos: bool):
+    """Executor-side stripe decode shared by the batch and stream
+    readers.  Metadata-clean: no directory listing, no foreign
+    footer — the projected root was resolved once at planning time
+    and rides along on the partition as a type string (r5)."""
+    from orc_spark._alloc import tune_worker
+    from .orcscan import _BATCH_ROWS, _ScanContext, _pred_list
+    tune_worker()
+    if not partition.stripes:
+        return
+    root = orctypes.parse_orc_type(partition.root_str)
+    # internal projection carries predicate columns (Spark's
+    # residual filter runs post-scan on OUR output schema, which
+    # is exactly the projected schema — predicates outside it
+    # were never pushed)
+    sel = list(dict.fromkeys(
+        c.split(".")[0] for c in root.field_names)) \
+        if has_projection else None
+    ctx = _ScanContext(root, _pred_list(pushed), sel, ts_nanos)
+    f = ctx.open(partition.path)
+    for si in partition.stripes:
+        batch = ctx.decode_stripe(f, si)
+        if batch is None:
+            continue
+        for off in range(0, batch.num_rows, _BATCH_ROWS):
+            yield batch.slice(off, _BATCH_ROWS)
+
+
+class OrcStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("orc_spark").load(dir)`` — treats a
+    growing ``.orc`` directory as an exactly-once replayable stream
+    (the streaming analog of Spark's FileStreamSource, over our
+    stripe kernels).
+
+    Offsets are ``{"files": [basename, ...]}`` — the sorted set of
+    files visible when ``latestOffset`` listed the directory.  Files
+    are immutable once visible (the paired writer renames temps in
+    atomically, and dot-prefixed temps are invisible to the lister),
+    so a microbatch is exactly the files in ``end - start``, planned
+    into stripe partitions with the same coalescing policy as the
+    batch reader and replayable byte-identically for checkpoint
+    recovery.
+
+    Options: ``columns``/``timestamp_nanos``/``evolve`` as the batch
+    reader; ``schema`` (canonical ORC type string, e.g.
+    ``struct<doc_id:string,tokens:array<int>>``) lets a stream start
+    on an EMPTY directory; ``max_files_per_trigger`` bounds each
+    microbatch (admission control — the remainder stays pending).
+
+    Scale note: the offset carries one basename per seen file, the
+    same contract as Spark's own file source (which journals the
+    full seen-file log in the checkpoint); at 1M files the offset
+    is ~30 MB of checkpoint JSON — production lakes should compact
+    inputs (orcmerge) or partition the stream by directory."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "orc_spark datasource: .load(path) is required")
+        cols = options.get("columns")
+        self.columns = [c.strip() for c in cols.split(",")
+                        if c.strip()] if cols else None
+        self.ts_nanos = str(options.get("timestamp_nanos", "false")) \
+            .lower() == "true"
+        self.evolve = str(options.get("evolve", "false")) \
+            .lower() == "true"
+        self.schema_str = options.get("schema")
+        mft = options.get("max_files_per_trigger")
+        self.max_files = int(mft) if mft else None
+        self._root_str = None
+        self._expect = None
+
+    def _roots(self):
+        """(projected root string, expected full type string), from
+        the ``schema`` option when given (empty-directory starts) or
+        the first visible file's footer otherwise — resolved once per
+        driver lifetime, never on executors."""
+        if self._root_str is None:
+            if self.schema_str:
+                full = orctypes.parse_orc_type(self.schema_str)
+                self._expect = full.orc_string()
+                root = _project_root(full, self.columns)
+                self._root_str = root.orc_string()
+            else:
+                _, root, expect = _resolve_root(self.path, self.columns)
+                self._root_str, self._expect = root.orc_string(), expect
+        return self._root_str, self._expect
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        """Directory listing as the next target offset.  Offsets this
+        driver returns are MONOTONE (each a superset of the last):
+        ``max_files_per_trigger`` admits at most that many NEW files
+        per call beyond the previously returned set, so a microbatch
+        never silently skips, and a returned offset never shrinks
+        (a shrinking end could alias an older checkpointed start and
+        re-admit processed files after recovery).  On a restarted
+        driver the first offset is the full listing — recovery planes
+        it against the checkpointed start, so nothing reprocesses;
+        only admission control restarts wide."""
+        try:
+            files = _files_of(self.path)
+        except (FileNotFoundError, ValueError):
+            files = []  # directory not created yet: empty stream
+        names = set(os.path.basename(p) for p in files)
+        last = getattr(self, "_last", None)
+        if last is not None:
+            if self.max_files is not None:
+                fresh = sorted(names - last)[:self.max_files]
+                names = last | set(fresh)
+            else:
+                names = last | names
+        self._last = names
+        return {"files": sorted(names)}
+
+    def partitions(self, start: dict, end: dict):
+        from .orcscan import plan_tasks
+        new = sorted(set(end.get("files", [])) -
+                     set(start.get("files", [])))
+        if not new:
+            # no-data microbatch: _scan_partition short-circuits on
+            # empty stripes before touching the root string
+            return [StripesPartition("", [], "")]
+        root_str, expect = self._roots()
+        paths = [os.path.join(self.path, n) for n in new]
+        tasks, _ = plan_tasks(paths, None,
+                              None if self.evolve else expect,
+                              with_rows=True,
+                              strict_cols=not self.evolve)
+        parts = _coalesce_parts(tasks, root_str)
+        return parts or [StripesPartition("", [], root_str)]
+
+    def read(self, partition: StripesPartition):
+        yield from _scan_partition(partition, None,
+                                   bool(self.columns), self.ts_nanos)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; files are immutable
+
+    def stop(self) -> None:
+        pass
 
 
 class _OrcCommit(WriterCommitMessage):
@@ -369,6 +516,42 @@ class OrcWriter(DataSourceArrowWriter):
             fs.remove(tmp)
 
 
+class OrcStreamWriter(OrcWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("orc_spark")`` — streaming encode into
+    a ``.orc`` lake with per-microbatch exactly-once commits.  Tasks
+    stream Arrow batches through ORCFileWriter to job-prefixed temp
+    names (inherited write()); ``commit`` renames winners to
+    batch-scoped final names and FIRST clears any prior output of the
+    same batchId, so a recovered query replaying its last uncommitted
+    microbatch (same id, new job uuid) lands byte-equivalent files
+    instead of duplicates — append-only exactly-once end to end with
+    a replayable source."""
+
+    def commit(self, messages, batchId: int) -> None:
+        fs = self.fs
+        live = {m.path for m in messages if m is not None and m.path}
+        tag = f"b{batchId:010d}"
+        # idempotent replay: a crashed-and-recovered batch re-commits
+        # under the same id — its earlier partial/complete output goes
+        # first (same data, different job uuid)
+        for old in fs.list(self.path, f"part-*-{tag}-*.orc"):
+            fs.remove(old)
+        mine = f".tmp-{self.job}-"
+        for tmp in fs.list(self.path, ".tmp-*.orc"):
+            if tmp in live:
+                continue
+            if os.path.basename(tmp).startswith(mine) or \
+                    fs.age_seconds(tmp) > _STALE_TEMP_SECONDS:
+                fs.remove(tmp)
+        for i, m in enumerate(messages):
+            if m is not None and m.path:
+                fs.rename(m.path, os.path.join(
+                    self.path, f"part-{i:05d}-{tag}-{self.job}.orc"))
+
+    def abort(self, messages, batchId: int) -> None:
+        OrcWriter.abort(self, messages)
+
+
 def register(spark) -> None:
     """One-call setup: enables Python-datasource filter pushdown
     (runtime-settable; Spark refuses a reader that implements
@@ -389,7 +572,14 @@ class OrcDataSource(DataSource):
         cols = self.options.get("columns")
         columns = [c.strip() for c in cols.split(",")
                    if c.strip()] if cols else None
-        _, root, _ = _resolve_root(self.options.get("path"), columns)
+        if self.options.get("schema"):
+            # explicit ORC type string: lets a STREAM start on an
+            # empty directory (and skips the footer open for batch)
+            full = orctypes.parse_orc_type(self.options["schema"])
+            root = _project_root(full, columns)
+        else:
+            _, root, _ = _resolve_root(self.options.get("path"),
+                                       columns)
         ts_nanos = str(self.options.get("timestamp_nanos",
                                         "false")).lower() == "true"
         return _spark_of(root, ts_nanos)
@@ -399,3 +589,9 @@ class OrcDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> OrcWriter:
         return OrcWriter(self.options, overwrite)
+
+    def streamReader(self, schema) -> OrcStreamReader:
+        return OrcStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> OrcStreamWriter:
+        return OrcStreamWriter(self.options, overwrite)

@@ -275,3 +275,137 @@ def test_datasource_evolve_option(registered, tmp_path):
     assert df.count() == 100
     assert df.where("extra IS NULL").count() == 50
     assert df.where("v >= 75").count() == 25
+
+
+# ---------------------------------------------------------------- streaming
+
+def _mkfile(path, lo, n, stripe_rows=500):
+    w = orcwriter.ORCFileWriter(str(path), codec="zlib",
+                                stripe_rows=stripe_rows)
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(lo, lo + n, dtype=np.int64)),
+         pa.array([f"s{i}" for i in range(lo, lo + n)])],
+        names=["v", "s"]))
+    w.close()
+
+
+def test_stream_read_exactly_once_resume(registered, tmp_path):
+    """r5: spark.readStream.format('orc_spark') — a growing .orc
+    directory as an exactly-once stream.  First run drains the two
+    seed files; a resumed run from the same checkpoint processes
+    ONLY the file added in between (offset = seen-file set)."""
+    import os
+    src = tmp_path / "in"
+    os.makedirs(src)
+    _mkfile(src / "a.orc", 0, 1000)
+    _mkfile(src / "b.orc", 1000, 1000)
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    sdf = registered.readStream.format("orc_spark").load(str(src))
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = registered.read.parquet(out) \
+        .selectExpr("count(*) c", "sum(v) s").collect()[0]
+    assert (got.c, got.s) == (2000, sum(range(2000)))
+    _mkfile(src / "c.orc", 2000, 500)
+    q = (sdf.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = registered.read.parquet(out) \
+        .selectExpr("count(*) c", "sum(v) s").collect()[0]
+    # 2500 total, each row exactly once across the two runs
+    assert (got.c, got.s) == (2500, sum(range(2500)))
+
+
+def test_stream_read_empty_dir_with_schema_and_projection(
+        registered, tmp_path):
+    """A stream can start on an EMPTY directory when the ORC type
+    string is given; the columns projection applies on top."""
+    import os
+    src = tmp_path / "empty"
+    os.makedirs(src)
+    sdf = (registered.readStream.format("orc_spark")
+           .option("schema", "struct<v:bigint,s:string>")
+           .option("columns", "v").load(str(src)))
+    assert [f.name for f in sdf.schema.fields] == ["v"]
+    out, ck = str(tmp_path / "o"), str(tmp_path / "ck")
+    q = (sdf.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert registered.read.parquet(out).count() == 0
+    # files arriving later flow through the same checkpoint
+    _mkfile(src / "late.orc", 0, 300)
+    q = (sdf.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert registered.read.parquet(out).count() == 300
+
+
+def test_stream_reader_offsets_monotone_and_rate_limited():
+    """latestOffset admits at most max_files_per_trigger new files
+    per call and never returns a smaller set than it already
+    returned (a shrinking end could re-admit processed files after
+    recovery)."""
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        for n in ("a", "b", "c", "d", "e"):
+            _mkfile(os.path.join(d, n + ".orc"), 0, 8)
+        r = datasource.OrcStreamReader(
+            {"path": d, "max_files_per_trigger": "2"})
+        assert r.initialOffset() == {"files": []}
+        o1 = r.latestOffset()   # first call: full listing (recovery)
+        assert len(o1["files"]) == 5
+        r2 = datasource.OrcStreamReader(
+            {"path": d, "max_files_per_trigger": "2"})
+        r2.latestOffset()
+        for n in ("f", "g", "h"):
+            _mkfile(os.path.join(d, n + ".orc"), 0, 8)
+        o2 = r2.latestOffset()
+        assert len(o2["files"]) == 7   # 5 seen + 2 admitted
+        o3 = r2.latestOffset()
+        assert len(o3["files"]) == 8
+        # planned batch = end - start, stripes grouped per file
+        parts = r2.partitions(o2, o3)
+        assert {os.path.basename(p.path) for p in parts} <= \
+            {"f.orc", "g.orc", "h.orc"}
+
+
+def test_stream_write_batch_scoped_exactly_once(registered, tmp_path):
+    """r5: df.writeStream.format('orc_spark') — streaming encode to
+    an .orc lake.  Part names are batch-scoped; re-committing the
+    same batchId replaces (not duplicates) that batch's output, and
+    the lake reads back exactly once through both our scan and the
+    stream reader."""
+    import os
+    from orc_spark.sources.orcscan import orc_scan
+    pin = str(tmp_path / "pin")
+    registered.range(0, 3000) \
+        .selectExpr("id", "cast(id as string) as txt") \
+        .coalesce(2).write.parquet(pin)
+    out, ck = str(tmp_path / "lake"), str(tmp_path / "ck")
+    pdf = registered.readStream.schema("id long, txt string") \
+        .parquet(pin)
+    q = (pdf.writeStream.format("orc_spark").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    names = sorted(os.listdir(out))
+    assert all("-b0000000000-" in n for n in names)
+    r = orc_scan(registered, out) \
+        .selectExpr("count(*) c", "sum(id) s").collect()[0]
+    assert (r.c, r.s) == (3000, 3000 * 2999 // 2)
+    # idempotent replay of the same batch id: old files replaced
+    w = datasource.OrcStreamWriter({"path": out}, overwrite=False)
+    msgs = [w.write(iter(pa.table(
+        {"id": np.arange(3, dtype=np.int64),
+         "txt": ["x", "y", "z"]}).to_batches()))]
+    w.commit(msgs, 0)
+    names2 = sorted(os.listdir(out))
+    assert len(names2) == 1 and "-b0000000000-" in names2[0]
+    assert orc_scan(registered, out).count() == 3
