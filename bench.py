@@ -69,6 +69,16 @@ def make_spark(cpus: int):
             # caps parallelism (at 100TB this is a non-issue)
             .config("spark.sql.files.maxPartitionBytes", "8m")
             .config("spark.sql.files.openCostInBytes", "1m")
+            # AQE's coalescing targets BYTES per partition, which
+            # undercounts CPU-bound stages: the minhash signature
+            # projection after the collapse exchange is ~1 MB of text
+            # but minutes of hashing at scale — the 1 MB default
+            # squeezed it onto ONE task (measured 4.8s -> 2.7s at 32
+            # cores with this lowered).  At 100 TB the same knob keeps
+            # compute-dense post-shuffle stages wide; it never splits
+            # genuinely large data further
+            .config("spark.sql.adaptive.coalescePartitions"
+                    ".minPartitionSize", "64k")
             .config("spark.ui.enabled", "false")
             .getOrCreate())
 
