@@ -583,19 +583,45 @@ def _q_orc_datasource(spark, sf_dir):
     planning time, Arrow-batch reads from the shared _ScanContext
     kernel.  The WHERE runs through Spark's own pushdown machinery
     (not our predicate= argument), so this checks the V2 integration
-    end to end."""
+    end to end.
+
+    r5: the lake is EVOLVING — odd-n_tok docs land first with n_tok
+    narrowed to INT (and no ``src`` column), even-n_tok docs later
+    with n_tok LONG plus an added ``src``.  ``evolve=true`` infers
+    the widened-union schema (orctypes.widen: n_tok reads as bigint,
+    src null-fills on old files), the direction a first-file-pinned
+    schema used to crash on; n_evolved counts rows that carried the
+    added column."""
+    import os
     import tempfile
     from orc_spark.sources import datasource, orcwriter
     tok = token_src.token_table(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="orcdsq_")
-    orcwriter.dataframe_to_orc_dir(
-        tok.repartitionByRange(4, "n_tok"), out, codec="zlib")
+    base = tempfile.mkdtemp(prefix="orcdsq_")
+    out = os.path.join(base, "lake")
+    os.makedirs(out)
+    halves = [
+        ("a", tok.where(F.col("n_tok") % 2 == 1)
+              .withColumn("n_tok", F.col("n_tok").cast("int"))),
+        ("b", tok.where(F.col("n_tok") % 2 == 0)
+              .withColumn("n_tok", F.col("n_tok").cast("long"))
+              .withColumn("src", F.lit("b"))),
+    ]
+    for tag, part in halves:
+        sub = os.path.join(base, tag)
+        orcwriter.dataframe_to_orc_dir(
+            part.repartitionByRange(2, "n_tok"), sub, codec="zlib")
+        for fn in sorted(os.listdir(sub)):
+            os.rename(os.path.join(sub, fn),
+                      os.path.join(out, f"{tag}-{fn}"))
     datasource.register(spark)
-    df = spark.read.format("orc_spark").load(out).where("n_tok >= 60")
+    df = spark.read.format("orc_spark").option("evolve", "true") \
+        .load(out).where("n_tok >= 60")
+    assert dict(df.dtypes)["n_tok"] == "bigint", df.dtypes
     return df.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
-        F.countDistinct("doc_id").alias("n_ids"))
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.count("src").alias("n_evolved"))
 
 
 def _q_orc_stats_agg(spark, sf_dir):
@@ -1611,11 +1637,14 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {n_tok} >= 60"),
         # the V2 DataSource surface computes the same totals as the
         # predicate-pushdown scan (WHERE via Spark's own pushdown)
+        # n_evolved = docs written in the LATER (wide-schema) half of
+        # the evolving lake: even whitespace-token counts
         "orc_datasource": (
             f"SELECT count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
-            f"count(DISTINCT doc_id) AS n_ids FROM documents "
-            f"WHERE {n_tok} >= 60"),
+            f"count(DISTINCT doc_id) AS n_ids, "
+            f"count(*) FILTER (WHERE ({n_tok}) % 2 = 0) AS n_evolved "
+            f"FROM documents WHERE {n_tok} >= 60"),
         # footer-stats aggregates: DuckDB recomputes the identical
         # count/min/max/sum from the raw documents (string-column sum
         # is ORC's total byte length)

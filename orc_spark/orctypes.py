@@ -319,16 +319,75 @@ def orc_string_from_spark(df_or_schema) -> str:
     return from_arrow(pa.schema(fields)).orc_string()
 
 
-def type_from_types(types: list) -> OrcType:
+def type_from_types(types: list, col: int = 0) -> OrcType:
     """OrcType tree from a reader's parsed footer ``types`` list
-    (``ORCFile.types``)."""
+    (``ORCFile.types``); ``col`` roots the build at any column id
+    (the subtree form a per-file type check needs)."""
     def build(col: int) -> OrcType:
         t = types[col]
         return OrcType(t.kind,
                        [build(c) for c in t.children],
                        list(t.field_names), t.precision, t.scale,
                        getattr(t, "max_length", 0))
-    return build(0)
+    return build(col)
+
+
+# widening lattice for schema evolution (Java ORC's ConvertTreeReader
+# conversion families — the safe, lossless subset)
+_INT_RANK = {"byte": 0, "short": 1, "int": 2, "long": 3}
+_STR_KINDS = {"string", "varchar", "char"}
+
+
+def widen(a: OrcType, b: OrcType) -> OrcType:
+    """Smallest common supertype of two ORC type trees — the schema an
+    EVOLVING directory reads as (every file's values fit losslessly).
+
+    Rules (the lossless subset of Java ORC ConvertTreeReader /
+    Iceberg v2 type promotion): integer kinds widen up the
+    tinyint<smallint<int<bigint chain, float widens to double,
+    char/varchar/string unify to string, decimals widen to
+    (max integer digits + max scale) capped at 38, structs union
+    field sets BY NAME (first-seen field order; shared fields widen
+    recursively), list/map widen element-wise.  Anything else —
+    including int<->float, int<->decimal, timestamp<->date — raises:
+    cross-family coercion is lossy or convention-laden and a lake
+    that drifted that far needs a rewrite, not a silent cast."""
+    if a.orc_string() == b.orc_string():
+        return a
+    ka, kb = a.kind, b.kind
+    if ka in _INT_RANK and kb in _INT_RANK:
+        return a if _INT_RANK[ka] >= _INT_RANK[kb] else b
+    if {ka, kb} <= {"float", "double"}:
+        return a if ka == "double" else b
+    if ka in _STR_KINDS and kb in _STR_KINDS:
+        return OrcType("string")
+    if ka == "decimal" and kb == "decimal":
+        s = max(a.scale, b.scale)
+        p = max(a.precision - a.scale, b.precision - b.scale) + s
+        if p > 38:
+            raise ValueError(
+                f"cannot widen {a.orc_string()} with {b.orc_string()}:"
+                f" union decimal({p},{s}) exceeds precision 38")
+        return OrcType("decimal", precision=p, scale=s)
+    if ka == kb == "struct":
+        names = list(a.field_names)
+        children = list(a.children)
+        idx = {n: i for i, n in enumerate(names)}
+        for n, c in zip(b.field_names, b.children):
+            if n in idx:
+                children[idx[n]] = widen(children[idx[n]], c)
+            else:
+                names.append(n)
+                children.append(c)
+        return OrcType("struct", children, names)
+    if ka == kb == "list":
+        return OrcType("list", [widen(a.children[0], b.children[0])])
+    if ka == kb == "map":
+        return OrcType("map", [widen(a.children[0], b.children[0]),
+                               widen(a.children[1], b.children[1])])
+    raise ValueError(
+        f"cannot widen {a.orc_string()} with {b.orc_string()}: "
+        f"no lossless common supertype")
 
 
 def type_from_file(path: str) -> OrcType:

@@ -26,8 +26,9 @@ Options: ``path`` (file or directory), ``columns`` (comma-separated
 projection — Python DataSources have no column-pruning hook yet, so
 this is the explicit projection control), ``timestamp_nanos``
 ("true" -> LONG wall-clock nanos), ``evolve`` ("true" -> name-based
-schema evolution: older files null-fill added columns; default
-fail-loud drift).
+schema evolution under the files' WIDENED UNION type — older files
+null-fill added columns, narrow types cast up losslessly
+(orctypes.widen); default fail-loud drift).
 
 The source is also a STREAM (r5)::
 
@@ -98,11 +99,20 @@ def _project_root(full_root, columns: list[str] | None):
     return root
 
 
-def _resolve_root(path: str, columns: list[str] | None):
+def _resolve_root(path: str, columns: list[str] | None,
+                  evolve: bool = False):
     """(files, projected root OrcType, expect_type string) for the
-    dataset, from the first file's footer."""
+    dataset, from the first file's footer — or, under ``evolve``, the
+    WIDENED UNION of every file's type (orctypes.widen, r5): schema
+    inference on an evolving lake reads every footer once, exactly
+    like Spark's own mergeSchema.  Driver-side and mmap-footer-only,
+    same cost class as the ``partitions()`` planning pass."""
     files = _files_of(path)
     full_root = orctypes.type_from_file(files[0])
+    if evolve:
+        for p in files[1:]:
+            full_root = orctypes.widen(full_root,
+                                       orctypes.type_from_file(p))
     expect = full_root.orc_string()
     return files, _project_root(full_root, columns), expect
 
@@ -144,7 +154,8 @@ class OrcReader(DataSourceReader):
 
     def _resolve(self):
         if self._resolved is None:
-            self._resolved = _resolve_root(self.path, self.columns)
+            self._resolved = _resolve_root(self.path, self.columns,
+                                           self.evolve)
         return self._resolved
 
     def pushFilters(self, filters):
@@ -312,7 +323,13 @@ class OrcStreamReader(DataSourceStreamReader):
                 root = _project_root(full, self.columns)
                 self._root_str = root.orc_string()
             else:
-                _, root, expect = _resolve_root(self.path, self.columns)
+                # evolve: union of the files visible at stream START
+                # (a streaming schema is fixed for the run — declare
+                # the wide schema via the ``schema`` option if later
+                # files will widen further)
+                _, root, expect = _resolve_root(self.path,
+                                                self.columns,
+                                                self.evolve)
                 self._root_str, self._expect = root.orc_string(), expect
         return self._root_str, self._expect
 
@@ -578,8 +595,10 @@ class OrcDataSource(DataSource):
             full = orctypes.parse_orc_type(self.options["schema"])
             root = _project_root(full, columns)
         else:
+            evolve = str(self.options.get("evolve", "false")) \
+                .lower() == "true"
             _, root, _ = _resolve_root(self.options.get("path"),
-                                       columns)
+                                       columns, evolve)
         ts_nanos = str(self.options.get("timestamp_nanos",
                                         "false")).lower() == "true"
         return _spark_of(root, ts_nanos)

@@ -264,7 +264,8 @@ def _pred_list(predicate) -> list[tuple]:
 def plan_tasks(files: list[str], predicate=None,
                expect_type: str | None = None,
                with_rows: bool = False,
-               strict_cols: bool = True
+               strict_cols: bool = True,
+               types_out: list[str] | None = None
                ) -> tuple[list[tuple], int]:
     """(kept (file, stripe) tasks, total stripe count).  Opens only
     file tails (mmap) — no stripe data is touched at planning time.
@@ -273,15 +274,21 @@ def plan_tasks(files: list[str], predicate=None,
     instead of silently null-filling columns at read time.
     ``with_rows`` appends each task's stripe row count — callers that
     need sizes for coalescing get them from THIS footer pass instead
-    of re-opening every file (r4 review fix)."""
+    of re-opening every file (r4 review fix).
+    ``types_out``: appended with each file's canonical type string
+    (one per file, even fully-pruned ones) — evolve mode computes the
+    widened union schema from the SAME footer pass (r5), never a
+    second open."""
     preds = _pred_list(predicate)
     tasks: list[tuple] = []
     total = 0
     for path in files:
         f = ORCFile(path)
-        if expect_type is not None:
+        if expect_type is not None or types_out is not None:
             got = orctypes.type_from_types(f.types).orc_string()
-            if got != expect_type:
+            if types_out is not None:
+                types_out.append(got)
+            if expect_type is not None and got != expect_type:
                 raise ValueError(
                     f"orc_scan: schema drift — {path} has {got}, "
                     f"expected {expect_type}")
@@ -407,8 +414,12 @@ def _fast_arrow(f: ORCFile, cid: int, n: int, ft):
         vals = np.frombuffer(raw, dtype="<f4" if k == "float"
                              else "<f8")[:n_valid]
         if valid is None:
-            return pa.array(vals)
-        return pa.array(_scatter(vals, valid), mask=~valid)
+            arr = pa.array(vals)
+        else:
+            arr = pa.array(_scatter(vals, valid), mask=~valid)
+        # evolve widening: a float file read under a double union
+        # schema casts exactly (every float32 is a float64)
+        return arr if arr.type == ft else arr.cast(ft)
     if k in ("string", "varchar", "char"):
         enc = f.encodings[cid]
         if enc.startswith("DICTIONARY"):
@@ -459,13 +470,22 @@ def _fast_arrow(f: ORCFile, cid: int, n: int, ft):
         return pa.MapArray.from_arrays(_offsets(lengths, valid),
                                        keys, items)
     if k == "struct":
+        # children map BY NAME against the target struct type (r5):
+        # under an evolve-widened union schema a file's struct may
+        # lack fields (null-fill) or order them differently — decoding
+        # by position would silently misalign values across fields
+        fields = [ft.field(i) for i in range(ft.num_fields)]
+        have = {fn: c for fn, c in zip(t.field_names, t.children)}
         children = []
-        for i, c in enumerate(t.children):
-            ch = _fast_arrow(f, c, n_valid, ft.field(i).type)
+        for fld in fields:
+            cc = have.get(fld.name)
+            if cc is None:
+                children.append(pa.nulls(n_valid, fld.type))
+                continue
+            ch = _fast_arrow(f, cc, n_valid, fld.type)
             if ch is None:
                 return None
             children.append(ch)
-        fields = [ft.field(i) for i in range(ft.num_fields)]
         if valid is None:
             return pa.StructArray.from_arrays(children, fields=fields)
         # children hold n_valid entries (ORC elides rows where the
@@ -717,37 +737,58 @@ def stride_keep(f: ORCFile, si: int, preds: list[tuple],
 
 def _plan_distributed(spark, files: list[str], predicate,
                       expect_type: str | None,
-                      strict_cols: bool = True) -> DataFrame:
+                      strict_cols: bool = True,
+                      with_types: bool = False) -> DataFrame:
     """Executor-side planning for large file sets: each planning task
     opens its files' TAILS (mmap, footer pages only) and emits kept
     (path, stripe) rows — the driver opens only the FIRST file (for
     the schema) and the task list never lives in driver memory.
     Same pruning and schema-drift validation as ``plan_tasks``
-    (a drifted file fails the planning task loudly)."""
+    (a drifted file fails the planning task loudly).
+    ``with_types`` (evolve mode, r5) adds one SENTINEL row per file
+    (stripe=-1, rows=0) carrying the file's canonical type string —
+    the widened union schema aggregates from the same single footer
+    pass, and fully-pruned files still contribute their type (the
+    result schema must not depend on which stripes a predicate
+    kept)."""
     import pyarrow as pa
     fdf = spark.createDataFrame([(f,) for f in files], "path string") \
         .repartition(min(len(files), 256))
 
     def kern(batches):
         for b in batches:
-            paths, stripes, rows = [], [], []
+            paths, stripes, rows, typs = [], [], [], []
             for p in b.column("path").to_pylist():
                 # row counts ride out of the SAME footer pass (one
                 # ORCFile open per file — r4 review fix)
+                touts: list[str] | None = [] if with_types else None
                 kept, _ = plan_tasks([p], predicate, expect_type,
                                      with_rows=True,
-                                     strict_cols=strict_cols)
+                                     strict_cols=strict_cols,
+                                     types_out=touts)
+                if with_types:
+                    paths.append(p)
+                    stripes.append(-1)
+                    rows.append(0)
+                    typs.append(touts[0])
                 for q, si, r in kept:
                     paths.append(q)
                     stripes.append(si)
                     rows.append(r)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(paths, pa.string()),
-                 pa.array(stripes, pa.int32()),
-                 pa.array(rows, pa.int64())],
-                names=["path", "stripe", "rows"])
+                    typs.append("")
+            arrays = [pa.array(paths, pa.string()),
+                      pa.array(stripes, pa.int32()),
+                      pa.array(rows, pa.int64())]
+            names = ["path", "stripe", "rows"]
+            if with_types:
+                arrays.append(pa.array(typs, pa.string()))
+                names.append("typ")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return fdf.mapInArrow(kern, "path string, stripe int, rows long")
+    schema = "path string, stripe int, rows long"
+    if with_types:
+        schema += ", typ string"
+    return fdf.mapInArrow(kern, schema)
 
 
 # files above this count plan on executors instead of the driver
@@ -927,20 +968,57 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
     nano field).
 
     ``evolve=True`` reads an EVOLVING directory by name (the Spark
-    convention): the FIRST file's schema is the target; files missing
-    a column null-fill it, integer widenings cast up, and columns the
-    first file lacks are ignored.  Predicates on evolved columns stay
-    exact (files without the column cannot prune and their rows are
-    NULL -> filtered).  Default False keeps the fail-loud drift check
-    — silent null-filling of a TYPO'd directory is worse than an
-    error."""
+    convention) under the files' WIDENED UNION schema (r5 — Java
+    ORC's ConvertTreeReader lossless subset, ``orctypes.widen``):
+    integer kinds read as the widest present, float+double as
+    double, char/varchar/string as string, decimals at union
+    precision/scale, structs as the by-name field union; files
+    missing a column null-fill it.  The union comes from the SAME
+    planning footer pass that prunes stripes (never a second open),
+    so the result schema is stable regardless of predicates.
+    Predicates on evolved columns stay exact (files without the
+    column cannot prune and their rows are NULL -> filtered).
+    Default False keeps the fail-loud drift check — silent
+    null-filling of a TYPO'd directory is worse than an error."""
     import pyarrow as pa
 
     if on_error not in ("fail", "skip"):
         raise ValueError(f"orc_scan: on_error must be 'fail' or "
                          f"'skip', got {on_error!r}")
     files = orc_files(path)
-    full_root = orctypes.type_from_file(files[0])
+    planned_tdf = planned_agg = planned_tasks = None
+    if evolve:
+        # plan FIRST: the union schema needs every file's type, and
+        # the planning pass already opens every footer
+        if len(files) > DRIVER_PLAN_MAX_FILES:
+            planned_tdf = _plan_distributed(
+                spark, files, predicate, None, strict_cols=False,
+                with_types=True).localCheckpoint(eager=True)
+            planned_agg = planned_tdf.agg(
+                F.count(F.when(F.col("stripe") >= 0, 1)).alias("n"),
+                F.sum("rows").alias("r")).first()
+            # distinct type strings only (a million-file lake has a
+            # handful), ordered by first appearance so files[0]'s
+            # field order seeds the union — same result as the
+            # driver path
+            trows = planned_tdf.where("stripe < 0") \
+                .groupBy("typ").agg(F.min("path").alias("p")) \
+                .collect()
+            type_strs = [r["typ"] for r in
+                         sorted(trows, key=lambda r: r["p"])]
+        else:
+            touts: list[str] = []
+            planned_tasks, _ = plan_tasks(files, predicate, None,
+                                          with_rows=True,
+                                          strict_cols=False,
+                                          types_out=touts)
+            type_strs = list(dict.fromkeys(touts))
+        full_root = orctypes.parse_orc_type(type_strs[0])
+        for s in type_strs[1:]:
+            full_root = orctypes.widen(full_root,
+                                       orctypes.parse_orc_type(s))
+    else:
+        full_root = orctypes.type_from_file(files[0])
     expect_type = None if evolve else full_root.orc_string()
     if full_root.kind != "struct":
         # bare non-struct root: surface as one column named "value"
@@ -996,7 +1074,8 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                    spark.sparkContext.defaultParallelism)
         return max(1, min(n_tasks, want))
 
-    if len(files) > DRIVER_PLAN_MAX_FILES:
+    if planned_tdf is not None or (planned_tasks is None and
+                                   len(files) > DRIVER_PLAN_MAX_FILES):
         # pruning + drift validation run distributed and the task
         # list never hits the driver.  localCheckpoint materializes
         # the planned list ON EXECUTORS in one pass (r4): without it
@@ -1005,11 +1084,15 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         # twice, wasteful at millions of files.  Planning blocks are
         # executor-local (a lost executor re-plans from lineage is
         # traded away for the single pass — standard for task lists).
-        tdf = _plan_distributed(spark, files, predicate, expect_type,
-                                strict_cols=not evolve) \
-            .localCheckpoint(eager=True)
-        agg = tdf.agg(F.count("*").alias("n"),
-                      F.sum("rows").alias("r")).first()
+        if planned_tdf is not None:  # evolve: planned above
+            tdf, agg = planned_tdf.where("stripe >= 0") \
+                .drop("typ"), planned_agg
+        else:
+            tdf = _plan_distributed(spark, files, predicate,
+                                    expect_type) \
+                .localCheckpoint(eager=True)
+            agg = tdf.agg(F.count("*").alias("n"),
+                          F.sum("rows").alias("r")).first()
         n_tasks = agg["n"]
         if n_tasks == 0:
             out = spark.createDataFrame([], schema)
@@ -1019,9 +1102,10 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         tdf = tdf.drop("rows") \
             .repartition(n_parts(n_tasks, agg["r"] or 0))
     else:
-        tasks, _ = plan_tasks(files, predicate, expect_type,
-                              with_rows=True,
-                              strict_cols=not evolve)
+        tasks = planned_tasks
+        if tasks is None:
+            tasks, _ = plan_tasks(files, predicate, expect_type,
+                                  with_rows=True)
         if not tasks:
             out = spark.createDataFrame([], schema)
             return out.select(

@@ -277,6 +277,34 @@ def test_datasource_evolve_option(registered, tmp_path):
     assert df.where("v >= 75").count() == 25
 
 
+def test_datasource_evolve_widened_union(registered, tmp_path):
+    """r5: the DataSource's evolve option infers the WIDENED UNION
+    schema — a narrow FIRST file does not pin the type, and wide
+    values survive exactly."""
+    d = str(tmp_path / "evw")
+    import os
+    os.makedirs(d)
+    w = orcwriter.ORCFileWriter(d + "/a.orc", codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(50, dtype=np.int32)),
+         pa.array(np.arange(50, dtype=np.float32))],
+        names=["v", "f"]))
+    w.close()
+    w = orcwriter.ORCFileWriter(d + "/b.orc", codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array([2 ** 44 + i for i in range(50)], pa.int64()),
+         pa.array(np.arange(50, 100, dtype=np.float64))],
+        names=["v", "f"]))
+    w.close()
+    df = registered.read.format("orc_spark") \
+        .option("evolve", "true").load(d)
+    assert dict(df.dtypes) == {"v": "bigint", "f": "double"}
+    assert df.count() == 100
+    assert df.where(f"v >= {2 ** 44}").count() == 50
+    got = df.agg({"v": "max"}).collect()[0][0]
+    assert got == 2 ** 44 + 49
+
+
 # ---------------------------------------------------------------- streaming
 
 def _mkfile(path, lo, n, stripe_rows=500):

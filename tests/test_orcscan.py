@@ -1162,3 +1162,100 @@ def test_orc_scan_dotted_fuzz_random_nested_schemas(spark, tmp_path):
                 assert (a == b) or (a is None and b is None) or \
                     (isinstance(a, float) and a != a and b != b), \
                     (trial, p, a, b)
+
+
+def test_orc_scan_evolve_widened_union(spark, tmp_path):
+    """r5: evolve=True reads under the files' WIDENED UNION schema
+    (orctypes.widen — Java ORC ConvertTreeReader's lossless subset):
+    a narrow-typed FIRST file no longer narrows (or crashes on) a
+    wider later file; float widens to double, decimals to union
+    precision/scale, struct fields union BY NAME across reorder."""
+    from decimal import Decimal
+    d = tmp_path / "evw"
+    d.mkdir()
+    big = 2 ** 40  # does not fit int32
+    st_a = pa.struct([("x", pa.int32()), ("y", pa.string())])
+    w = orcwriter.ORCFileWriter(str(d / "a.orc"), codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(10, dtype=np.int32)),
+         pa.array(np.arange(10, dtype=np.float32)),
+         pa.array([Decimal("1.25")] * 10, pa.decimal128(10, 2)),
+         pa.array([{"x": i, "y": f"a{i}"} for i in range(10)], st_a)],
+        names=["v", "f", "dec", "rec"]))
+    w.close()
+    # later file: int widened, float -> double, wider decimal, struct
+    # reordered + grew a field
+    st_b = pa.struct([("y", pa.string()), ("x", pa.int64()),
+                      ("z", pa.float64())])
+    w = orcwriter.ORCFileWriter(str(d / "b.orc"), codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array([big + i for i in range(10)], pa.int64()),
+         pa.array(np.arange(10, 20, dtype=np.float64)),
+         pa.array([Decimal("2.0625")] * 10, pa.decimal128(12, 4)),
+         pa.array([{"y": f"b{i}", "x": big + i, "z": i + 0.5}
+                   for i in range(10)], st_b)],
+        names=["v", "f", "dec", "rec"]))
+    w.close()
+
+    df = orcscan.orc_scan(spark, str(d), evolve=True)
+    assert dict(df.dtypes) == {
+        "v": "bigint", "f": "double", "dec": "decimal(12,4)",
+        "rec": "struct<x:bigint,y:string,z:double>"}
+    rows = {r["v"]: r for r in df.collect()}
+    assert len(rows) == 20
+    # narrow-file rows surfaced losslessly under the union types
+    assert rows[3]["f"] == 3.0 and rows[3]["dec"] == Decimal("1.2500")
+    assert rows[3]["rec"].asDict() == {"x": 3, "y": "a3", "z": None}
+    # wide-file rows kept exact (previously crashed: int64 read under
+    # a first-file int32 schema)
+    assert rows[big + 7]["rec"].asDict() == \
+        {"x": big + 7, "y": "b7", "z": 7.5}
+    assert rows[big + 7]["dec"] == Decimal("2.0625")
+    # predicates stay exact across differently-typed files
+    assert orcscan.orc_scan(spark, str(d), evolve=True,
+                            predicate=("v", ">=", big)).count() == 10
+
+
+def test_orc_scan_evolve_union_distributed_plan(spark, tmp_path,
+                                                monkeypatch):
+    """The distributed planning path (files > DRIVER_PLAN_MAX_FILES)
+    computes the SAME widened union from its sentinel type rows — and
+    the result schema stays stable even when a predicate fully prunes
+    the only file carrying the wide type."""
+    d = tmp_path / "evd"
+    d.mkdir()
+    for i in range(4):
+        w = orcwriter.ORCFileWriter(str(d / f"n{i}.orc"), codec="zlib")
+        w.write_batch(pa.RecordBatch.from_arrays(
+            [pa.array(np.arange(i * 10, i * 10 + 10, dtype=np.int32))],
+            names=["v"]))
+        w.close()
+    w = orcwriter.ORCFileWriter(str(d / "wide.orc"), codec="zlib")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array([2 ** 50] * 5, pa.int64())], names=["v"]))
+    w.close()
+    monkeypatch.setattr(orcscan, "DRIVER_PLAN_MAX_FILES", 2)
+    df = orcscan.orc_scan(spark, str(d), evolve=True)
+    assert dict(df.dtypes) == {"v": "bigint"}
+    assert df.count() == 45
+    assert df.agg({"v": "max"}).collect()[0][0] == 2 ** 50
+    # predicate prunes every stripe of wide.orc at the footer: the
+    # sentinel rows still contribute its type to the union
+    pruned = orcscan.orc_scan(spark, str(d), evolve=True,
+                              predicate=("v", "<", 40))
+    assert dict(pruned.dtypes) == {"v": "bigint"}
+    assert pruned.count() == 40
+
+
+def test_orc_scan_evolve_cross_family_fail_loud(spark, tmp_path):
+    """Files whose types have no lossless common supertype fail with
+    the widen() diagnostic instead of silently coercing."""
+    d = tmp_path / "evx"
+    d.mkdir()
+    for name, arr in [("a.orc", pa.array([1, 2], pa.int64())),
+                      ("b.orc", pa.array([1.5], pa.float64()))]:
+        w = orcwriter.ORCFileWriter(str(d / name), codec="zlib")
+        w.write_batch(pa.RecordBatch.from_arrays([arr], names=["v"]))
+        w.close()
+    with pytest.raises(Exception, match="no lossless"):
+        orcscan.orc_scan(spark, str(d), evolve=True).count()

@@ -195,3 +195,60 @@ def test_golden_file_type_strings():
     assert orctypes.orc_string_from_file(
         "/root/reference/examples/decimal.orc") == \
         "struct<_col0:decimal(10,5)>"
+
+
+# -------------------------------------------------------------------
+# widen(): schema-evolution union (r5)
+# -------------------------------------------------------------------
+
+
+def _w(a: str, b: str) -> str:
+    return orctypes.widen(orctypes.parse_orc_type(a),
+                          orctypes.parse_orc_type(b)).orc_string()
+
+
+def test_widen_integer_chain():
+    assert _w("int", "bigint") == "bigint"
+    assert _w("bigint", "tinyint") == "bigint"
+    assert _w("smallint", "int") == "int"
+    assert _w("int", "int") == "int"
+
+
+def test_widen_float_and_strings():
+    assert _w("float", "double") == "double"
+    assert _w("double", "float") == "double"
+    assert _w("char(3)", "varchar(9)") == "string"
+    assert _w("varchar(4)", "string") == "string"
+    assert _w("string", "string") == "string"
+
+
+def test_widen_decimal_union_precision():
+    # int digits: max(8, 8) = 8; scale: max(2, 4) = 4 -> (12,4)
+    assert _w("decimal(10,2)", "decimal(12,4)") == "decimal(12,4)"
+    assert _w("decimal(38,0)", "decimal(38,0)") == "decimal(38,0)"
+    with pytest.raises(ValueError, match="exceeds precision 38"):
+        _w("decimal(38,0)", "decimal(10,8)")
+
+
+def test_widen_struct_by_name_union():
+    # shared fields widen recursively; order = first-seen; new
+    # fields append
+    got = _w("struct<a:int,b:string>",
+             "struct<b:string,a:bigint,c:double>")
+    assert got == "struct<a:bigint,b:string,c:double>"
+    # nested containers recurse element-wise
+    assert _w("array<int>", "array<bigint>") == "array<bigint>"
+    assert _w("map<smallint,float>", "map<int,double>") == \
+        "map<int,double>"
+    assert _w("struct<r:struct<x:int>>",
+              "struct<r:struct<x:int,y:string>>") == \
+        "struct<r:struct<x:int,y:string>>"
+
+
+def test_widen_cross_family_raises():
+    for a, b in [("int", "float"), ("int", "decimal(10,2)"),
+                 ("timestamp", "date"), ("string", "binary"),
+                 ("array<int>", "struct<a:int>"),
+                 ("boolean", "tinyint")]:
+        with pytest.raises(ValueError, match="no lossless"):
+            _w(a, b)
