@@ -659,28 +659,36 @@ def _q_orc_count_pruned(spark, sf_dir):
 
 
 def _q_orc_merge_compact(spark, sf_dir):
-    """Zero-recode compaction (r4): the token table lands as 8 small
-    .orc files, merge_orc_dir byte-copies their stripes into one file
-    (no re-encode — each task is a footer parse + copy), and the
-    merged dataset must aggregate identically to the raw documents.
-    The merged file keeps stripe statistics, so pruning survives
-    compaction (test_orcmerge pins that)."""
+    """Zero-recode compaction, now through the snapshot table layer
+    (r5 — orctable): the token table commits as 8 small .orc files
+    under an Iceberg-style ``_meta`` snapshot, ``compact_table``
+    byte-copy-merges them (orcmerge; each task a footer parse + copy)
+    and commits a ``replace`` snapshot, and the compacted table must
+    aggregate identically to the raw documents.  n_files is the
+    post-compaction manifest's file count; n_docs_v1 TIME-TRAVELS to
+    the pre-compaction snapshot — old manifests and data files are
+    immutable, so version 1 still reads the original small files
+    byte-for-byte.  Readers resolve files from manifests (never a
+    directory glob) and decode under the snapshot's recorded
+    schema."""
     import tempfile
-    from orc_spark.sources import orcmerge, orcwriter
-    from orc_spark.sources.orcscan import orc_scan
+    from orc_spark.sources import orctable
     tok = token_src.token_table(spark, sf_dir)
-    small = tempfile.mkdtemp(prefix="orcmrg_") + "/small"
-    orcwriter.dataframe_to_orc_dir(tok.repartition(8), small,
-                                   codec="zlib")
-    out = tempfile.mkdtemp(prefix="orcmrg_") + "/merged"
-    n_out = orcmerge.merge_orc_dir(spark, small, out,
-                                   target_bytes=1 << 40)
-    df = orc_scan(spark, out)
+    t = tempfile.mkdtemp(prefix="orctbl_") + "/tbl"
+    orctable.create_table(
+        t, "struct<doc_id:string,tokens:array<int>,n_tok:int,"
+           "source:string>")
+    orctable.write_table(tok.repartition(8), t, codec="zlib")
+    snap = orctable.compact_table(spark, t, target_bytes=1 << 40)
+    df = orctable.read_table(spark, t)
+    v1 = orctable.read_table(spark, t, snapshot=1)
+    n_files = snap["summary"]["n_files"]
     return df.agg(
-        F.lit(n_out).cast("long").alias("n_files"),
+        F.lit(n_files).cast("long").alias("n_files"),
         F.count("*").alias("n_docs"),
         F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
-        F.countDistinct("doc_id").alias("n_ids"))
+        F.countDistinct("doc_id").alias("n_ids")) \
+        .crossJoin(v1.agg(F.count("*").alias("n_docs_v1")))
 
 
 def _q_orc_scan_decimal(spark, sf_dir):
@@ -1672,7 +1680,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST(1 AS BIGINT) AS n_files, "
             f"count(*) AS n_docs, "
             f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
-            f"count(DISTINCT doc_id) AS n_ids FROM documents"),
+            f"count(DISTINCT doc_id) AS n_ids, "
+            f"count(*) AS n_docs_v1 FROM documents"),
         # full recompute of the >15-significant-digit decimals: every
         # digit of sum/min/max must survive the .orc round-trip
         "orc_scan_decimal": (

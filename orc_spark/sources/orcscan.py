@@ -948,9 +948,11 @@ class _ScanContext:
                                           schema=self.arrow_schema)
 
 
-def orc_scan(spark, path: str, columns: list[str] | None = None,
+def orc_scan(spark, path: str | list[str],
+             columns: list[str] | None = None,
              predicate=None, timestamp_nanos: bool = False,
-             evolve: bool = False, on_error: str = "fail") -> DataFrame:
+             evolve: bool = False, on_error: str = "fail",
+             declared_type: str | None = None) -> DataFrame:
     """Read a ``.orc`` file or directory of ``.orc`` files into a
     DataFrame via our codec kernels, one task per (file, stripe).
 
@@ -979,14 +981,30 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
     Predicates on evolved columns stay exact (files without the
     column cannot prune and their rows are NULL -> filtered).
     Default False keeps the fail-loud drift check — silent
-    null-filling of a TYPO'd directory is worse than an error."""
+    null-filling of a TYPO'd directory is worse than an error.
+
+    ``path`` may be an explicit FILE LIST (r5): snapshot-managed
+    tables (orctable) resolve their file sets from manifests, not
+    directory listings — on an object store the manifest IS the
+    listing.  ``declared_type`` (r5) supplies an authoritative union
+    root as a canonical ORC type string: files read name-based under
+    it exactly like evolve mode, but the schema is the CALLER's
+    contract (a table snapshot records it), so no footer-union pass
+    runs and no per-file drift check applies."""
     import pyarrow as pa
 
     if on_error not in ("fail", "skip"):
         raise ValueError(f"orc_scan: on_error must be 'fail' or "
                          f"'skip', got {on_error!r}")
-    files = orc_files(path)
+    if isinstance(path, list):
+        if not path:
+            raise ValueError("orc_scan: empty file list")
+        files = list(path)
+    else:
+        files = orc_files(path)
     planned_tdf = planned_agg = planned_tasks = None
+    if declared_type is not None:
+        evolve = False  # declared root wins; name-based mapping below
     if evolve:
         # plan FIRST: the union schema needs every file's type, and
         # the planning pass already opens every footer
@@ -1017,9 +1035,12 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         for s in type_strs[1:]:
             full_root = orctypes.widen(full_root,
                                        orctypes.parse_orc_type(s))
+    elif declared_type is not None:
+        full_root = orctypes.parse_orc_type(declared_type)
     else:
         full_root = orctypes.type_from_file(files[0])
-    expect_type = None if evolve else full_root.orc_string()
+    lax = evolve or declared_type is not None
+    expect_type = None if lax else full_root.orc_string()
     if full_root.kind != "struct":
         # bare non-struct root: surface as one column named "value"
         # (mirrors read_stripe_columns / _root_col_ids)
@@ -1089,7 +1110,8 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
                 .drop("typ"), planned_agg
         else:
             tdf = _plan_distributed(spark, files, predicate,
-                                    expect_type) \
+                                    expect_type,
+                                    strict_cols=not lax) \
                 .localCheckpoint(eager=True)
             agg = tdf.agg(F.count("*").alias("n"),
                           F.sum("rows").alias("r")).first()
@@ -1105,7 +1127,8 @@ def orc_scan(spark, path: str, columns: list[str] | None = None,
         tasks = planned_tasks
         if tasks is None:
             tasks, _ = plan_tasks(files, predicate, expect_type,
-                                  with_rows=True)
+                                  with_rows=True,
+                                  strict_cols=not lax)
         if not tasks:
             out = spark.createDataFrame([], schema)
             return out.select(

@@ -1,0 +1,507 @@
+"""Snapshot-managed ``.orc`` tables (r5): an Iceberg-style metadata
+layer, from scratch, over the engine's own file format.
+
+The north rule frames the input as "Iceberg tables of pre-tokenized
+training sequences"; the reference engine itself only ever opens one
+file at a time (reference orc.go:35-41).  This module supplies the
+table semantics a 100 TB lake actually needs on top of raw files:
+
+* **Atomic commits** — a snapshot file is created with ``O_EXCL``;
+  data files are invisible until a snapshot names them, so readers
+  never see a half-written commit and concurrent writers conflict
+  loudly instead of corrupting (same two-phase discipline as the
+  DataSource's temp-rename commit, datasource.py).
+* **Manifests as the listing** — a snapshot references manifest files
+  (JSONL, one data-file entry per line with row counts, byte sizes
+  and per-column min/max).  Readers never ``glob`` the data
+  directory: on an object store the manifest IS the listing, and an
+  append commit writes ONE new manifest (O(new files), never
+  rewriting history).
+* **File-level pruning before any footer open** — predicate min/max
+  checks against manifest stats drop whole files driver-side; only
+  surviving files enter the stripe/stride/bloom planning chain.
+* **Schema tracking + evolution** — each snapshot records the
+  table's canonical ORC type string; appends widen it through
+  ``orctypes.widen`` (the lossless Java-ORC/Iceberg-v2 subset), and
+  reads decode every file name-based under the snapshot's declared
+  union root (``orc_scan(declared_type=...)``) — no footer-union
+  pass at read time.
+* **Time travel** — ``read_table(snapshot=N)`` reproduces exactly
+  the files, schema and rows of version N; ``table_history`` is the
+  audit table (operation, row/file deltas, schema per version).
+* **Zero-recode compaction** — ``compact_table`` byte-copy-merges
+  small files (orcmerge) and commits the result as a ``replace``
+  snapshot; time travel to the pre-compaction version still works
+  because old manifests and data files are never mutated.
+
+Scale notes: commit metadata is O(files added); the per-version
+snapshot JSON holds manifest NAMES only.  ``read_table`` materializes
+the file-entry list driver-side — one (path, counts, stats) tuple per
+data file, the same driver footprint ``orc_scan`` on a directory
+already has — and all footer work stays in the distributed planning
+pass.  ``version-hint.text`` is advisory (atomic rename); the source
+of truth is the ``v*.json`` listing, so a stale hint never breaks
+correctness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from .. import orctypes
+
+_META = "_meta"
+_DATA = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed first and the operation cannot be
+    rebased (overwrite/replace over a changed table)."""
+
+
+# ------------------------------------------------------------------
+# metadata primitives
+# ------------------------------------------------------------------
+
+
+def _meta_dir(table: str) -> str:
+    return os.path.join(table, _META)
+
+
+def _snap_path(table: str, version: int) -> str:
+    return os.path.join(_meta_dir(table), f"v{version:08d}.json")
+
+
+def current_version(table: str) -> int:
+    """Latest committed snapshot version (listing-based; the hint
+    file is only a fast path and may lag)."""
+    md = _meta_dir(table)
+    try:
+        names = os.listdir(md)
+    except FileNotFoundError:
+        raise ValueError(f"orc_table: {table} is not a table "
+                         f"(no {_META}/ directory)") from None
+    vs = [int(n[1:9]) for n in names
+          if n.startswith("v") and n.endswith(".json")
+          and n[1:9].isdigit()]
+    if not vs:
+        raise ValueError(f"orc_table: {table} has no snapshots")
+    return max(vs)
+
+
+def load_snapshot(table: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(table)
+    p = _snap_path(table, version)
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"orc_table: no snapshot v{version} in {table} "
+            f"(latest is v{current_version(table)})") from None
+
+
+def _write_manifest(table: str, entries: list[dict]) -> str:
+    name = f"manifest-{uuid.uuid4().hex}.jsonl"
+    path = os.path.join(_meta_dir(table), name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        for e in entries:
+            fh.write(json.dumps(e, separators=(",", ":")) + "\n")
+    os.replace(tmp, path)  # manifests are immutable once named
+    return name
+
+
+def manifest_entries(table: str, snap: dict) -> list[dict]:
+    out: list[dict] = []
+    for name in snap["manifests"]:
+        with open(os.path.join(_meta_dir(table), name)) as fh:
+            for line in fh:
+                if line.strip():
+                    out.append(json.loads(line))
+    return out
+
+
+def _hint(table: str, version: int) -> None:
+    p = os.path.join(_meta_dir(table), "version-hint.text")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, p)
+
+
+def _try_commit(table: str, snap: dict) -> bool:
+    """Exclusive-create the snapshot file; False = lost the race."""
+    path = _snap_path(table, snap["version"])
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        json.dump(snap, fh, separators=(",", ":"))
+    _hint(table, snap["version"])
+    return True
+
+
+def create_table(table: str, schema: str) -> dict:
+    """Initialize an empty table with a declared canonical ORC type
+    string (``struct<...>``); v0 has no data files."""
+    root = orctypes.parse_orc_type(schema)  # validates + canonicalizes
+    if root.kind != "struct":
+        raise ValueError(
+            f"orc_table: table schema must be a struct<...>, got "
+            f"{schema!r}")
+    os.makedirs(os.path.join(table, _DATA), exist_ok=True)
+    os.makedirs(_meta_dir(table), exist_ok=True)
+    snap = {"version": 0, "parent": None, "operation": "create",
+            "schema": root.orc_string(), "manifests": [],
+            "summary": {"n_files": 0, "n_rows": 0, "bytes": 0,
+                        "added_files": 0, "added_rows": 0}}
+    if not _try_commit(table, snap):
+        raise CommitConflict(f"orc_table: {table} already exists")
+    return snap
+
+
+def _commit_retrying(table: str, base: dict, operation: str,
+                     new_manifest: str | None, new_entries: list[dict],
+                     write_schema: str, retries: int = 20) -> dict:
+    """Optimistic-concurrency commit.  ``append`` rebases onto
+    whatever the latest snapshot has become (manifest list = latest's
+    + ours; schema = widen(latest, ours)); ``overwrite``/``replace``
+    require the table to still be at ``base`` and raise
+    CommitConflict otherwise — replaying a replace over files another
+    writer changed would silently drop their commit."""
+    added_rows = sum(e["n_rows"] for e in new_entries)
+    added_bytes = sum(e["bytes"] for e in new_entries)
+    latest = base
+    for _ in range(retries):
+        if operation == "append":
+            schema = orctypes.widen(
+                orctypes.parse_orc_type(latest["schema"]),
+                orctypes.parse_orc_type(write_schema)).orc_string()
+            manifests = list(latest["manifests"])
+            if new_manifest is not None:
+                manifests.append(new_manifest)
+            s = latest["summary"]
+            summary = {"n_files": s["n_files"] + len(new_entries),
+                       "n_rows": s["n_rows"] + added_rows,
+                       "bytes": s["bytes"] + added_bytes,
+                       "added_files": len(new_entries),
+                       "added_rows": added_rows}
+        else:  # overwrite / replace: manifest list starts fresh
+            if latest["version"] != base["version"]:
+                raise CommitConflict(
+                    f"orc_table: {operation} prepared against "
+                    f"v{base['version']} but table moved to "
+                    f"v{latest['version']}")
+            schema = write_schema if operation == "overwrite" \
+                else latest["schema"]
+            manifests = [new_manifest] if new_manifest else []
+            summary = {"n_files": len(new_entries),
+                       "n_rows": added_rows, "bytes": added_bytes,
+                       "added_files": len(new_entries),
+                       "added_rows": added_rows}
+        snap = {"version": latest["version"] + 1,
+                "parent": latest["version"], "operation": operation,
+                "schema": schema, "manifests": manifests,
+                "summary": summary}
+        if _try_commit(table, snap):
+            return snap
+        latest = load_snapshot(table)  # lost the race: rebase
+    raise CommitConflict(
+        f"orc_table: gave up committing to {table} after "
+        f"{retries} conflicts")
+
+
+# ------------------------------------------------------------------
+# write path
+# ------------------------------------------------------------------
+
+
+_STAT_SCALARS = (int, float, str)
+
+
+def _entry_stats(f) -> dict:
+    """JSON-safe per-column file statistics for a manifest entry:
+    top-level primitive columns whose min/max are int/float/str
+    (bool excluded — int min over [False, True] prunes wrongly
+    against boolean literals; decimal/date/timestamp stats are
+    strings of non-lexicographic ordering and stay out until typed
+    comparison lands)."""
+    root = f.types[0]
+    if root.kind != "struct":
+        return {}
+    out = {}
+    for fn, cid in zip(root.field_names, root.children):
+        if cid >= len(f.file_statistics):
+            continue
+        st = f.file_statistics[cid]
+        e = {"n": int(st.get("n", 0)),
+             "has_null": bool(st.get("has_null", False))}
+        mn, mx = st.get("min"), st.get("max")
+        kind = f.types[cid].kind
+        if (isinstance(mn, _STAT_SCALARS) and not isinstance(mn, bool)
+                and isinstance(mx, _STAT_SCALARS)
+                and kind not in ("decimal", "date", "timestamp")):
+            e["min"], e["max"] = mn, mx
+        out[fn] = e
+    return out
+
+
+def write_table(df, table: str, mode: str = "append",
+                codec: str = "zlib", stripe_rows: int = 1 << 20,
+                bloom_columns: list[str] | None = None) -> dict:
+    """Encode ``df`` into new ``data/`` files (one per partition,
+    job-unique names — a failed job leaves only unreferenced
+    orphans) and commit a snapshot.  ``mode="append"`` widens the
+    table schema through ``orctypes.widen`` when the frame's type
+    evolved; ``mode="overwrite"`` replaces the file set and schema.
+    Returns the committed snapshot dict.
+
+    The per-file manifest stats ride back from the SAME task that
+    wrote the file (it re-opens only its own tail, mmap) — no
+    driver-side footer pass, no second listing."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"orc_table: mode must be append|overwrite, "
+                         f"got {mode!r}")
+    base = load_snapshot(table)
+    write_schema = orctypes.parse_orc_type(
+        orctypes.orc_string_from_spark(df)).orc_string()
+    job = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table, _DATA)
+    os.makedirs(data_dir, exist_ok=True)
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        from orc_spark._alloc import tune_worker
+
+        from .orcfile import ORCFile
+        from .orcwriter import ORCFileWriter
+        tune_worker()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        name = f"part-{job}-{pid:05d}.orc"
+        path = os.path.join(data_dir, name)
+        writer = None
+        n = 0
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if writer is None:
+                writer = ORCFileWriter(path, codec=codec,
+                                       stripe_rows=stripe_rows,
+                                       bloom_columns=bloom_columns)
+            writer.write_batch(b)
+            n += b.num_rows
+        if writer is None:
+            return
+        writer.close()
+        stats = _entry_stats(ORCFile(path))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([name], pa.string()),
+             pa.array([n], pa.int64()),
+             pa.array([os.path.getsize(path)], pa.int64()),
+             pa.array([json.dumps(stats)], pa.string())],
+            names=["name", "n_rows", "bytes", "stats"])
+
+    out_schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("stats", T.StringType())])
+    rows = df.mapInArrow(kernel, out_schema).collect()  # one/file
+    entries = [{"path": f"{_DATA}/{r['name']}", "n_rows": r["n_rows"],
+                "bytes": r["bytes"], "type": write_schema,
+                "codec": codec, "stats": json.loads(r["stats"])}
+               for r in rows]
+    manifest = _write_manifest(table, entries) if entries else None
+    return _commit_retrying(table, base, mode, manifest, entries,
+                            write_schema)
+
+
+# ------------------------------------------------------------------
+# read path
+# ------------------------------------------------------------------
+
+
+def _entry_survives(entry: dict, preds: list[tuple]) -> bool:
+    """Manifest-level pruning: conservative min/max checks, only when
+    the literal and the recorded stats share a comparison family
+    (numeric vs numeric, str vs str) — else keep."""
+    from .orcscan import _stats_can_match
+    stats = entry.get("stats") or {}
+    for col, op, val in preds:
+        st = stats.get(col)
+        if not st:
+            continue  # dotted path / no stats: cannot prune
+        if st.get("n", 1) == 0:
+            # all-null file: no comparison predicate can match
+            return False
+        mn = st.get("min")
+        if mn is None:
+            continue
+        probe = val[0] if isinstance(val, (list, tuple)) and val \
+            else val
+        num = isinstance(mn, (int, float)) and not isinstance(mn, bool)
+        if num != isinstance(probe, (int, float)):
+            continue  # mixed families: never compare, never prune
+        if not _stats_can_match(st, op, val):
+            return False
+    return True
+
+
+def read_table(spark, table: str, snapshot: int | None = None,
+               columns: list[str] | None = None, predicate=None,
+               timestamp_nanos: bool = False, on_error: str = "fail"):
+    """DataFrame over a snapshot (latest by default).  File set and
+    schema come from table metadata — no directory listing, no
+    footer-union pass; manifest stats prune whole files before the
+    stripe/stride/bloom planning chain sees them."""
+    from pyspark.sql import functions as F
+
+    from .orcscan import _pred_list, _spark_of, orc_scan
+    snap = load_snapshot(table, snapshot)
+    entries = manifest_entries(table, snap)
+    preds = _pred_list(predicate)
+    if preds:
+        entries = [e for e in entries if _entry_survives(e, preds)]
+    if not entries:
+        root = orctypes.parse_orc_type(snap["schema"])
+        out = spark.createDataFrame(
+            [], _spark_of(root, timestamp_nanos))
+        if columns:
+            out = out.select(*[F.col(c).alias(c) for c in columns])
+        return out
+    files = [os.path.join(table, e["path"]) for e in entries]
+    return orc_scan(spark, files, columns=columns,
+                    predicate=predicate,
+                    timestamp_nanos=timestamp_nanos,
+                    on_error=on_error,
+                    declared_type=snap["schema"])
+
+
+def table_history(spark, table: str):
+    """The audit table: one row per snapshot (version, parent,
+    operation, schema, file/row/byte totals and per-commit deltas)."""
+    rows = []
+    for v in range(current_version(table) + 1):
+        try:
+            s = load_snapshot(table, v)
+        except ValueError:
+            continue  # hole (never produced by this writer)
+        rows.append((s["version"], s["parent"], s["operation"],
+                     s["schema"], s["summary"]["n_files"],
+                     s["summary"]["n_rows"], s["summary"]["bytes"],
+                     s["summary"]["added_files"],
+                     s["summary"]["added_rows"]))
+    return spark.createDataFrame(
+        rows, "version int, parent int, operation string, "
+              "schema string, n_files long, n_rows long, bytes long, "
+              "added_files long, added_rows long")
+
+
+# ------------------------------------------------------------------
+# maintenance
+# ------------------------------------------------------------------
+
+
+def _merge_stats(group: list[dict]) -> dict:
+    out: dict = {}
+    for e in group:
+        for col, st in (e.get("stats") or {}).items():
+            a = out.setdefault(col, {"n": 0, "has_null": False})
+            a["n"] += st.get("n", 0)
+            a["has_null"] = a["has_null"] or st.get("has_null", False)
+            if "min" in st:
+                a["min"] = st["min"] if "min" not in a \
+                    else min(a["min"], st["min"])
+                a["max"] = st["max"] if "max" not in a \
+                    else max(a["max"], st["max"])
+    return out
+
+
+def compact_table(spark, table: str,
+                  target_bytes: int = 256 << 20) -> dict:
+    """Zero-recode compaction as a ``replace`` snapshot: current
+    files group by (type, codec) then greedily toward
+    ``target_bytes``; each multi-file group byte-copy-merges
+    (orcmerge.merge_orc_files) in one executor task into a new
+    ``data/`` file.  Data files and manifests of older snapshots are
+    untouched — time travel to any pre-compaction version still
+    reads the original small files.  Returns the new snapshot (a
+    no-op returns the current one)."""
+    from .orcmerge import merge_orc_files
+    base = load_snapshot(table)
+    entries = manifest_entries(table, base)
+    by_key: dict[tuple, list[dict]] = {}
+    for e in sorted(entries, key=lambda e: e["path"]):
+        by_key.setdefault((e.get("type", ""), e.get("codec", "")),
+                          []).append(e)
+    groups: list[list[dict]] = []
+    passthrough: list[dict] = []
+    for key, es in by_key.items():
+        if not all(key):
+            passthrough.extend(es)  # externally-added: never merged
+            continue
+        cur: list[dict] = []
+        cur_b = 0
+        for e in es:
+            if cur and cur_b + e["bytes"] > target_bytes:
+                if len(cur) > 1:
+                    groups.append(cur)
+                else:
+                    passthrough.extend(cur)
+                cur, cur_b = [], 0
+            cur.append(e)
+            cur_b += e["bytes"]
+        if len(cur) > 1:
+            groups.append(cur)
+        else:
+            passthrough.extend(cur)
+    if not groups:
+        return base
+    job = uuid.uuid4().hex[:12]
+    tasks = [(i, [os.path.join(table, e["path"]) for e in g])
+             for i, g in enumerate(groups)]
+    gdf = spark.createDataFrame(
+        tasks, "gid int, files array<string>").repartition(len(tasks))
+    data_dir = os.path.join(table, _DATA)
+
+    def kern(it):
+        import pandas as pd
+        for pdf in it:
+            gids, names, nbytes = [], [], []
+            for gid, grp in zip(pdf["gid"], pdf["files"]):
+                name = f"compact-{job}-{int(gid):05d}.orc"
+                merge_orc_files(list(grp),
+                                os.path.join(data_dir, name))
+                gids.append(int(gid))
+                names.append(name)
+                nbytes.append(os.path.getsize(
+                    os.path.join(data_dir, name)))
+            yield pd.DataFrame({"gid": gids, "name": names,
+                                "bytes": nbytes})
+
+    got = {r["gid"]: r for r in
+           gdf.mapInPandas(kern, "gid int, name string, bytes long")
+           .collect()}
+    merged_entries = []
+    for i, g in enumerate(groups):
+        r = got[i]
+        merged_entries.append({
+            "path": f"{_DATA}/{r['name']}",
+            "n_rows": sum(e["n_rows"] for e in g),
+            "bytes": r["bytes"],
+            "type": g[0]["type"], "codec": g[0]["codec"],
+            "stats": _merge_stats(g)})
+    new_entries = passthrough + merged_entries
+    manifest = _write_manifest(table, new_entries)
+    return _commit_retrying(table, base, "replace", manifest,
+                            new_entries, base["schema"])
