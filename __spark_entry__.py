@@ -659,18 +659,21 @@ def _q_orc_count_pruned(spark, sf_dir):
 
 
 def _q_orc_merge_compact(spark, sf_dir):
-    """Zero-recode compaction, now through the snapshot table layer
-    (r5 — orctable): the token table commits as 8 small .orc files
-    under an Iceberg-style ``_meta`` snapshot, ``compact_table``
-    byte-copy-merges them (orcmerge; each task a footer parse + copy)
-    and commits a ``replace`` snapshot, and the compacted table must
-    aggregate identically to the raw documents.  n_files is the
-    post-compaction manifest's file count; n_docs_v1 TIME-TRAVELS to
-    the pre-compaction snapshot — old manifests and data files are
-    immutable, so version 1 still reads the original small files
-    byte-for-byte.  Readers resolve files from manifests (never a
-    directory glob) and decode under the snapshot's recorded
-    schema."""
+    """The snapshot table LIFECYCLE (r5 — orctable): the token table
+    commits as 8 small .orc files under an Iceberg-style ``_meta``
+    snapshot; ``delete_from`` row-level-DELETEs the short documents
+    (copy-on-write rewrite with metadata fast paths — files whose
+    statistics prove all-match leave the manifest without decoding);
+    ``compact_table`` byte-copy-merges the survivors (orcmerge; each
+    task a footer parse + copy) into one file under a ``replace``
+    snapshot; and the result must aggregate identically to the raw
+    documents MINUS the deleted set.  n_files is the post-compaction
+    manifest's file count; n_docs_v1 TIME-TRAVELS to the pre-delete
+    snapshot — old manifests and data files are immutable, so
+    version 1 still reads every original row byte-for-byte after
+    both the delete and the compaction.  Readers resolve files from
+    manifests (never a directory glob) and decode under the
+    snapshot's recorded schema."""
     import tempfile
     from orc_spark.sources import orctable
     tok = token_src.token_table(spark, sf_dir)
@@ -679,6 +682,7 @@ def _q_orc_merge_compact(spark, sf_dir):
         t, "struct<doc_id:string,tokens:array<int>,n_tok:int,"
            "source:string>")
     orctable.write_table(tok.repartition(8), t, codec="zlib")
+    orctable.delete_from(spark, t, "n_tok < 40")
     snap = orctable.compact_table(spark, t, target_bytes=1 << 40)
     df = orctable.read_table(spark, t)
     v1 = orctable.read_table(spark, t, snapshot=1)
@@ -1676,12 +1680,21 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT count(*) AS n_all, "
             f"CAST(sum(CASE WHEN {n_tok} >= 60 THEN 1 ELSE 0 END) "
             f"AS BIGINT) AS n_sel FROM documents"),
+        # delete_from removes n_tok < 40 before compaction; empty /
+        # whitespace-only / NULL texts tokenize to ZERO tokens on the
+        # Spark side, so they are deleted too (the CASE keeps the
+        # oracle's split-of-empty = [''] artifact out of the filter)
         "orc_merge_compact": (
+            f"WITH d AS (SELECT doc_id, "
+            f"CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+            f"ELSE {n_tok} END AS nt FROM documents), "
+            f"k AS (SELECT * FROM d WHERE nt >= 40) "
             f"SELECT CAST(1 AS BIGINT) AS n_files, "
-            f"count(*) AS n_docs, "
-            f"CAST(sum({n_tok}) AS BIGINT) AS total_tokens, "
-            f"count(DISTINCT doc_id) AS n_ids, "
-            f"count(*) AS n_docs_v1 FROM documents"),
+            f"(SELECT count(*) FROM k) AS n_docs, "
+            f"(SELECT CAST(sum(nt) AS BIGINT) FROM k) "
+            f"AS total_tokens, "
+            f"(SELECT count(DISTINCT doc_id) FROM k) AS n_ids, "
+            f"(SELECT count(*) FROM d) AS n_docs_v1"),
         # full recompute of the >15-significant-digit decimals: every
         # digit of sum/min/max must survive the .orc round-trip
         "orc_scan_decimal": (

@@ -170,6 +170,7 @@ class ORCFile:
         # pages, and read_rows/read_stripe_strides seeks fault in only
         # the stripes/strides they actually decode
         import mmap
+        self.path = path
         with open(path, "rb") as f:
             try:
                 # the mapping outlives the fd (POSIX) — close eagerly

@@ -265,25 +265,22 @@ def _int_exact(op: str, val):
     raise ValueError(f"orc_stats: unknown predicate op {op!r}")
 
 
-def _count_file(path: str, preds: list[tuple]) -> int:
-    """Predicate count for one file: stripes proven fully-matching by
-    statistics are counted WITHOUT decoding; stripes that cannot
-    match are skipped; only boundary stripes decode — and only the
-    predicate columns."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from .orcscan import (_ancestor_expand, _conv, _fast_arrow,
-                          _needs_conv, _stats_can_match, _subtree,
-                          orc_arrow)
-    f = ORCFile(path)
+def _file_pred_state(f: ORCFile, preds: list[tuple]):
+    """Resolve predicate columns for one file and normalize float
+    literals against integer columns (exact rewrite).  Returns
+    ``(norm_preds, paths, nodes)``, or ``None`` when the rewrite
+    proves no row of this file can satisfy the predicates (e.g.
+    ``int_col == 1.5``).  Shared by the hybrid COUNT and the
+    orctable DELETE classifier — both must agree bit-for-bit with
+    the decode compare."""
+    from .orcscan import _subtree
     root = f.types[0]
     if root.kind != "struct":
         names = {"value": 0}
     else:
         names = dict(zip(root.field_names, root.children))
     from .. import orctypes as _ot
-    troot = _ot.type_from_file(path)
+    troot = _ot.type_from_types(f.types)
     if troot.kind != "struct":
         troot = _ot.OrcType("struct", [troot], ["value"])
     nodes = dict(zip(troot.field_names, troot.children))
@@ -307,70 +304,118 @@ def _count_file(path: str, preds: list[tuple]) -> int:
         if f.types[paths[c][-1]].kind in _INT_KINDS:
             rewritten = _int_exact(op, val)
             if rewritten is None:
-                return 0  # no integer can satisfy (e.g. v == 1.5)
+                return None  # no row can satisfy (e.g. v == 1.5)
             op, val = rewritten
         norm.append((c, op, val))
-    preds = norm
-    total = 0
-    for si, stripe in enumerate(f.stripes):
-        n_rows = stripe.get(5, [0])[0]
-        sstats = f.stripe_statistics[si] \
-            if si < len(f.stripe_statistics) else None
-        if sstats is not None:
-            per_col = [sstats[paths[c][-1]] for c, _, _ in preds]
-            if not all(_stats_can_match(st, op, val)
-                       for st, (_, op, val) in zip(per_col, preds)):
-                continue  # no row can match: free skip
-            # full-match needs every ROW to carry a matching value:
-            # the leaf count must equal the stripe row count (an
-            # ancestor-null row has a NULL leaf that stats don't see)
-            if all(_full_match(st, op, val) and
-                   not st.get("has_null", True) and
-                   st.get("n", -1) == n_rows
+    return norm, paths, nodes
+
+
+def _stripe_stats_class(f: ORCFile, si: int, preds: list[tuple],
+                        paths: dict) -> tuple:
+    """Stats-only stripe classification (no decode, no decompress):
+    ``("none", n)`` — no row can match; ``("all", n)`` — every row
+    matches; ``("boundary", n)`` — statistics cannot decide."""
+    from .orcscan import _stats_can_match
+    stripe = f.stripes[si]
+    n_rows = stripe.get(5, [0])[0]
+    sstats = f.stripe_statistics[si] \
+        if si < len(f.stripe_statistics) else None
+    if sstats is not None:
+        per_col = [sstats[paths[c][-1]] for c, _, _ in preds]
+        if not all(_stats_can_match(st, op, val)
                    for st, (_, op, val) in zip(per_col, preds)):
-                total += n_rows  # every row matches: free count
-                continue
-        # boundary stripe: decode ONLY the predicate columns
-        nr = f._load_stripe_directory(si)
-        combined = None
-        for c, op, val in preds:
-            ids, node = paths[c], nodes[c]
-            cid = ids[-1]
-            ft = orc_arrow(node)
-            valids, cnt = f.path_present_chain(ids, nr)
-            try:
-                arr = _fast_arrow(f, cid, cnt, ft)
-            except Exception:
-                arr = None
-            if arr is None:
-                vals = f._read_column(cid, cnt)
-                if _needs_conv(node):
-                    vals = [_conv(node, v) for v in vals]
-                arr = pa.array(vals, type=ft)
-            arr = _ancestor_expand(arr, valids)
-            if op == "between":
-                m = pc.and_kleene(
-                    pc.greater_equal(arr, pa.scalar(val[0], ft)),
-                    pc.less_equal(arr, pa.scalar(val[1], ft)))
-            elif op == "in":
-                m = pc.is_in(arr,
-                             value_set=pa.array(list(val), type=ft))
-                # is_in yields null-in -> false already; align with
-                # kleene AND by keeping the boolean mask as-is
-            elif op == "prefix":
-                if not pa.types.is_string(ft) and \
-                        not pa.types.is_large_string(ft):
-                    raise ValueError(
-                        f"orc_stats: prefix predicate on non-string "
-                        f"column {c!r}")
-                m = pc.starts_with(arr, pattern=val)
-            else:
-                fn = {">=": pc.greater_equal, ">": pc.greater,
-                      "<=": pc.less_equal, "<": pc.less,
-                      "==": pc.equal}[op]
-                m = fn(arr, pa.scalar(val, ft))
-            combined = m if combined is None else \
-                pc.and_kleene(combined, m)
-        s = pc.sum(pc.cast(combined, pa.int64()))
-        total += s.as_py() or 0
+            return "none", n_rows  # no row can match: free skip
+        # full-match needs every ROW to carry a matching value:
+        # the leaf count must equal the stripe row count (an
+        # ancestor-null row has a NULL leaf that stats don't see)
+        if all(_full_match(st, op, val) and
+               not st.get("has_null", True) and
+               st.get("n", -1) == n_rows
+               for st, (_, op, val) in zip(per_col, preds)):
+            return "all", n_rows  # every row matches: free count
+    return "boundary", n_rows
+
+
+def _stripe_disposition(f: ORCFile, si: int, preds: list[tuple],
+                        paths: dict, nodes: dict):
+    """Classify one stripe against normalized predicates:
+    ``("none", n_rows)`` — statistics prove no row matches (zero
+    decode); ``("all", n_rows)`` — statistics prove EVERY row
+    matches (zero decode); ``("mask", BooleanArray)`` — boundary
+    stripe, per-row match mask (null = no match), decoding only the
+    predicate columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .orcscan import (_ancestor_expand, _conv, _fast_arrow,
+                          _needs_conv, orc_arrow)
+    kind, n_rows = _stripe_stats_class(f, si, preds, paths)
+    if kind != "boundary":
+        return kind, n_rows
+    # boundary stripe: decode ONLY the predicate columns
+    nr = f._load_stripe_directory(si)
+    combined = None
+    for c, op, val in preds:
+        ids, node = paths[c], nodes[c]
+        cid = ids[-1]
+        ft = orc_arrow(node)
+        valids, cnt = f.path_present_chain(ids, nr)
+        try:
+            arr = _fast_arrow(f, cid, cnt, ft)
+        except Exception:
+            arr = None
+        if arr is None:
+            vals = f._read_column(cid, cnt)
+            if _needs_conv(node):
+                vals = [_conv(node, v) for v in vals]
+            arr = pa.array(vals, type=ft)
+        arr = _ancestor_expand(arr, valids)
+        if op == "between":
+            m = pc.and_kleene(
+                pc.greater_equal(arr, pa.scalar(val[0], ft)),
+                pc.less_equal(arr, pa.scalar(val[1], ft)))
+        elif op == "in":
+            m = pc.is_in(arr,
+                         value_set=pa.array(list(val), type=ft))
+            # is_in yields null-in -> false already; align with
+            # kleene AND by keeping the boolean mask as-is
+        elif op == "prefix":
+            if not pa.types.is_string(ft) and \
+                    not pa.types.is_large_string(ft):
+                raise ValueError(
+                    f"orc_stats: prefix predicate on non-string "
+                    f"column {c!r}")
+            m = pc.starts_with(arr, pattern=val)
+        else:
+            fn = {">=": pc.greater_equal, ">": pc.greater,
+                  "<=": pc.less_equal, "<": pc.less,
+                  "==": pc.equal}[op]
+            m = fn(arr, pa.scalar(val, ft))
+        combined = m if combined is None else \
+            pc.and_kleene(combined, m)
+    return "mask", combined
+
+
+def _count_file(path: str, preds: list[tuple]) -> int:
+    """Predicate count for one file: stripes proven fully-matching by
+    statistics are counted WITHOUT decoding; stripes that cannot
+    match are skipped; only boundary stripes decode — and only the
+    predicate columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    f = ORCFile(path)
+    state = _file_pred_state(f, preds)
+    if state is None:
+        return 0
+    norm, paths, nodes = state
+    total = 0
+    for si in range(len(f.stripes)):
+        kind, v = _stripe_disposition(f, si, norm, paths, nodes)
+        if kind == "none":
+            continue
+        if kind == "all":
+            total += v
+        else:
+            s = pc.sum(pc.cast(v, pa.int64()))
+            total += s.as_py() or 0
     return total

@@ -167,7 +167,8 @@ def create_table(table: str, schema: str) -> dict:
 
 def _commit_retrying(table: str, base: dict, operation: str,
                      new_manifest: str | None, new_entries: list[dict],
-                     write_schema: str, retries: int = 20) -> dict:
+                     write_schema: str, retries: int = 20,
+                     extra: dict | None = None) -> dict:
     """Optimistic-concurrency commit.  ``append`` rebases onto
     whatever the latest snapshot has become (manifest list = latest's
     + ours; schema = widen(latest, ours)); ``overwrite``/``replace``
@@ -204,6 +205,7 @@ def _commit_retrying(table: str, base: dict, operation: str,
                        "n_rows": added_rows, "bytes": added_bytes,
                        "added_files": len(new_entries),
                        "added_rows": added_rows}
+        summary.update(extra or {})
         snap = {"version": latest["version"] + 1,
                 "parent": latest["version"], "operation": operation,
                 "schema": schema, "manifests": manifests,
@@ -505,3 +507,384 @@ def compact_table(spark, table: str,
     manifest = _write_manifest(table, new_entries)
     return _commit_retrying(table, base, "replace", manifest,
                             new_entries, base["schema"])
+
+
+# ------------------------------------------------------------------
+# row-level deletes, rollback, retention
+# ------------------------------------------------------------------
+
+
+def _bloom_columns_of(f) -> list[str]:
+    """Top-level columns carrying BLOOM_FILTER_UTF8 streams in the
+    first stripe (writer emits blooms uniformly, so one stripe's
+    directory is representative) — a delete rewrite preserves them."""
+    from .orcfile import STREAM_KINDS, parse_message
+    if not f.stripes:
+        return []
+    root = f.types[0]
+    if root.kind != "struct":
+        return []
+    names = {cid: fn for fn, cid in zip(root.field_names,
+                                        root.children)}
+    info = f.stripes[0]
+    sf_start = info.get(1, [0])[0] + info.get(2, [0])[0] + \
+        info.get(3, [0])[0]
+    sfooter = parse_message(f._decomp(
+        f.data[sf_start:sf_start + info.get(4, [0])[0]]))
+    out = []
+    for s in sfooter.get(1, []):
+        sm = parse_message(s)
+        if STREAM_KINDS[sm.get(1, [0])[0]] == "BLOOM_FILTER_UTF8":
+            fn = names.get(sm.get(2, [0])[0])
+            if fn is not None and fn not in out:
+                out.append(fn)
+    return out
+
+
+def _classify_delete_file(path: str, preds: list[tuple]) -> str:
+    """Stats-only classification of one data file against DELETE
+    predicates — opens ONLY the footer (mmap tail), decodes nothing:
+
+    * ``keep`` — no stripe can contain a matching row;
+    * ``drop`` — every row of every stripe matches (the file leaves
+      the manifest without decoding a byte: metadata-only delete);
+    * ``rewrite`` — at least one boundary stripe needs a row mask.
+    """
+    from .orcfile import ORCFile
+    from .orcstats import _file_pred_state, _stripe_stats_class
+    f = ORCFile(path)
+    state = _file_pred_state(f, preds)
+    if state is None:
+        return "keep"
+    norm, paths, _ = state
+    classes = {_stripe_stats_class(f, si, norm, paths)[0]
+               for si in range(len(f.stripes))}
+    if classes <= {"none"}:
+        return "keep"
+    if classes <= {"all"}:
+        return "drop"
+    return "rewrite"
+
+
+def _rewrite_delete_file(path: str, preds: list[tuple],
+                         data_dir: str, job: str, idx: int) -> dict:
+    """Copy-on-write rewrite of one boundary file: survivors (rows
+    where the predicate is FALSE or NULL — SQL DELETE semantics)
+    re-encode into a new file through the same kernels the scan
+    uses, exact for every type we write (ns timestamps via the r5
+    write-side nanos path, decimals, nested); codec, row-index
+    stride, char/varchar footer types and bloom columns are
+    preserved.  All-match stripes skip without decoding; no-match
+    stripes byte-decode once and re-encode unmasked."""
+    import pyarrow.compute as pc
+
+    from .. import orctypes
+    from .orcfile import ORCFile
+    from .orcscan import _ScanContext
+    from .orcstats import _file_pred_state, _stripe_disposition
+    from .orcwriter import DEFAULT_ROW_INDEX_STRIDE, ORCFileWriter
+    f = ORCFile(path)
+    state = _file_pred_state(f, preds)
+    assert state is not None  # classifier said rewrite
+    norm, paths, nodes = state
+    root = orctypes.type_from_types(f.types)
+    if root.kind != "struct":
+        raise ValueError(
+            f"orc_table: delete rewrite requires struct-root files, "
+            f"got {root.orc_string()!r} in {path}")
+    ctx = _ScanContext(root, [], None, ts_nanos=True)
+    name = f"delete-{job}-{idx:05d}.orc"
+    new_path = os.path.join(data_dir, name)
+    writer = None
+    n_out = 0
+    for si in range(len(f.stripes)):
+        kind, v = _stripe_disposition(f, si, norm, paths, nodes)
+        if kind == "all":
+            continue  # every row deleted: skip the whole stripe
+        batch = ctx.decode_stripe(f, si)
+        if kind == "mask":
+            # DELETE WHERE p removes rows where p is TRUE; NULL
+            # predicate rows survive (fill_null after invert)
+            keep = pc.fill_null(pc.invert(v), True)
+            batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            continue
+        if writer is None:
+            writer = ORCFileWriter(
+                new_path, codec=f.compression,
+                row_index_stride=(f.row_index_stride or
+                                  DEFAULT_ROW_INDEX_STRIDE),
+                orc_types=root.orc_overrides(),
+                bloom_columns=_bloom_columns_of(f))
+        writer.write_batch(batch)
+        n_out += batch.num_rows
+    if writer is None:
+        return {"action": "drop"}  # boundary stripes had 0 survivors
+    writer.close()
+    nf = ORCFile(new_path)
+    return {"action": "rewrite", "name": name, "n_rows": n_out,
+            "bytes": os.path.getsize(new_path),
+            "type": orctypes.type_from_types(nf.types).orc_string(),
+            "codec": f.compression,
+            "stats": _entry_stats(nf)}
+
+
+# above this many candidate files, classification itself distributes
+_DRIVER_CLASSIFY_MAX_FILES = 64
+
+
+def delete_from(spark, table: str, predicate) -> dict:
+    """Row-level DELETE as a new ``delete`` snapshot — copy-on-write
+    with metadata fast paths, the Iceberg capability a 100 TB
+    training lake needs for takedowns / dedup-driven removals:
+
+    1. manifest stats drop files that cannot contain a matching row
+       driver-side (no task, no footer open);
+    2. surviving files CLASSIFY from footer/stripe statistics alone
+       (footer-page reads, zero decode; distributed above 64
+       candidates): no-match files stay, all-match files leave the
+       manifest without decoding — a partition-aligned delete is
+       metadata-only and never launches a rewrite;
+    3. only true boundary files rewrite, one executor task each —
+       decoding predicate columns for the mask and re-encoding
+       survivors exactly (SQL semantics: NULL-predicate rows
+       survive).
+
+    Commits with replace semantics (a concurrent commit raises
+    CommitConflict — rebasing a file-set rewrite is not safe).  Old
+    snapshots still read every pre-delete row; run
+    ``expire_snapshots`` to reclaim the space.  Returns the new
+    snapshot."""
+    from .orcscan import _pred_list
+    preds = _pred_list(predicate)
+    if not preds:
+        raise ValueError(
+            "orc_table: delete_from requires a predicate — to drop "
+            "every row, write_table(empty_df, mode='overwrite')")
+    base = load_snapshot(table)
+    entries = manifest_entries(table, base)
+    untouched = [e for e in entries if not _entry_survives(e, preds)]
+    cands = [e for e in entries if _entry_survives(e, preds)]
+    if not cands:
+        return base  # no file can contain a matching row: no-op
+    paths = [os.path.join(table, e["path"]) for e in cands]
+    if len(cands) <= _DRIVER_CLASSIFY_MAX_FILES:
+        classes = [_classify_delete_file(p, preds) for p in paths]
+    else:
+        cdf = spark.createDataFrame(
+            list(enumerate(paths)), "idx int, path string")             .repartition(min(len(paths), 256))
+        pr = list(preds)
+
+        def ckern(it):
+            import pandas as pd
+            for pdf in it:
+                yield pd.DataFrame(
+                    [(int(i), _classify_delete_file(p, pr))
+                     for i, p in zip(pdf["idx"], pdf["path"])],
+                    columns=["idx", "cls"])
+
+        got = {r["idx"]: r["cls"] for r in cdf.mapInPandas(
+            ckern, "idx int, cls string").collect()}
+        classes = [got[i] for i in range(len(paths))]
+    new_entries = list(untouched)
+    rewrites = []
+    dropped = 0
+    for e, p, cls in zip(cands, paths, classes):
+        if cls == "keep":
+            new_entries.append(e)
+        elif cls == "drop":
+            dropped += 1
+        else:
+            rewrites.append(p)
+    if not dropped and not rewrites:
+        return base  # statistics proved nothing matched anywhere
+    rewritten = 0
+    if rewrites:
+        job = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(table, _DATA)
+        rdf = spark.createDataFrame(
+            list(enumerate(rewrites)), "idx int, path string")             .repartition(len(rewrites))
+        pr = list(preds)
+
+        def rkern(it):
+            import pandas as pd
+            for pdf in it:
+                out = []
+                for idx, p in zip(pdf["idx"], pdf["path"]):
+                    r = _rewrite_delete_file(p, pr, data_dir, job,
+                                             int(idx))
+                    out.append((int(idx), json.dumps(r)))
+                yield pd.DataFrame(out, columns=["idx", "res"])
+
+        for r in rdf.mapInPandas(rkern, "idx int, res string")                 .collect():
+            res = json.loads(r["res"])
+            if res["action"] == "drop":
+                dropped += 1
+                continue
+            rewritten += 1
+            new_entries.append({
+                "path": f"{_DATA}/{res['name']}",
+                "n_rows": res["n_rows"], "bytes": res["bytes"],
+                "type": res["type"], "codec": res["codec"],
+                "stats": res["stats"]})
+    deleted = base["summary"]["n_rows"] - \
+        sum(e["n_rows"] for e in new_entries)
+    manifest = _write_manifest(table, new_entries) if new_entries \
+        else None
+    return _commit_retrying(
+        table, base, "delete", manifest, new_entries, base["schema"],
+        extra={"deleted_rows": deleted, "dropped_files": dropped,
+               "rewritten_files": rewritten})
+
+
+def rollback_table(table: str, to_version: int) -> dict:
+    """Restore the table to the file set + schema of ``to_version``
+    as a NEW snapshot (history is never rewritten — the bad commits
+    stay inspectable in ``table_history``).  Metadata-only: manifests
+    are immutable, so the rollback snapshot just references the old
+    version's manifest list."""
+    base = load_snapshot(table)
+    old = load_snapshot(table, to_version)
+    if old["version"] == base["version"]:
+        return base
+    entries = manifest_entries(table, old)
+    snap = {"version": base["version"] + 1,
+            "parent": base["version"], "operation": "rollback",
+            "schema": old["schema"],
+            "manifests": list(old["manifests"]),
+            "summary": {"n_files": len(entries),
+                        "n_rows": sum(e["n_rows"] for e in entries),
+                        "bytes": sum(e["bytes"] for e in entries),
+                        "added_files": 0, "added_rows": 0,
+                        "rolled_back_to": old["version"]}}
+    if not _try_commit(table, snap):
+        raise CommitConflict(
+            f"orc_table: rollback prepared against "
+            f"v{base['version']} but another commit landed first")
+    return snap
+
+
+def table_count(spark, table: str, predicate=None,
+                snapshot: int | None = None) -> int:
+    """Exact COUNT(*) over a snapshot.  Unpredicated: summed from
+    manifest row counts — ZERO file I/O, any table size.  With a
+    predicate: manifest stats prune files driver-side, then the
+    hybrid stats+boundary-decode count (orcstats) runs per surviving
+    file — distributed above the driver threshold."""
+    snap = load_snapshot(table, snapshot)
+    entries = manifest_entries(table, snap)
+    if predicate is None:
+        return sum(e["n_rows"] for e in entries)
+    from .orcscan import _pred_list
+    from .orcstats import _DRIVER_STATS_MAX_FILES, _count_file
+    preds = _pred_list(predicate)
+    files = [os.path.join(table, e["path"]) for e in entries
+             if _entry_survives(e, preds)]
+    if len(files) <= _DRIVER_STATS_MAX_FILES:
+        return sum(_count_file(p, preds) for p in files)
+    fdf = spark.createDataFrame([(p,) for p in files],
+                                "path string") \
+        .repartition(min(len(files), 256))
+
+    def kern(it):
+        import pandas as pd
+        for pdf in it:
+            yield pd.DataFrame(
+                {"n": [sum(_count_file(p, preds)
+                           for p in pdf["path"])]})
+
+    return sum(r["n"] for r in fdf.mapInPandas(
+        kern, "n long").collect())
+
+
+def expire_snapshots(table: str, keep_last: int = 2) -> dict:
+    """Retention: delete snapshot files older than the newest
+    ``keep_last`` versions, then garbage-collect manifests and data
+    files no surviving snapshot references.  SAFE by construction:
+    only files that were referenced by an EXPIRED snapshot and are
+    NOT referenced by any kept one are removed — a data file no
+    snapshot has ever referenced (e.g. an in-flight concurrent
+    write's output) is never touched; ``remove_orphans`` handles
+    those separately under an age guard.  Returns removal counts."""
+    if keep_last < 1:
+        raise ValueError("orc_table: keep_last must be >= 1")
+    cur = current_version(table)
+    versions = []
+    for v in range(cur + 1):
+        try:
+            load_snapshot(table, v)
+            versions.append(v)
+        except ValueError:
+            continue
+    kept = set(versions[-keep_last:])
+    expired = [v for v in versions if v not in kept]
+    if not expired:
+        return {"removed_snapshots": 0, "removed_manifests": 0,
+                "removed_files": 0, "removed_bytes": 0}
+
+    def _refs(vs):
+        manifests, files = set(), set()
+        for v in vs:
+            s = load_snapshot(table, v)
+            manifests.update(s["manifests"])
+            for e in manifest_entries(table, s):
+                files.add(e["path"])
+        return manifests, files
+
+    keep_m, keep_f = _refs(kept)
+    drop_m, drop_f = _refs(expired)
+    removed_files = removed_bytes = 0
+    for rel in sorted(drop_f - keep_f):
+        p = os.path.join(table, rel)
+        try:
+            removed_bytes += os.path.getsize(p)
+            os.remove(p)
+            removed_files += 1
+        except FileNotFoundError:
+            pass  # already gone (double expire)
+    removed_manifests = 0
+    for name in sorted(drop_m - keep_m):
+        try:
+            os.remove(os.path.join(_meta_dir(table), name))
+            removed_manifests += 1
+        except FileNotFoundError:
+            pass
+    for v in expired:
+        os.remove(_snap_path(table, v))
+    return {"removed_snapshots": len(expired),
+            "removed_manifests": removed_manifests,
+            "removed_files": removed_files,
+            "removed_bytes": removed_bytes}
+
+
+def remove_orphans(table: str, grace_seconds: float = 86400) -> dict:
+    """Delete ``data/`` files referenced by NO snapshot (failed-job
+    leftovers) that are older than ``grace_seconds`` — the age guard
+    keeps an in-flight writer's just-written files safe, the same
+    contract as Iceberg's orphan-file removal."""
+    import glob as _glob
+    import time
+    referenced = set()
+    for v in range(current_version(table) + 1):
+        try:
+            s = load_snapshot(table, v)
+        except ValueError:
+            continue
+        for e in manifest_entries(table, s):
+            referenced.add(e["path"])
+    cutoff = time.time() - grace_seconds
+    removed = removed_bytes = 0
+    for p in sorted(_glob.glob(
+            os.path.join(table, _DATA, "*.orc"))):
+        rel = os.path.relpath(p, table)
+        if rel in referenced:
+            continue
+        try:
+            if os.path.getmtime(p) > cutoff:
+                continue  # too young: possibly in-flight
+            removed_bytes += os.path.getsize(p)
+            os.remove(p)
+            removed += 1
+        except FileNotFoundError:
+            continue
+    return {"removed_files": removed, "removed_bytes": removed_bytes}

@@ -472,9 +472,22 @@ def _encode_node(node: _TypeNode, arr: pa.Array, bounds: np.ndarray,
             co.stride_stats.append(st)
             _merge_stats(co.stripe_stats, st)
     elif k == "timestamp":
-        us = np.asarray(data.cast(pa.timestamp("us")).cast(pa.int64()))
-        secs = np.floor_divide(us, 1_000_000)
-        nanos = (us - secs * 1_000_000) * 1000
+        if pa.types.is_timestamp(data.type) and data.type.unit == "ns":
+            # write-side lossless nanos (r5): a ns-unit Arrow column
+            # (orc_scan(timestamp_nanos=True) output, e.g. a
+            # delete-rewrite of an existing file) keeps its full
+            # nanosecond fraction — the us cast below would TRUNCATE
+            ns = np.asarray(data.cast(pa.int64()))
+            secs = np.floor_divide(ns, 1_000_000_000)
+            nanos = ns - secs * 1_000_000_000
+        else:
+            us = np.asarray(
+                data.cast(pa.timestamp("us")).cast(pa.int64()))
+            secs = np.floor_divide(us, 1_000_000)
+            nanos = (us - secs * 1_000_000) * 1000
+        # stats use epoch millis of the FLOOR second + fraction
+        # (identical to the old floor_divide(us, 1000) for us input)
+        millis = secs * 1000 + np.floor_divide(nanos, 1_000_000)
         # Java convention (r4 fix): pre-1970 seconds are stored
         # TRUNCATED TOWARD ZERO while nanos stay the positive
         # fraction of the floor second — readers (ours at
@@ -489,7 +502,6 @@ def _encode_node(node: _TypeNode, arr: pa.Array, bounds: np.ndarray,
         co.add_value_stream("SECONDARY", _slice_pieces(
             lambda v: rle2.encode(v, signed=False), fmt, data_bounds), 1)
         co.encoding = "DIRECT_V2"
-        millis = np.floor_divide(us, 1000)
         _np_stride_stats(co, k, millis, data_bounds, null_per_stride,
                          sum_ok=False)
     elif k in ("string", "varchar", "char", "binary"):
