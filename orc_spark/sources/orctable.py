@@ -146,18 +146,104 @@ def _try_commit(table: str, snap: dict) -> bool:
     return True
 
 
-def create_table(table: str, schema: str) -> dict:
+# partition transforms: columns a spec may reference must be
+# top-level primitives of these kinds (values serialize to JSON and
+# compare exactly; float/date/decimal keys are refused up front)
+_PART_KINDS = ("byte", "short", "int", "long", "string", "varchar",
+               "char")
+
+
+def _parse_spec(partition_by) -> list[dict]:
+    """``["source", "bucket(8, doc_id)"]`` ->
+    [{"str": "identity(source)", "transform": "identity",
+      "col": "source"},
+     {"str": "bucket(8,doc_id)", "transform": "bucket",
+      "col": "doc_id", "n": 8}].  ``str`` is the canonical form
+    stored in snapshots and used as the key of each manifest
+    entry's ``partition`` dict."""
+    import re
+    out = []
+    for raw in (partition_by or []):
+        s = raw.strip()
+        m = re.fullmatch(r"bucket\(\s*(\d+)\s*,\s*([\w.]+)\s*\)", s)
+        if m:
+            n = int(m.group(1))
+            if n < 1:
+                raise ValueError(f"orc_table: bucket({n},...) needs "
+                                 f"n >= 1")
+            out.append({"str": f"bucket({n},{m.group(2)})",
+                        "transform": "bucket", "col": m.group(2),
+                        "n": n})
+            continue
+        if s.startswith("identity(") and s.endswith(")"):
+            col = s[len("identity("):-1].strip()
+        elif re.fullmatch(r"[\w.]+", s):
+            col = s
+        else:
+            raise ValueError(
+                f"orc_table: cannot parse partition transform "
+                f"{raw!r} (supported: 'col', 'identity(col)', "
+                f"'bucket(n, col)')")
+        if not re.fullmatch(r"[\w.]+", col):
+            raise ValueError(
+                f"orc_table: bad partition column in {raw!r}")
+        out.append({"str": f"identity({col})",
+                    "transform": "identity", "col": col})
+    return out
+
+
+def _bucket_of(value, n: int):
+    """THE bucket hash — md5 of the value's string form, top 60 bits
+    mod n.  Deterministic and engine-portable (the same convention
+    as sampling.py's md5-threshold: DuckDB, Spark SQL and Python all
+    reproduce it), so manifest pruning, oracle SQL and any external
+    writer agree on bucket ids.  ``None`` stays None (its own
+    partition)."""
+    import hashlib
+    if value is None:
+        return None
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    return int(h[:15], 16) % n
+
+
+def _validate_spec(spec: list[dict], root) -> None:
+    fields = dict(zip(root.field_names, root.children))
+    for sp in spec:
+        node = fields.get(sp["col"])
+        if node is None:
+            raise ValueError(
+                f"orc_table: partition column {sp['col']!r} is not "
+                f"a top-level field of {root.orc_string()}")
+        if node.kind not in _PART_KINDS:
+            raise ValueError(
+                f"orc_table: partition column {sp['col']!r} has "
+                f"kind {node.kind!r}; partitionable kinds are "
+                f"{_PART_KINDS}")
+
+
+def create_table(table: str, schema: str,
+                 partition_by: list[str] | None = None) -> dict:
     """Initialize an empty table with a declared canonical ORC type
-    string (``struct<...>``); v0 has no data files."""
+    string (``struct<...>``); v0 has no data files.
+    ``partition_by`` declares Iceberg-style hidden partitioning:
+    ``"col"`` (identity — low-cardinality dimensions like source)
+    and/or ``"bucket(n, col)"`` (md5-hash bucketing — spreads
+    high-cardinality / long-tail keys across n files per commit and
+    prunes equality/IN lookups to one bucket).  Writers cluster by
+    the transforms automatically; every data file carries exactly
+    one partition tuple in its manifest entry."""
     root = orctypes.parse_orc_type(schema)  # validates + canonicalizes
     if root.kind != "struct":
         raise ValueError(
             f"orc_table: table schema must be a struct<...>, got "
             f"{schema!r}")
+    spec = _parse_spec(partition_by)
+    _validate_spec(spec, root)
     os.makedirs(os.path.join(table, _DATA), exist_ok=True)
     os.makedirs(_meta_dir(table), exist_ok=True)
     snap = {"version": 0, "parent": None, "operation": "create",
-            "schema": root.orc_string(), "manifests": [],
+            "schema": root.orc_string(),
+            "spec": [sp["str"] for sp in spec], "manifests": [],
             "summary": {"n_files": 0, "n_rows": 0, "bytes": 0,
                         "added_files": 0, "added_rows": 0}}
     if not _try_commit(table, snap):
@@ -208,8 +294,9 @@ def _commit_retrying(table: str, base: dict, operation: str,
         summary.update(extra or {})
         snap = {"version": latest["version"] + 1,
                 "parent": latest["version"], "operation": operation,
-                "schema": schema, "manifests": manifests,
-                "summary": summary}
+                "schema": schema,
+                "spec": latest.get("spec", []),
+                "manifests": manifests, "summary": summary}
         if _try_commit(table, snap):
             return snap
         latest = load_snapshot(table)  # lost the race: rebase
@@ -263,23 +350,49 @@ def write_table(df, table: str, mode: str = "append",
     evolved; ``mode="overwrite"`` replaces the file set and schema.
     Returns the committed snapshot dict.
 
+    On a PARTITIONED table (create_table ``partition_by``) the frame
+    is clustered by the transform expressions first (one shuffle;
+    best-effort — correctness never depends on it) and the write
+    kernel splits each Arrow batch by exact partition tuple, so
+    every data file carries ONE tuple in its manifest entry and
+    per-task memory stays one stripe buffer per open tuple.
+
     The per-file manifest stats ride back from the SAME task that
     wrote the file (it re-opens only its own tail, mmap) — no
     driver-side footer pass, no second listing."""
     import pyarrow as pa
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"orc_table: mode must be append|overwrite, "
                          f"got {mode!r}")
     base = load_snapshot(table)
+    spec = _parse_spec(base.get("spec", []))
+    for sp in spec:
+        if sp["col"] not in df.columns:
+            raise ValueError(
+                f"orc_table: partition column {sp['col']!r} missing "
+                f"from the frame ({df.columns})")
     write_schema = orctypes.parse_orc_type(
         orctypes.orc_string_from_spark(df)).orc_string()
     job = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table, _DATA)
     os.makedirs(data_dir, exist_ok=True)
+    if spec:
+        # cluster so each task sees few partition tuples — the SAME
+        # md5 hash as _bucket_of (sampling.py convention), 60 bits
+        exprs = [F.col(sp["col"]) if sp["transform"] == "identity"
+                 else (F.conv(F.substring(
+                     F.md5(F.col(sp["col"]).cast("string")), 1, 15),
+                     16, 10).cast("long") % sp["n"])
+                 for sp in spec]
+        df = df.repartition(*exprs)
 
     def kernel(batches):
+        import numpy as np
+        import pyarrow.compute as pc
+
         from pyspark import TaskContext
 
         from orc_spark._alloc import tune_worker
@@ -289,40 +402,93 @@ def write_table(df, table: str, mode: str = "append",
         tune_worker()
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        name = f"part-{job}-{pid:05d}.orc"
-        path = os.path.join(data_dir, name)
-        writer = None
-        n = 0
+        writers: dict[tuple, dict] = {}
+
+        def _sink(tup):
+            w = writers.get(tup)
+            if w is None:
+                name = f"part-{job}-{pid:05d}-{len(writers):04d}.orc"
+                w = {"name": name,
+                     "path": os.path.join(data_dir, name),
+                     "writer": ORCFileWriter(
+                         os.path.join(data_dir, name), codec=codec,
+                         stripe_rows=stripe_rows,
+                         bloom_columns=bloom_columns),
+                     "n": 0, "tup": tup}
+                writers[tup] = w
+            return w
+
         for b in batches:
             if b.num_rows == 0:
                 continue
-            if writer is None:
-                writer = ORCFileWriter(path, codec=codec,
-                                       stripe_rows=stripe_rows,
-                                       bloom_columns=bloom_columns)
-            writer.write_batch(b)
-            n += b.num_rows
-        if writer is None:
+            if not spec:
+                w = _sink(())
+                w["writer"].write_batch(b)
+                w["n"] += b.num_rows
+                continue
+            # exact per-row partition tuples, whole-array: dictionary
+            # codes per column (nulls -> a sentinel code), combined
+            # into one group id; bucket values hash per DISTINCT
+            # value only, never per row
+            combo = np.zeros(b.num_rows, dtype=np.int64)
+            valmaps = []
+            for sp in spec:
+                enc = pc.dictionary_encode(
+                    b.column(b.schema.get_field_index(sp["col"])))
+                dvals = enc.dictionary.to_pylist()
+                idx = pc.fill_null(enc.indices, len(dvals)) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                vals = dvals + [None]
+                if sp["transform"] == "bucket":
+                    vals = [_bucket_of(v, sp["n"]) for v in vals]
+                valmaps.append(vals)
+                combo = combo * len(vals) + idx
+            for u in np.unique(combo):
+                rem = int(u)
+                tup = []
+                for vals in reversed(valmaps):
+                    rem, k = divmod(rem, len(vals))
+                    tup.append(vals[k])
+                tup = tuple(reversed(tup))
+                sub = b.filter(pa.array(combo == u))
+                w = _sink(tup)
+                w["writer"].write_batch(sub)
+                w["n"] += sub.num_rows
+        if not writers:
             return
-        writer.close()
-        stats = _entry_stats(ORCFile(path))
+        names, ns, sizes, stats_l, parts = [], [], [], [], []
+        for w in writers.values():
+            w["writer"].close()
+            names.append(w["name"])
+            ns.append(w["n"])
+            sizes.append(os.path.getsize(w["path"]))
+            stats_l.append(json.dumps(_entry_stats(
+                ORCFile(w["path"]))))
+            parts.append(json.dumps(
+                {sp["str"]: v for sp, v in zip(spec, w["tup"])}))
         yield pa.RecordBatch.from_arrays(
-            [pa.array([name], pa.string()),
-             pa.array([n], pa.int64()),
-             pa.array([os.path.getsize(path)], pa.int64()),
-             pa.array([json.dumps(stats)], pa.string())],
-            names=["name", "n_rows", "bytes", "stats"])
+            [pa.array(names, pa.string()),
+             pa.array(ns, pa.int64()),
+             pa.array(sizes, pa.int64()),
+             pa.array(stats_l, pa.string()),
+             pa.array(parts, pa.string())],
+            names=["name", "n_rows", "bytes", "stats", "partition"])
 
     out_schema = T.StructType([
         T.StructField("name", T.StringType()),
         T.StructField("n_rows", T.LongType()),
         T.StructField("bytes", T.LongType()),
-        T.StructField("stats", T.StringType())])
+        T.StructField("stats", T.StringType()),
+        T.StructField("partition", T.StringType())])
     rows = df.mapInArrow(kernel, out_schema).collect()  # one/file
-    entries = [{"path": f"{_DATA}/{r['name']}", "n_rows": r["n_rows"],
-                "bytes": r["bytes"], "type": write_schema,
-                "codec": codec, "stats": json.loads(r["stats"])}
-               for r in rows]
+    entries = []
+    for r in rows:
+        e = {"path": f"{_DATA}/{r['name']}", "n_rows": r["n_rows"],
+             "bytes": r["bytes"], "type": write_schema,
+             "codec": codec, "stats": json.loads(r["stats"])}
+        if spec:
+            e["partition"] = json.loads(r["partition"])
+        entries.append(e)
     manifest = _write_manifest(table, entries) if entries else None
     return _commit_retrying(table, base, mode, manifest, entries,
                             write_schema)
@@ -333,11 +499,67 @@ def write_table(df, table: str, mode: str = "append",
 # ------------------------------------------------------------------
 
 
-def _entry_survives(entry: dict, preds: list[tuple]) -> bool:
+def _bucket_prunable(val) -> bool:
+    """Bucket pruning is exact only when the literal's string form is
+    canonical for the partition column's kinds (str, int) — float
+    literals fall through to the file-level classifier, which owns
+    the exact int-rewrite rules."""
+    return isinstance(val, (str, int)) and not isinstance(val, bool)
+
+
+def _partition_survives(entry: dict, preds: list[tuple],
+                        spec: list[dict]) -> bool:
+    """Partition-tuple pruning: identity values prune as point
+    statistics (min == max == value); bucket ids prune equality and
+    IN (the literal's bucket must equal the file's).  Conservative:
+    anything not provably non-matching survives."""
+    from .orcscan import _stats_can_match
+    part = entry.get("partition")
+    if not part:
+        return True  # pre-spec or externally-added file
+    for sp in spec:
+        if sp["str"] not in part:
+            continue
+        v = part[sp["str"]]
+        cps = [(op, val) for c, op, val in preds if c == sp["col"]]
+        if not cps:
+            continue
+        if sp["transform"] == "identity":
+            if v is None:
+                return False  # comparisons with NULL never match
+            st = {"min": v, "max": v, "n": 1, "has_null": False}
+            num = isinstance(v, (int, float)) and \
+                not isinstance(v, bool)
+            for op, val in cps:
+                probe = val[0] if isinstance(val, (list, tuple)) \
+                    and val else val
+                if num != isinstance(probe, (int, float)):
+                    continue  # mixed families: never compare
+                if not _stats_can_match(st, op, val):
+                    return False
+        else:  # bucket
+            for op, val in cps:
+                if op == "==" and _bucket_prunable(val):
+                    if _bucket_of(val, sp["n"]) != v:
+                        return False
+                elif op == "in" and val and \
+                        all(_bucket_prunable(x) for x in val):
+                    if v not in {_bucket_of(x, sp["n"])
+                                 for x in val}:
+                        return False
+    return True
+
+
+def _entry_survives(entry: dict, preds: list[tuple],
+                    spec: list[dict] | None = None) -> bool:
     """Manifest-level pruning: conservative min/max checks, only when
     the literal and the recorded stats share a comparison family
-    (numeric vs numeric, str vs str) — else keep."""
+    (numeric vs numeric, str vs str) — else keep.  On a partitioned
+    table the partition tuple prunes first (identity point-stats,
+    bucket-id equality)."""
     from .orcscan import _stats_can_match
+    if spec and not _partition_survives(entry, preds, spec):
+        return False
     stats = entry.get("stats") or {}
     for col, op, val in preds:
         st = stats.get(col)
@@ -373,7 +595,9 @@ def read_table(spark, table: str, snapshot: int | None = None,
     entries = manifest_entries(table, snap)
     preds = _pred_list(predicate)
     if preds:
-        entries = [e for e in entries if _entry_survives(e, preds)]
+        spec = _parse_spec(snap.get("spec", []))
+        entries = [e for e in entries
+                   if _entry_survives(e, preds, spec)]
     if not entries:
         root = orctypes.parse_orc_type(snap["schema"])
         out = spark.createDataFrame(
@@ -444,8 +668,12 @@ def compact_table(spark, table: str,
     entries = manifest_entries(table, base)
     by_key: dict[tuple, list[dict]] = {}
     for e in sorted(entries, key=lambda e: e["path"]):
-        by_key.setdefault((e.get("type", ""), e.get("codec", "")),
-                          []).append(e)
+        # partitioned tables never merge across partition tuples —
+        # a compacted file must still carry ONE tuple
+        by_key.setdefault(
+            (e.get("type", ""), e.get("codec", ""),
+             json.dumps(e.get("partition"), sort_keys=True)),
+            []).append(e)
     groups: list[list[dict]] = []
     passthrough: list[dict] = []
     for key, es in by_key.items():
@@ -497,12 +725,14 @@ def compact_table(spark, table: str,
     merged_entries = []
     for i, g in enumerate(groups):
         r = got[i]
-        merged_entries.append({
-            "path": f"{_DATA}/{r['name']}",
-            "n_rows": sum(e["n_rows"] for e in g),
-            "bytes": r["bytes"],
-            "type": g[0]["type"], "codec": g[0]["codec"],
-            "stats": _merge_stats(g)})
+        me = {"path": f"{_DATA}/{r['name']}",
+              "n_rows": sum(e["n_rows"] for e in g),
+              "bytes": r["bytes"],
+              "type": g[0]["type"], "codec": g[0]["codec"],
+              "stats": _merge_stats(g)}
+        if g[0].get("partition") is not None:
+            me["partition"] = g[0]["partition"]
+        merged_entries.append(me)
     new_entries = passthrough + merged_entries
     manifest = _write_manifest(table, new_entries)
     return _commit_retrying(table, base, "replace", manifest,
@@ -663,8 +893,10 @@ def delete_from(spark, table: str, predicate) -> dict:
             "every row, write_table(empty_df, mode='overwrite')")
     base = load_snapshot(table)
     entries = manifest_entries(table, base)
-    untouched = [e for e in entries if not _entry_survives(e, preds)]
-    cands = [e for e in entries if _entry_survives(e, preds)]
+    spec = _parse_spec(base.get("spec", []))
+    untouched = [e for e in entries
+                 if not _entry_survives(e, preds, spec)]
+    cands = [e for e in entries if _entry_survives(e, preds, spec)]
     if not cands:
         return base  # no file can contain a matching row: no-op
     paths = [os.path.join(table, e["path"]) for e in cands]
@@ -672,7 +904,8 @@ def delete_from(spark, table: str, predicate) -> dict:
         classes = [_classify_delete_file(p, preds) for p in paths]
     else:
         cdf = spark.createDataFrame(
-            list(enumerate(paths)), "idx int, path string")             .repartition(min(len(paths), 256))
+            list(enumerate(paths)), "idx int, path string") \
+            .repartition(min(len(paths), 256))
         pr = list(preds)
 
         def ckern(it):
@@ -688,6 +921,7 @@ def delete_from(spark, table: str, predicate) -> dict:
         classes = [got[i] for i in range(len(paths))]
     new_entries = list(untouched)
     rewrites = []
+    rewrite_src = []  # original entries, aligned with `rewrites`
     dropped = 0
     for e, p, cls in zip(cands, paths, classes):
         if cls == "keep":
@@ -696,6 +930,7 @@ def delete_from(spark, table: str, predicate) -> dict:
             dropped += 1
         else:
             rewrites.append(p)
+            rewrite_src.append(e)
     if not dropped and not rewrites:
         return base  # statistics proved nothing matched anywhere
     rewritten = 0
@@ -703,7 +938,8 @@ def delete_from(spark, table: str, predicate) -> dict:
         job = uuid.uuid4().hex[:12]
         data_dir = os.path.join(table, _DATA)
         rdf = spark.createDataFrame(
-            list(enumerate(rewrites)), "idx int, path string")             .repartition(len(rewrites))
+            list(enumerate(rewrites)), "idx int, path string") \
+            .repartition(len(rewrites))
         pr = list(preds)
 
         def rkern(it):
@@ -716,17 +952,22 @@ def delete_from(spark, table: str, predicate) -> dict:
                     out.append((int(idx), json.dumps(r)))
                 yield pd.DataFrame(out, columns=["idx", "res"])
 
-        for r in rdf.mapInPandas(rkern, "idx int, res string")                 .collect():
+        for r in rdf.mapInPandas(rkern, "idx int, res string") \
+                .collect():
             res = json.loads(r["res"])
             if res["action"] == "drop":
                 dropped += 1
                 continue
             rewritten += 1
-            new_entries.append({
-                "path": f"{_DATA}/{res['name']}",
-                "n_rows": res["n_rows"], "bytes": res["bytes"],
-                "type": res["type"], "codec": res["codec"],
-                "stats": res["stats"]})
+            ne = {"path": f"{_DATA}/{res['name']}",
+                  "n_rows": res["n_rows"], "bytes": res["bytes"],
+                  "type": res["type"], "codec": res["codec"],
+                  "stats": res["stats"]}
+            src = rewrite_src[r["idx"]]
+            if src.get("partition") is not None:
+                # survivors keep the original file's partition tuple
+                ne["partition"] = src["partition"]
+            new_entries.append(ne)
     deleted = base["summary"]["n_rows"] - \
         sum(e["n_rows"] for e in new_entries)
     manifest = _write_manifest(table, new_entries) if new_entries \
@@ -751,6 +992,7 @@ def rollback_table(table: str, to_version: int) -> dict:
     snap = {"version": base["version"] + 1,
             "parent": base["version"], "operation": "rollback",
             "schema": old["schema"],
+            "spec": old.get("spec", []),
             "manifests": list(old["manifests"]),
             "summary": {"n_files": len(entries),
                         "n_rows": sum(e["n_rows"] for e in entries),
@@ -778,8 +1020,9 @@ def table_count(spark, table: str, predicate=None,
     from .orcscan import _pred_list
     from .orcstats import _DRIVER_STATS_MAX_FILES, _count_file
     preds = _pred_list(predicate)
+    spec = _parse_spec(snap.get("spec", []))
     files = [os.path.join(table, e["path"]) for e in entries
-             if _entry_survives(e, preds)]
+             if _entry_survives(e, preds, spec)]
     if len(files) <= _DRIVER_STATS_MAX_FILES:
         return sum(_count_file(p, preds) for p in files)
     fdf = spark.createDataFrame([(p,) for p in files],
