@@ -284,3 +284,39 @@ def test_delete_distributed_classification_same_result(
     got = sorted(r["v"] for r in orctable.read_table(spark, t)
                  .collect())
     assert got == list(range(0, 50)) + list(range(150, 300))
+
+
+def test_read_table_changes_appends_only(spark, tmp_path):
+    """Incremental append scan: exactly the rows committed after
+    from_version; compaction (replace) in the range is row-preserving
+    and skips; delete in the range raises."""
+    t = str(tmp_path / "tchg")
+    orctable.create_table(t, "struct<v:int,tag:string>")
+    orctable.write_table(_df(spark, 0, 100, parts=1), t)    # v1
+    orctable.write_table(_df(spark, 100, 150, parts=1), t)  # v2
+    orctable.compact_table(spark, t, target_bytes=1 << 40)  # v3
+    orctable.write_table(_df(spark, 150, 170, parts=1), t)  # v4
+    got = sorted(r["v"] for r in orctable.read_table_changes(
+        spark, t, from_version=1).collect())
+    assert got == list(range(100, 170))  # v2 + v4, compaction silent
+    # bounded range
+    got = sorted(r["v"] for r in orctable.read_table_changes(
+        spark, t, from_version=1, to_version=2).collect())
+    assert got == list(range(100, 150))
+    # empty range -> empty frame with the table schema
+    empty = orctable.read_table_changes(spark, t, from_version=4)
+    assert empty.count() == 0
+    assert dict(empty.dtypes) == {"v": "int", "tag": "string"}
+    # predicate + projection ride through
+    sel = orctable.read_table_changes(
+        spark, t, from_version=1, columns=["v"],
+        predicate=("v", ">=", 160))
+    assert sel.columns == ["v"] and sel.count() == 10
+    # a delete inside the range cannot be represented append-only
+    orctable.delete_from(spark, t, ("v", "<", 10))           # v5
+    with pytest.raises(ValueError, match="append-only"):
+        orctable.read_table_changes(spark, t, from_version=1)
+    # ...but a range ending before the delete still works
+    got = sorted(r["v"] for r in orctable.read_table_changes(
+        spark, t, from_version=0, to_version=4).collect())
+    assert got == list(range(170))
