@@ -340,15 +340,15 @@ def _entry_stats(f) -> dict:
     return out
 
 
-def write_table(df, table: str, mode: str = "append",
-                codec: str = "zlib", stripe_rows: int = 1 << 20,
-                bloom_columns: list[str] | None = None) -> dict:
+def _write_data_files(df, table: str, spec: list[dict],
+                      codec: str = "zlib", stripe_rows: int = 1 << 20,
+                      bloom_columns: list[str] | None = None,
+                      prefix: str = "part"):
     """Encode ``df`` into new ``data/`` files (one per partition,
     job-unique names — a failed job leaves only unreferenced
-    orphans) and commit a snapshot.  ``mode="append"`` widens the
-    table schema through ``orctypes.widen`` when the frame's type
-    evolved; ``mode="overwrite"`` replaces the file set and schema.
-    Returns the committed snapshot dict.
+    orphans) WITHOUT committing; returns ``(entries, write_schema)``
+    for the caller to fold into exactly one atomic snapshot
+    (write_table, merge_table).
 
     On a PARTITIONED table (create_table ``partition_by``) the frame
     is clustered by the transform expressions first (one shuffle;
@@ -364,11 +364,6 @@ def write_table(df, table: str, mode: str = "append",
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"orc_table: mode must be append|overwrite, "
-                         f"got {mode!r}")
-    base = load_snapshot(table)
-    spec = _parse_spec(base.get("spec", []))
     for sp in spec:
         if sp["col"] not in df.columns:
             raise ValueError(
@@ -407,7 +402,8 @@ def write_table(df, table: str, mode: str = "append",
         def _sink(tup):
             w = writers.get(tup)
             if w is None:
-                name = f"part-{job}-{pid:05d}-{len(writers):04d}.orc"
+                name = (f"{prefix}-{job}-{pid:05d}-"
+                        f"{len(writers):04d}.orc")
                 w = {"name": name,
                      "path": os.path.join(data_dir, name),
                      "writer": ORCFileWriter(
@@ -489,6 +485,25 @@ def write_table(df, table: str, mode: str = "append",
         if spec:
             e["partition"] = json.loads(r["partition"])
         entries.append(e)
+    return entries, write_schema
+
+
+def write_table(df, table: str, mode: str = "append",
+                codec: str = "zlib", stripe_rows: int = 1 << 20,
+                bloom_columns: list[str] | None = None) -> dict:
+    """Encode ``df`` into new ``data/`` files (_write_data_files)
+    and commit a snapshot.  ``mode="append"`` widens the table
+    schema through ``orctypes.widen`` when the frame's type evolved;
+    ``mode="overwrite"`` replaces the file set and schema.  Returns
+    the committed snapshot dict."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"orc_table: mode must be append|overwrite, "
+                         f"got {mode!r}")
+    base = load_snapshot(table)
+    spec = _parse_spec(base.get("spec", []))
+    entries, write_schema = _write_data_files(
+        df, table, spec, codec=codec, stripe_rows=stripe_rows,
+        bloom_columns=bloom_columns)
     manifest = _write_manifest(table, entries) if entries else None
     return _commit_retrying(table, base, mode, manifest, entries,
                             write_schema)
@@ -859,6 +874,103 @@ def _rewrite_delete_file(path: str, preds: list[tuple],
             "stats": _entry_stats(nf)}
 
 
+def _apply_set(batch, mask, set_spec):
+    """Apply UPDATE assignments to the masked rows of one decoded
+    stripe batch.  ``mask`` is a pyarrow boolean array (True = row
+    updates) or None (every row updates).  Literals construct
+    through ``pa.scalar`` against the column's exact Arrow type
+    (fail-loud on family mismatch — never silently truncate);
+    callables receive the FULL batch and must return an aligned
+    array, which is cast (checked) to the column type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    for col, val in set_spec.items():
+        i = batch.schema.get_field_index(col)
+        orig = batch.column(i)
+        if callable(val):
+            repl = val(batch)
+            if isinstance(repl, pa.ChunkedArray):
+                repl = repl.combine_chunks()
+            if len(repl) != batch.num_rows:
+                raise ValueError(
+                    f"orc_table: update callable for {col!r} "
+                    f"returned {len(repl)} rows, batch has "
+                    f"{batch.num_rows}")
+            if repl.type != orig.type:
+                repl = repl.cast(orig.type)  # checked: fail loud
+        else:
+            repl = pa.scalar(val, type=orig.type)
+        if mask is None:
+            out = repl if callable(val) \
+                else pa.repeat(repl, batch.num_rows)
+        else:
+            out = pc.if_else(mask, repl, orig)
+        batch = batch.set_column(i, batch.schema.field(i), out)
+    return batch
+
+
+def _rewrite_update_file(path: str, preds: list[tuple], set_spec,
+                         data_dir: str, job: str, idx: int) -> dict:
+    """Copy-on-write UPDATE of one data file: rows where the
+    predicate is TRUE take the new values (SQL semantics — NULL
+    predicate rows do NOT update); everything re-encodes through the
+    same exact kernels as the delete rewrite (ns timestamps,
+    decimals, preserved codec / stride / char overrides / blooms).
+    All-match stripes update whole-column (no mask materialized);
+    no-match stripes re-encode unchanged."""
+    import pyarrow.compute as pc
+
+    from .. import orctypes
+    from .orcfile import ORCFile
+    from .orcscan import _ScanContext
+    from .orcstats import _file_pred_state, _stripe_disposition
+    from .orcwriter import DEFAULT_ROW_INDEX_STRIDE, ORCFileWriter
+    f = ORCFile(path)
+    state = _file_pred_state(f, preds) if preds else None
+    if preds and state is None:
+        # exact int-rewrite proved no row matches: nothing to update
+        return {"action": "keep"}
+    root = orctypes.type_from_types(f.types)
+    if root.kind != "struct":
+        raise ValueError(
+            f"orc_table: update rewrite requires struct-root files, "
+            f"got {root.orc_string()!r} in {path}")
+    ctx = _ScanContext(root, [], None, ts_nanos=True)
+    name = f"update-{job}-{idx:05d}.orc"
+    new_path = os.path.join(data_dir, name)
+    writer = ORCFileWriter(
+        new_path, codec=f.compression,
+        row_index_stride=(f.row_index_stride or
+                          DEFAULT_ROW_INDEX_STRIDE),
+        orc_types=root.orc_overrides(),
+        bloom_columns=_bloom_columns_of(f))
+    n_upd = 0
+    for si in range(len(f.stripes)):
+        if preds:
+            norm, paths, nodes = state
+            kind, v = _stripe_disposition(f, si, norm, paths, nodes)
+        else:
+            kind, v = "all", None  # unpredicated UPDATE: every row
+        batch = ctx.decode_stripe(f, si)
+        if kind == "all":
+            batch = _apply_set(batch, None, set_spec)
+            n_upd += batch.num_rows
+        elif kind == "mask":
+            mask = pc.fill_null(v, False)
+            batch = _apply_set(batch, mask, set_spec)
+            n_upd += pc.sum(mask).as_py() or 0
+        # kind == "none": write through unchanged
+        if batch.num_rows:
+            writer.write_batch(batch)
+    writer.close()
+    nf = ORCFile(new_path)
+    return {"action": "rewrite", "name": name,
+            "n_rows": nf.n_rows, "n_updated": n_upd,
+            "bytes": os.path.getsize(new_path),
+            "type": orctypes.type_from_types(nf.types).orc_string(),
+            "codec": f.compression, "stats": _entry_stats(nf)}
+
+
 # above this many candidate files, classification itself distributes
 _DRIVER_CLASSIFY_MAX_FILES = 64
 
@@ -975,6 +1087,133 @@ def delete_from(spark, table: str, predicate) -> dict:
     return _commit_retrying(
         table, base, "delete", manifest, new_entries, base["schema"],
         extra={"deleted_rows": deleted, "dropped_files": dropped,
+               "rewritten_files": rewritten})
+
+
+def update_table(spark, table: str, set: dict, predicate=None) -> dict:
+    """Row-level UPDATE as a new ``update`` snapshot — the same
+    copy-on-write discipline as ``delete_from`` (Iceberg COW
+    UPDATE): manifest stats drop files that cannot contain a
+    matching row driver-side, footer/stripe statistics classify the
+    survivors without decoding, and only files that may contain a
+    matching row rewrite (one executor task each).  Unlike DELETE
+    there is no metadata-only fast path for all-match files — values
+    change, so an all-match file still rewrites, but whole-column
+    (no row mask is ever materialized for it).
+
+    ``set`` maps top-level column name → new value: a Python literal
+    (constructed against the column's exact Arrow type — a bad
+    family fails loudly, never truncates) or a callable
+    ``pa.RecordBatch -> pa.Array`` for computed updates (vectorized;
+    runs on executors).  SQL semantics: rows where ``predicate`` is
+    NULL do not update; ``predicate=None`` updates every row.
+    Partition-transform source columns cannot be updated (the
+    rewritten file keeps its manifest partition tuple, which would
+    lie).  Commits with replace semantics; old snapshots still read
+    pre-update values (time travel)."""
+    from .orcscan import _pred_list
+    if not set or not isinstance(set, dict):
+        raise ValueError("orc_table: update_table requires a "
+                         "non-empty set={col: value} dict")
+    preds = _pred_list(predicate) if predicate is not None else []
+    base = load_snapshot(table)
+    root = orctypes.parse_orc_type(base["schema"])
+    spec = _parse_spec(base.get("spec", []))
+    part_cols = {sp["col"] for sp in spec}
+    for col in set:
+        if col not in root.field_names:
+            raise ValueError(
+                f"orc_table: update column {col!r} not in table "
+                f"schema ({root.field_names})")
+        if col in part_cols:
+            raise ValueError(
+                f"orc_table: {col!r} drives the partition spec — "
+                f"updating it would falsify manifest partition "
+                f"tuples; rewrite via read + overwrite instead")
+    entries = manifest_entries(table, base)
+    if preds:
+        untouched = [e for e in entries
+                     if not _entry_survives(e, preds, spec)]
+        cands = [e for e in entries
+                 if _entry_survives(e, preds, spec)]
+    else:
+        untouched, cands = [], list(entries)
+    if not cands:
+        return base  # no file can contain a matching row: no-op
+    paths = [os.path.join(table, e["path"]) for e in cands]
+    if preds:
+        if len(cands) <= _DRIVER_CLASSIFY_MAX_FILES:
+            classes = [_classify_delete_file(p, preds)
+                       for p in paths]
+        else:
+            cdf = spark.createDataFrame(
+                list(enumerate(paths)), "idx int, path string") \
+                .repartition(min(len(paths), 256))
+            pr = list(preds)
+
+            def ckern(it):
+                import pandas as pd
+                for pdf in it:
+                    yield pd.DataFrame(
+                        [(int(i), _classify_delete_file(p, pr))
+                         for i, p in zip(pdf["idx"], pdf["path"])],
+                        columns=["idx", "cls"])
+
+            got = {r["idx"]: r["cls"] for r in cdf.mapInPandas(
+                ckern, "idx int, cls string").collect()}
+            classes = [got[i] for i in range(len(paths))]
+    else:
+        classes = ["rewrite"] * len(paths)
+    new_entries = list(untouched)
+    rewrites, rewrite_src = [], []
+    for e, p, cls in zip(cands, paths, classes):
+        if cls == "keep":
+            new_entries.append(e)
+        else:  # "drop" (all rows match) and "rewrite" both rewrite
+            rewrites.append(p)
+            rewrite_src.append(e)
+    if not rewrites:
+        return base  # statistics proved nothing matched anywhere
+    job = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table, _DATA)
+    rdf = spark.createDataFrame(
+        list(enumerate(rewrites)), "idx int, path string") \
+        .repartition(len(rewrites))
+    pr, ss = list(preds), dict(set)
+
+    def rkern(it):
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for idx, p in zip(pdf["idx"], pdf["path"]):
+                r = _rewrite_update_file(p, pr, ss, data_dir, job,
+                                         int(idx))
+                out.append((int(idx), json.dumps(r)))
+            yield pd.DataFrame(out, columns=["idx", "res"])
+
+    updated = 0
+    rewritten = 0
+    for r in rdf.mapInPandas(rkern, "idx int, res string").collect():
+        res = json.loads(r["res"])
+        src = rewrite_src[r["idx"]]
+        if res["action"] == "keep":
+            new_entries.append(src)
+            continue
+        rewritten += 1
+        updated += res["n_updated"]
+        ne = {"path": f"{_DATA}/{res['name']}",
+              "n_rows": res["n_rows"], "bytes": res["bytes"],
+              "type": res["type"], "codec": res["codec"],
+              "stats": res["stats"]}
+        if src.get("partition") is not None:
+            ne["partition"] = src["partition"]
+        new_entries.append(ne)
+    if not rewritten:
+        return base
+    manifest = _write_manifest(table, new_entries)
+    return _commit_retrying(
+        table, base, "update", manifest, new_entries, base["schema"],
+        extra={"updated_rows": updated,
                "rewritten_files": rewritten})
 
 
