@@ -284,7 +284,8 @@ def _commit_retrying(table: str, base: dict, operation: str,
                     f"orc_table: {operation} prepared against "
                     f"v{base['version']} but table moved to "
                     f"v{latest['version']}")
-            schema = write_schema if operation == "overwrite" \
+            schema = write_schema \
+                if operation in ("overwrite", "merge") \
                 else latest["schema"]
             manifests = [new_manifest] if new_manifest else []
             summary = {"n_files": len(new_entries),
@@ -1215,6 +1216,268 @@ def update_table(spark, table: str, set: dict, predicate=None) -> dict:
         table, base, "update", manifest, new_entries, base["schema"],
         extra={"updated_rows": updated,
                "rewritten_files": rewritten})
+
+
+# above this many distinct source keys, MERGE switches from the
+# broadcast-keyset copy-on-write path to a full shuffle rewrite
+_MERGE_MAX_KEYS = 4_000_000
+
+
+def _rewrite_merge_file(path: str, key: str, keys, data_dir: str,
+                        job: str, idx: int) -> dict:
+    """Two-pass copy-on-write rewrite for MERGE.  Pass 1 decodes
+    ONLY the key column (projected scan context — sibling streams
+    never decompress) and computes per-stripe match masks: a file
+    whose stats overlapped the key range but contains no actual key
+    keeps without any rewrite, and an all-match file drops from the
+    manifest.  Pass 2 re-encodes survivors through the same exact
+    kernels as the delete rewrite.  NULL target keys never match."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .. import orctypes
+    from .orcfile import ORCFile
+    from .orcscan import _ScanContext
+    from .orcwriter import DEFAULT_ROW_INDEX_STRIDE, ORCFileWriter
+    f = ORCFile(path)
+    root = orctypes.type_from_types(f.types)
+    if root.kind != "struct" or key not in root.field_names:
+        return {"action": "keep"}  # evolved file without the key col
+    ki = root.field_names.index(key)
+    kroot = orctypes.OrcType("struct", [root.children[ki]], [key])
+    kctx = _ScanContext(kroot, [], [key], ts_nanos=True)
+    kast = pa.array(keys).cast(kctx.arrow_schema.field(0).type)
+    fk = kctx.open(path)
+    masks, matched = [], 0
+    for si in range(len(f.stripes)):
+        col = kctx.decode_stripe(fk, si).column(0)
+        m = pc.fill_null(pc.is_in(col, value_set=kast), False)
+        n = pc.sum(m).as_py() or 0
+        masks.append(m if n else None)
+        matched += n
+    if matched == 0:
+        return {"action": "keep"}
+    if matched == f.n_rows:
+        return {"action": "drop", "n_matched": matched}
+    ctx = _ScanContext(root, [], None, ts_nanos=True)
+    name = f"merge-cow-{job}-{idx:05d}.orc"
+    new_path = os.path.join(data_dir, name)
+    writer = ORCFileWriter(
+        new_path, codec=f.compression,
+        row_index_stride=(f.row_index_stride or
+                          DEFAULT_ROW_INDEX_STRIDE),
+        orc_types=root.orc_overrides(),
+        bloom_columns=_bloom_columns_of(f))
+    for si, m in enumerate(masks):
+        batch = ctx.decode_stripe(f, si)
+        if m is not None:
+            batch = batch.filter(pc.invert(m))
+        if batch.num_rows:
+            writer.write_batch(batch)
+    writer.close()
+    nf = ORCFile(new_path)
+    return {"action": "rewrite", "name": name, "n_matched": matched,
+            "n_rows": nf.n_rows, "bytes": os.path.getsize(new_path),
+            "type": orctypes.type_from_types(nf.types).orc_string(),
+            "codec": f.compression, "stats": _entry_stats(nf)}
+
+
+def _merge_candidates(entries: list[dict], key: str, keys: list,
+                      spec: list[dict]):
+    """Split manifest entries into (untouched, candidates) for a
+    MERGE keyset — driver-side, metadata only.  Pruning layers:
+    identity partition tuples (key value must be a source key),
+    bucket tuples (file's bucket must be some key's bucket), then
+    manifest min/max range vs the SORTED keyset (bisect).  Mixed
+    comparison families never prune (conservative)."""
+    import bisect
+    keyset = set(keys)
+    skeys = sorted(keys)
+    num_keys = isinstance(skeys[0], (int, float)) and \
+        not isinstance(skeys[0], bool)
+    bucket_sets = {}
+    for sp in spec:
+        if sp["col"] == key and sp["transform"] == "bucket":
+            bucket_sets[sp["str"]] = (
+                {_bucket_of(k, sp["n"]) for k in keys}
+                if all(_bucket_prunable(k) for k in keys) else None)
+        elif sp["col"] == key and sp["transform"] == "identity":
+            bucket_sets[sp["str"]] = keyset
+    untouched, cands = [], []
+    for e in entries:
+        part = e.get("partition") or {}
+        pruned = False
+        for pstr, allowed in bucket_sets.items():
+            if allowed is not None and pstr in part and \
+                    part[pstr] not in allowed:
+                pruned = True
+                break
+        if not pruned:
+            st = (e.get("stats") or {}).get(key)
+            if st and st.get("n", 1) == 0:
+                pruned = True  # all-null key column: nothing matches
+            elif st and "min" in st:
+                mn, mx = st["min"], st["max"]
+                num_st = isinstance(mn, (int, float)) and \
+                    not isinstance(mn, bool)
+                if num_st == num_keys:
+                    i = bisect.bisect_left(skeys, mn)
+                    pruned = not (i < len(skeys) and skeys[i] <= mx)
+        (untouched if pruned else cands).append(e)
+    return untouched, cands
+
+
+def merge_table(spark, table: str, source_df, on: str,
+                when_matched: str = "replace", codec: str = "zlib",
+                stripe_rows: int = 1 << 20,
+                bloom_columns: list[str] | None = None) -> dict:
+    """MERGE (upsert) as ONE atomic ``merge`` snapshot — Iceberg's
+    ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET
+    * WHEN NOT MATCHED THEN INSERT *`` in its copy-on-write form:
+    target rows whose ``on`` key appears in the source are superseded
+    by the source rows; unmatched source rows insert.
+    ``when_matched="delete"`` instead treats the source as tombstones
+    (matched target rows are removed, nothing inserts) — the
+    key-list takedown a training lake runs after offline dedup.
+
+    Two physical plans, chosen by distinct-key count:
+
+    * **≤ 4M keys (broadcast COW)** — the keyset collects to the
+      driver once, manifest partition tuples + min/max stats prune
+      unmatched files without opening them, and each surviving file
+      rewrites in one executor task with a key-column-only pre-pass
+      (a stats-overlap false positive costs ONE projected column
+      decode, not a rewrite).  Untouched files never open: at 100 TB
+      an upsert of one day's refresh touches only the files its keys
+      live in.
+    * **> 4M keys (shuffle rewrite)** — the table anti-joins the
+      source keys (Spark SortMergeJoin / AQE) and rewrites fully;
+      at that key volume most files contain a match anyway, so the
+      file-targeted plan would rewrite nearly everything file by
+      file with a giant broadcast set.
+
+    Source rows with a NULL key never match (SQL join semantics):
+    they insert under ``replace`` and are ignored under ``delete``.
+    The committed schema widens to fit evolved source frames, exactly
+    like append.  Concurrent commits raise CommitConflict (rebasing a
+    file-set rewrite is not safe)."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("replace", "delete"):
+        raise ValueError(
+            f"orc_table: when_matched must be replace|delete, got "
+            f"{when_matched!r}")
+    if not isinstance(on, str):
+        raise ValueError("orc_table: merge_table key must be ONE "
+                         "top-level column name")
+    base = load_snapshot(table)
+    root = orctypes.parse_orc_type(base["schema"])
+    if on not in root.field_names:
+        raise ValueError(
+            f"orc_table: merge key {on!r} not in table schema "
+            f"({root.field_names})")
+    if on not in source_df.columns:
+        raise ValueError(
+            f"orc_table: merge key {on!r} not in source frame "
+            f"({source_df.columns})")
+    spec = _parse_spec(base.get("spec", []))
+    keys_df = source_df.select(on).where(F.col(on).isNotNull()) \
+        .distinct()
+    n_keys = keys_df.count()
+    if n_keys > _MERGE_MAX_KEYS:
+        # shuffle path: anti-join out every matched row, re-encode
+        target = read_table(spark, table)
+        survivors = target.join(keys_df, on=on, how="left_anti")
+        new_df = survivors.unionByName(
+            source_df, allowMissingColumns=True) \
+            if when_matched == "replace" else survivors
+        entries, write_schema = _write_data_files(
+            new_df, table, spec, codec=codec,
+            stripe_rows=stripe_rows, bloom_columns=bloom_columns,
+            prefix="merge")
+        # matched = rows the anti-join removed; derived from written
+        # totals so the expensive join runs exactly once
+        total = sum(e["n_rows"] for e in entries)
+        src_rows = source_df.count() \
+            if when_matched == "replace" else 0
+        matched = base["summary"]["n_rows"] - (total - src_rows)
+        manifest = _write_manifest(table, entries) if entries \
+            else None
+        return _commit_retrying(
+            table, base, "merge", manifest, entries,
+            orctypes.widen(root, orctypes.parse_orc_type(
+                write_schema)).orc_string(),
+            extra={"matched_rows": matched, "plan": "shuffle"})
+    entries = manifest_entries(table, base)
+    matched = dropped = rewritten = 0
+    new_entries = []
+    if n_keys:
+        keys = [r[0] for r in keys_df.collect()]
+        untouched, cands = _merge_candidates(entries, on, keys, spec)
+        new_entries.extend(untouched)
+        if cands:
+            job = uuid.uuid4().hex[:12]
+            data_dir = os.path.join(table, _DATA)
+            paths = [os.path.join(table, e["path"]) for e in cands]
+            rdf = spark.createDataFrame(
+                list(enumerate(paths)), "idx int, path string") \
+                .repartition(len(paths))
+            bkeys = spark.sparkContext.broadcast(keys)
+            kcol = on
+
+            def rkern(it):
+                import pandas as pd
+                for pdf in it:
+                    out = []
+                    for idx, p in zip(pdf["idx"], pdf["path"]):
+                        r = _rewrite_merge_file(
+                            p, kcol, bkeys.value, data_dir, job,
+                            int(idx))
+                        out.append((int(idx), json.dumps(r)))
+                    yield pd.DataFrame(out, columns=["idx", "res"])
+
+            for r in rdf.mapInPandas(rkern, "idx int, res string") \
+                    .collect():
+                res = json.loads(r["res"])
+                src = cands[r["idx"]]
+                matched += res.get("n_matched", 0)
+                if res["action"] == "keep":
+                    new_entries.append(src)
+                elif res["action"] == "drop":
+                    dropped += 1
+                else:
+                    rewritten += 1
+                    ne = {"path": f"{_DATA}/{res['name']}",
+                          "n_rows": res["n_rows"],
+                          "bytes": res["bytes"], "type": res["type"],
+                          "codec": res["codec"],
+                          "stats": res["stats"]}
+                    if src.get("partition") is not None:
+                        ne["partition"] = src["partition"]
+                    new_entries.append(ne)
+            bkeys.unpersist()
+    else:
+        new_entries.extend(entries)
+    write_schema = base["schema"]
+    inserted = 0
+    if when_matched == "replace":
+        ins_entries, ins_schema = _write_data_files(
+            source_df, table, spec, codec=codec,
+            stripe_rows=stripe_rows, bloom_columns=bloom_columns,
+            prefix="merge")
+        inserted = sum(e["n_rows"] for e in ins_entries)
+        new_entries.extend(ins_entries)
+        write_schema = orctypes.widen(
+            root, orctypes.parse_orc_type(ins_schema)).orc_string()
+    if not (matched or dropped or rewritten or inserted):
+        return base  # delete-mode merge with no matching key: no-op
+    manifest = _write_manifest(table, new_entries) if new_entries \
+        else None
+    return _commit_retrying(
+        table, base, "merge", manifest, new_entries, write_schema,
+        extra={"matched_rows": matched, "inserted_rows": inserted,
+               "dropped_files": dropped,
+               "rewritten_files": rewritten, "plan": "broadcast"})
 
 
 def rollback_table(table: str, to_version: int) -> dict:

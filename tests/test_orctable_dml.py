@@ -172,3 +172,189 @@ def test_update_stats_refresh_enables_pruning(spark, tmp_path):
     assert es[0]["stats"]["v"]["min"] == 0
     assert es[0]["stats"]["v"]["max"] == 0
     assert orctable.table_count(spark, t, ("v", ">=", 100)) == 0
+
+
+# ------------------------------------------------------------------
+# MERGE (upsert)
+# ------------------------------------------------------------------
+
+
+def _src(spark, pairs):
+    """Source frame from (v, tag) pairs."""
+    return spark.createDataFrame(pairs, "v int, tag string")
+
+
+def test_merge_replace_by_key(spark, tmp_path):
+    t, per = _sorted_table(spark, tmp_path, n=300, files=3)
+    pre = orctable.load_snapshot(t)
+    src = _src(spark, [(50, "new50"), (150, "new150"), (999, "ins")])
+    snap = orctable.merge_table(spark, t, src, on="v")
+    assert snap["operation"] == "merge"
+    assert snap["summary"]["matched_rows"] == 2
+    assert snap["summary"]["inserted_rows"] == 3
+    assert snap["summary"]["plan"] == "broadcast"
+    rows = {r["v"]: r["tag"]
+            for r in orctable.read_table(spark, t).collect()}
+    assert len(rows) == 301  # 300 - 2 matched + 3 source
+    assert rows[50] == "new50" and rows[150] == "new150"
+    assert rows[999] == "ins" and rows[51] == "51"
+    # time travel: pre-merge snapshot unchanged
+    old = orctable.read_table(spark, t, snapshot=pre["version"])
+    assert old.count() == 300
+
+
+def test_merge_untouched_files_never_open(spark, tmp_path,
+                                          monkeypatch):
+    """Keys hitting only file 0's range: files 1 and 2 are pruned
+    from manifest stats (driver-side, metadata only) and never
+    become rewrite candidates; the DRIVER opens no data file at all
+    — every footer/decode happens in executor tasks."""
+    t, per = _sorted_table(spark, tmp_path, n=3000, files=3)
+    entries = orctable.manifest_entries(t, orctable.load_snapshot(t))
+    spec = orctable._parse_spec([])
+    untouched, cands = orctable._merge_candidates(
+        entries, "v", [5, 7], spec)
+    assert len(cands) == 1 and len(untouched) == 2
+    opened = []
+    real_init = ORCFile.__init__
+
+    def spy(self, path):
+        opened.append(os.path.basename(path))
+        real_init(self, path)
+
+    monkeypatch.setattr(ORCFile, "__init__", spy)
+    n_data = len(os.listdir(os.path.join(t, "data")))
+    src = _src(spark, [(5, "x"), (7, "y")])
+    snap = orctable.merge_table(spark, t, src, on="v")
+    assert snap["summary"]["matched_rows"] == 2
+    assert snap["summary"]["rewritten_files"] == 1
+    assert opened == []  # driver is metadata-clean
+    # new data files: exactly one COW rewrite + the insert file(s)
+    names = os.listdir(os.path.join(t, "data"))
+    assert sum(1 for n in names if n.startswith("merge-cow-")) == 1
+    assert sum(1 for n in names if n.startswith("merge-")
+               and not n.startswith("merge-cow-")) >= 1
+    assert len(names) > n_data
+
+
+def test_merge_stats_false_positive_keeps_without_rewrite(
+        spark, tmp_path):
+    """A key inside a file's [min,max] but absent from it: the
+    key-only pre-pass proves no match and the file keeps — no new
+    data file, no rewrite."""
+    t = str(tmp_path / "tfp")
+    orctable.create_table(t, "struct<v:int,tag:string>")
+    df = spark.createDataFrame(
+        [(0, "a"), (2, "b"), (4, "c")], "v int, tag string")
+    orctable.write_table(df.coalesce(1), t)
+    src = _src(spark, [(3, "ghost")])  # in [0,4], not present
+    snap = orctable.merge_table(spark, t, src, on="v")
+    assert snap["summary"]["matched_rows"] == 0
+    assert snap["summary"]["rewritten_files"] == 0
+    assert snap["summary"]["inserted_rows"] == 1
+    got = sorted(r["v"] for r in orctable.read_table(spark, t)
+                 .collect())
+    assert got == [0, 2, 3, 4]
+
+
+def test_merge_delete_mode_tombstones(spark, tmp_path):
+    """when_matched='delete': source keys remove rows, nothing
+    inserts; an all-match file drops from the manifest without a
+    rewrite."""
+    t, per = _sorted_table(spark, tmp_path, n=300, files=3)
+    # every key of file 0 plus two from file 1
+    src = spark.createDataFrame(
+        [(v,) for v in range(100)] + [(150,), (151,)], "v int")
+    snap = orctable.merge_table(spark, t, src, on="v",
+                                when_matched="delete")
+    assert snap["summary"]["matched_rows"] == 102
+    assert snap["summary"]["inserted_rows"] == 0
+    assert snap["summary"]["dropped_files"] == 1
+    assert snap["summary"]["rewritten_files"] == 1
+    got = sorted(r["v"] for r in orctable.read_table(spark, t)
+                 .collect())
+    assert got == [v for v in range(100, 300) if v not in (150, 151)]
+    # delete-mode merge with no matching key is a no-op
+    v = orctable.current_version(t)
+    snap = orctable.merge_table(spark, t, _src(spark, [(9999, "z")]),
+                                on="v", when_matched="delete")
+    assert snap["version"] == v
+
+
+def test_merge_null_source_keys_insert_never_match(spark, tmp_path):
+    t, per = _sorted_table(spark, tmp_path, n=100, files=1)
+    src = _src(spark, [(None, "nullkey"), (5, "upd5")])
+    snap = orctable.merge_table(spark, t, src, on="v")
+    assert snap["summary"]["matched_rows"] == 1
+    assert snap["summary"]["inserted_rows"] == 2
+    rows = orctable.read_table(spark, t).collect()
+    assert sum(1 for r in rows if r["v"] is None) == 1
+    assert {r["tag"] for r in rows if r["v"] == 5} == {"upd5"}
+
+
+def test_merge_bucket_partition_prunes_by_key(spark, tmp_path):
+    """On a table bucketed by the merge key, only files in the
+    source keys' buckets are candidates."""
+    t = str(tmp_path / "tbk")
+    orctable.create_table(t, "struct<v:int,tag:string>",
+                          partition_by=["bucket(8, tag)"])
+    orctable.write_table(_df(spark, 0, 400, parts=1), t)
+    snap0 = orctable.load_snapshot(t)
+    entries = orctable.manifest_entries(t, snap0)
+    assert len(entries) == 8  # one per bucket
+    spec = orctable._parse_spec(snap0["spec"])
+    untouched, cands = orctable._merge_candidates(
+        entries, "tag", ["7", "13"], spec)
+    # candidates limited to the (<=2) buckets the two keys hash into
+    assert 1 <= len(cands) <= 2
+    src = spark.createDataFrame([("7", 7), ("13", 13)],
+                                "tag string, v int")
+    snap = orctable.merge_table(spark, t, src, on="tag")
+    assert snap["summary"]["matched_rows"] == 2
+    assert snap["summary"]["rewritten_files"] <= 2
+    rows = {r["tag"]: r["v"] for r in
+            orctable.read_table(spark, t).collect()}
+    assert rows["7"] == 7 and rows["13"] == 13 and rows["14"] == 14
+    assert len(rows) == 400
+
+
+def test_merge_shuffle_path_same_result(spark, tmp_path, monkeypatch):
+    """Forcing the >4M-key shuffle plan must produce the identical
+    table state."""
+    monkeypatch.setattr(orctable, "_MERGE_MAX_KEYS", 0)
+    t, per = _sorted_table(spark, tmp_path, n=300, files=3)
+    src = _src(spark, [(50, "new50"), (999, "ins")])
+    snap = orctable.merge_table(spark, t, src, on="v")
+    assert snap["summary"]["plan"] == "shuffle"
+    assert snap["summary"]["matched_rows"] == 1
+    rows = {r["v"]: r["tag"]
+            for r in orctable.read_table(spark, t).collect()}
+    assert len(rows) == 301
+    assert rows[50] == "new50" and rows[999] == "ins"
+
+
+def test_merge_widens_schema_for_evolved_source(spark, tmp_path):
+    """An evolved source frame (extra column, widened int) merges;
+    the committed schema is the widened union and old rows read
+    NULL / upcast under it."""
+    t, per = _sorted_table(spark, tmp_path, n=100, files=1)
+    src = spark.createDataFrame([(5, "upd", 1.5)],
+                                "v int, tag string, score double")
+    snap = orctable.merge_table(spark, t, src, on="v")
+    assert "score:double" in snap["schema"]
+    rows = {r["v"]: r for r in
+            orctable.read_table(spark, t).collect()}
+    assert rows[5]["score"] == 1.5 and rows[5]["tag"] == "upd"
+    assert rows[6]["score"] is None
+
+
+def test_merge_validation(spark, tmp_path):
+    t, _ = _sorted_table(spark, tmp_path, n=30, files=1)
+    src = _src(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="replace|delete"):
+        orctable.merge_table(spark, t, src, on="v",
+                             when_matched="upsert")
+    with pytest.raises(ValueError, match="not in table schema"):
+        orctable.merge_table(spark, t, src, on="nope")
+    with pytest.raises(ValueError, match="not in source frame"):
+        orctable.merge_table(spark, t, src.select("v"), on="tag")
