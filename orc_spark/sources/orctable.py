@@ -597,17 +597,18 @@ def _entry_survives(entry: dict, preds: list[tuple],
     return True
 
 
-def read_table(spark, table: str, snapshot: int | None = None,
+def read_table(spark, table: str, snapshot=None,
                columns: list[str] | None = None, predicate=None,
                timestamp_nanos: bool = False, on_error: str = "fail"):
-    """DataFrame over a snapshot (latest by default).  File set and
+    """DataFrame over a snapshot (latest by default; an int time
+    travels, a string resolves as a tag name).  File set and
     schema come from table metadata — no directory listing, no
     footer-union pass; manifest stats prune whole files before the
     stripe/stride/bloom planning chain sees them."""
     from pyspark.sql import functions as F
 
     from .orcscan import _pred_list, _spark_of, orc_scan
-    snap = load_snapshot(table, snapshot)
+    snap = load_snapshot(table, _resolve_ref(table, snapshot))
     entries = manifest_entries(table, snap)
     preds = _pred_list(predicate)
     if preds:
@@ -627,6 +628,121 @@ def read_table(spark, table: str, snapshot: int | None = None,
                     timestamp_nanos=timestamp_nanos,
                     on_error=on_error,
                     declared_type=snap["schema"])
+
+
+def table_files(spark, table: str, snapshot=None):
+    """Metadata table (Iceberg ``.files``): one row per data file of
+    a snapshot — path, rows, bytes, type, codec, the partition tuple
+    and per-column stats as JSON strings.  Driver reads manifests
+    only; no data file opens."""
+    snap = load_snapshot(table, _resolve_ref(table, snapshot))
+    rows = [(e["path"], e["n_rows"], e["bytes"],
+             e.get("type"), e.get("codec"),
+             json.dumps(e.get("partition"))
+             if e.get("partition") is not None else None,
+             json.dumps(e.get("stats") or {}))
+            for e in manifest_entries(table, snap)]
+    return spark.createDataFrame(
+        rows, "path string, n_rows long, bytes long, type string, "
+              "codec string, partition string, stats string")
+
+
+def table_manifests(spark, table: str, snapshot=None):
+    """Metadata table (Iceberg ``.manifests``): one row per manifest
+    of a snapshot with its entry/row/byte totals."""
+    snap = load_snapshot(table, _resolve_ref(table, snapshot))
+    rows = []
+    for name in snap["manifests"]:
+        es = manifest_entries(table, {"manifests": [name]})
+        rows.append((name, len(es),
+                     sum(e["n_rows"] for e in es),
+                     sum(e["bytes"] for e in es)))
+    return spark.createDataFrame(
+        rows, "manifest string, n_files long, n_rows long, "
+              "bytes long")
+
+
+def table_partitions(spark, table: str, snapshot=None):
+    """Metadata table (Iceberg ``.partitions``): per-partition-tuple
+    file/row/byte totals — the skew dashboard for a bucketed table
+    (a hot bucket shows up here before it shows up as a straggler
+    task)."""
+    snap = load_snapshot(table, _resolve_ref(table, snapshot))
+    agg: dict[str, list] = {}
+    for e in manifest_entries(table, snap):
+        key = json.dumps(e.get("partition"), sort_keys=True)
+        a = agg.setdefault(key, [0, 0, 0])
+        a[0] += 1
+        a[1] += e["n_rows"]
+        a[2] += e["bytes"]
+    rows = [(k, *v) for k, v in sorted(agg.items())]
+    return spark.createDataFrame(
+        rows, "partition string, n_files long, n_rows long, "
+              "bytes long")
+
+
+# ------------------------------------------------------------------
+# named refs (tags)
+# ------------------------------------------------------------------
+
+
+def _refs_path(table: str) -> str:
+    return os.path.join(_meta_dir(table), "refs.json")
+
+
+def _load_refs(table: str) -> dict:
+    try:
+        with open(_refs_path(table)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def _store_refs(table: str, refs: dict) -> None:
+    tmp = _refs_path(table) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh, sort_keys=True)
+    os.replace(tmp, _refs_path(table))  # atomic swap
+
+
+def _resolve_ref(table: str, snapshot):
+    """Snapshot selector: None (latest) and ints pass through; a
+    string resolves as a tag name (fail-loud on a miss)."""
+    if snapshot is None or isinstance(snapshot, int):
+        return snapshot
+    refs = _load_refs(table)
+    if snapshot not in refs:
+        raise ValueError(
+            f"orc_table: no tag {snapshot!r} on {table} "
+            f"(tags: {sorted(refs)})")
+    return refs[snapshot]
+
+
+def tag_snapshot(table: str, name: str, version: int | None = None
+                 ) -> dict:
+    """Name a snapshot (Iceberg tag): ``read_table(snapshot="name")``
+    then pins to that version forever, and ``expire_snapshots``
+    keeps tagged versions alive regardless of ``keep_last`` — the
+    mechanism for 'the exact table state train run X consumed'."""
+    snap = load_snapshot(table, version)
+    refs = _load_refs(table)
+    refs[name] = snap["version"]
+    _store_refs(table, refs)
+    return {"tag": name, "version": snap["version"]}
+
+
+def drop_tag(table: str, name: str) -> None:
+    refs = _load_refs(table)
+    if name not in refs:
+        raise ValueError(f"orc_table: no tag {name!r} on {table}")
+    del refs[name]
+    _store_refs(table, refs)
+
+
+def list_tags(spark, table: str):
+    """Metadata table (Iceberg ``.refs``): tag name → version."""
+    rows = sorted(_load_refs(table).items())
+    return spark.createDataFrame(rows, "tag string, version int")
 
 
 def table_history(spark, table: str):
@@ -1509,13 +1625,13 @@ def rollback_table(table: str, to_version: int) -> dict:
 
 
 def table_count(spark, table: str, predicate=None,
-                snapshot: int | None = None) -> int:
+                snapshot=None) -> int:
     """Exact COUNT(*) over a snapshot.  Unpredicated: summed from
     manifest row counts — ZERO file I/O, any table size.  With a
     predicate: manifest stats prune files driver-side, then the
     hybrid stats+boundary-decode count (orcstats) runs per surviving
     file — distributed above the driver threshold."""
-    snap = load_snapshot(table, snapshot)
+    snap = load_snapshot(table, _resolve_ref(table, snapshot))
     entries = manifest_entries(table, snap)
     if predicate is None:
         return sum(e["n_rows"] for e in entries)
@@ -1562,6 +1678,9 @@ def expire_snapshots(table: str, keep_last: int = 2) -> dict:
         except ValueError:
             continue
     kept = set(versions[-keep_last:])
+    # tagged versions are pinned: a tag is a promise that this exact
+    # table state stays reproducible (Iceberg ref retention)
+    kept |= {v for v in _load_refs(table).values() if v in versions}
     expired = [v for v in versions if v not in kept]
     if not expired:
         return {"removed_snapshots": 0, "removed_manifests": 0,

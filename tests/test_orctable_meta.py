@@ -1,0 +1,108 @@
+"""Metadata tables (.files/.manifests/.partitions) and named tags
+on snapshot-managed tables (sources/orctable.py r5 session 5)."""
+
+import json
+import os
+
+import pytest
+
+from orc_spark.sources import orctable
+from orc_spark.sources.orcfile import ORCFile
+
+
+def _df(spark, lo, hi, parts=1):
+    return spark.range(lo, hi, 1, parts) \
+        .selectExpr("CAST(id AS INT) AS v",
+                    "CAST(id AS STRING) AS tag")
+
+
+def test_metadata_tables_no_data_file_opens(spark, tmp_path,
+                                            monkeypatch):
+    t = str(tmp_path / "t")
+    orctable.create_table(t, "struct<v:int,tag:string>",
+                          partition_by=["bucket(4, tag)"])
+    orctable.write_table(_df(spark, 0, 200), t)
+    orctable.write_table(_df(spark, 200, 300), t)
+    opened = []
+    real_init = ORCFile.__init__
+
+    def spy(self, path):
+        opened.append(path)
+        real_init(self, path)
+
+    monkeypatch.setattr(ORCFile, "__init__", spy)
+    files = orctable.table_files(spark, t).collect()
+    mans = orctable.table_manifests(spark, t).collect()
+    parts = orctable.table_partitions(spark, t).collect()
+    assert opened == []  # manifests only, never a data file
+    assert sum(r["n_rows"] for r in files) == 300
+    assert all(r["codec"] == "zlib" for r in files)
+    assert len(mans) == 2  # one manifest per append
+    assert sum(r["n_rows"] for r in mans) == 300
+    # partitions: 4 buckets, totals conserve rows, and stats ride
+    assert sum(r["n_rows"] for r in parts) == 300
+    assert {json.loads(r["partition"])["bucket(4,tag)"]
+            for r in parts} <= {0, 1, 2, 3}
+    st = json.loads(files[0]["stats"])
+    assert "v" in st and "min" in st["v"]
+
+
+def test_metadata_tables_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t2")
+    orctable.create_table(t, "struct<v:int,tag:string>")
+    orctable.write_table(_df(spark, 0, 100), t)   # v1
+    orctable.write_table(_df(spark, 100, 250), t)  # v2
+    assert orctable.table_files(spark, t, snapshot=1).count() == 1
+    assert orctable.table_files(spark, t).count() == 2
+    v1 = orctable.table_partitions(spark, t, snapshot=1).collect()
+    assert sum(r["n_rows"] for r in v1) == 100
+
+
+def test_tag_read_and_pinning(spark, tmp_path):
+    t = str(tmp_path / "t3")
+    orctable.create_table(t, "struct<v:int,tag:string>")
+    orctable.write_table(_df(spark, 0, 100), t)
+    ref = orctable.tag_snapshot(t, "train-run-7")
+    assert ref == {"tag": "train-run-7", "version": 1}
+    orctable.write_table(_df(spark, 100, 300), t)
+    orctable.delete_from(spark, t, ("v", "<", 50))
+    # the tag still reads the exact v1 state
+    got = orctable.read_table(spark, t, snapshot="train-run-7")
+    assert sorted(r["v"] for r in got.collect()) == list(range(100))
+    assert orctable.table_count(spark, t,
+                                snapshot="train-run-7") == 100
+    # latest unaffected
+    assert orctable.table_count(spark, t) == 250
+    tags = {r["tag"]: r["version"]
+            for r in orctable.list_tags(spark, t).collect()}
+    assert tags == {"train-run-7": 1}
+    with pytest.raises(ValueError, match="no tag"):
+        orctable.read_table(spark, t, snapshot="nope")
+
+
+def test_expire_keeps_tagged_snapshots(spark, tmp_path):
+    t = str(tmp_path / "t4")
+    orctable.create_table(t, "struct<v:int,tag:string>")
+    orctable.write_table(_df(spark, 0, 100), t)     # v1
+    orctable.tag_snapshot(t, "pinned")              # -> v1
+    orctable.write_table(_df(spark, 100, 200), t)   # v2
+    orctable.write_table(_df(spark, 200, 300), t)   # v3
+    res = orctable.expire_snapshots(t, keep_last=1)
+    # v0 and v2 expire; v1 survives via the tag, v3 via keep_last
+    assert res["removed_snapshots"] == 2
+    assert orctable.read_table(
+        spark, t, snapshot="pinned").count() == 100
+    assert orctable.read_table(spark, t).count() == 300
+    # drop the tag: the next expire reclaims v1
+    orctable.drop_tag(t, "pinned")
+    res = orctable.expire_snapshots(t, keep_last=1)
+    assert res["removed_snapshots"] == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        orctable.load_snapshot(t, 1)
+
+
+def test_drop_tag_missing_raises(spark, tmp_path):
+    t = str(tmp_path / "t5")
+    orctable.create_table(t, "struct<v:int>")
+    with pytest.raises(ValueError, match="no tag"):
+        orctable.drop_tag(t, "ghost")
