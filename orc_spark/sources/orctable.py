@@ -33,6 +33,18 @@ table semantics a 100 TB lake actually needs on top of raw files:
   small files (orcmerge) and commits the result as a ``replace``
   snapshot; time travel to the pre-compaction version still works
   because old manifests and data files are never mutated.
+* **Row-level DML (r5 session 5)** — ``delete_from`` /
+  ``update_table`` / ``merge_table`` are Iceberg-style copy-on-write
+  with metadata fast paths: statistics prune and classify before any
+  decode, and only true boundary/matched files rewrite.
+* **Metadata tables + tags** — ``table_files`` / ``table_manifests``
+  / ``table_partitions`` read manifests only; ``tag_snapshot`` pins
+  a version under a name that time-travel reads resolve and
+  ``expire_snapshots`` refuses to reclaim.
+* **Streaming sink** — ``stream_write_table`` appends one atomic
+  commit per micro-batch, exactly-once via batch ids recorded in the
+  snapshot summary (replays skip); consumers poll
+  ``read_table_changes`` for the delta.
 
 Scale notes: commit metadata is O(files added); the per-version
 snapshot JSON holds manifest NAMES only.  ``read_table`` materializes
@@ -1752,6 +1764,76 @@ def remove_orphans(table: str, grace_seconds: float = 86400) -> dict:
         except FileNotFoundError:
             continue
     return {"removed_files": removed, "removed_bytes": removed_bytes}
+
+
+def _last_stream_batch(table: str, query: str):
+    """Highest micro-batch id this stream query has committed, from
+    snapshot summaries (newest first — the hit is almost always the
+    immediately previous version, so the walk is O(1) in steady
+    state)."""
+    for v in range(current_version(table), -1, -1):
+        try:
+            s = load_snapshot(table, v)
+        except ValueError:
+            continue
+        sb = s["summary"].get("stream")
+        if sb and sb.get("query") == query:
+            return sb["batch_id"]
+    return None
+
+
+def _stream_sink_once(batch_df, batch_id: int, table: str,
+                      query: str, codec: str = "zlib",
+                      stripe_rows: int = 1 << 20,
+                      bloom_columns: list[str] | None = None) -> bool:
+    """One idempotent micro-batch append: skips (returns False) when
+    ``batch_id`` was already committed for this query — the replay
+    guard for a crash between commit and checkpoint-advance."""
+    last = _last_stream_batch(table, query)
+    if last is not None and batch_id <= last:
+        return False  # replay of an already-committed batch
+    base = load_snapshot(table)
+    spec = _parse_spec(base.get("spec", []))
+    entries, write_schema = _write_data_files(
+        batch_df, table, spec, codec=codec, stripe_rows=stripe_rows,
+        bloom_columns=bloom_columns, prefix="stream")
+    manifest = _write_manifest(table, entries) if entries else None
+    _commit_retrying(
+        table, base, "append", manifest, entries, write_schema,
+        extra={"stream": {"query": query, "batch_id": int(batch_id)}})
+    return True
+
+
+def stream_write_table(df, table: str, checkpoint: str,
+                       query: str = "default", codec: str = "zlib",
+                       stripe_rows: int = 1 << 20,
+                       bloom_columns: list[str] | None = None,
+                       trigger_available_now: bool = True):
+    """Structured Streaming sink into a snapshot table: each
+    micro-batch appends as ONE atomic commit whose summary records
+    ``{"stream": {"query": ..., "batch_id": ...}}`` — exactly-once
+    end to end:
+
+    * Spark's streaming checkpoint (``checkpoint``) makes each batch
+      id fire at-least-once with a fixed input slice;
+    * the commit itself carries the batch id, so a batch re-delivered
+      after a crash between commit and checkpoint-advance finds its
+      id already in the table history and SKIPS — no double append
+      (the same audit-first discipline as encode_stream, recorded in
+      the table's own atomic metadata instead of a side parquet).
+
+    Downstream consumers poll ``read_table_changes`` for exactly the
+    appended rows.  Returns the started StreamingQuery."""
+    def sink(batch_df, batch_id: int) -> None:
+        _stream_sink_once(batch_df, batch_id, table, query,
+                          codec=codec, stripe_rows=stripe_rows,
+                          bloom_columns=bloom_columns)
+
+    writer = (df.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def read_table_changes(spark, table: str, from_version: int,
