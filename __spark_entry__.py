@@ -683,6 +683,25 @@ def _q_orc_merge_compact(spark, sf_dir):
            "source:string>")
     orctable.write_table(tok.repartition(8), t, codec="zlib")
     orctable.delete_from(spark, t, "n_tok < 40")
+    # COW UPDATE (r5 s5): long docs re-labeled in place — stats
+    # classify, only candidate files rewrite, tuples/codec preserved
+    orctable.update_table(spark, t, set={"source": "hot"},
+                          predicate="n_tok >= 200")
+    # MERGE (upsert): docs with 40<=n_tok<=49 are REPLACED by source
+    # rows labeled 'merged' (same tokens, same ids); 50<=n_tok<=59
+    # re-keyed ids INSERT as new rows — one atomic merge snapshot,
+    # broadcast-keyset COW plan (matched files rewrite after a
+    # key-column-only pre-pass, untouched files never open)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    src = (tok.where("n_tok BETWEEN 40 AND 49")
+           .withColumn("source", F.lit("merged")).select(*cols)
+           .unionByName(
+               tok.where("n_tok BETWEEN 50 AND 59")
+               .withColumn("doc_id", F.concat(F.col("doc_id"),
+                                              F.lit("-ins")))
+               .withColumn("source", F.lit("inserted"))
+               .select(*cols)))
+    orctable.merge_table(spark, t, src, on="doc_id")
     snap = orctable.compact_table(spark, t, target_bytes=1 << 40)
     df = orctable.read_table(spark, t)
     v1 = orctable.read_table(spark, t, snapshot=1)
@@ -691,7 +710,13 @@ def _q_orc_merge_compact(spark, sf_dir):
         F.lit(n_files).cast("long").alias("n_files"),
         F.count("*").alias("n_docs"),
         F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
-        F.countDistinct("doc_id").alias("n_ids")) \
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum(F.when(F.col("source") == "hot", 1).otherwise(0))
+        .cast("long").alias("n_hot"),
+        F.sum(F.when(F.col("source") == "merged", 1).otherwise(0))
+        .cast("long").alias("n_merged"),
+        F.sum(F.when(F.col("source") == "inserted", 1).otherwise(0))
+        .cast("long").alias("n_ins")) \
         .crossJoin(v1.agg(F.count("*").alias("n_docs_v1")))
 
 
@@ -1684,16 +1709,30 @@ def oracle_sql() -> dict[str, str]:
         # whitespace-only / NULL texts tokenize to ZERO tokens on the
         # Spark side, so they are deleted too (the CASE keeps the
         # oracle's split-of-empty = [''] artifact out of the filter)
+        # r5 s5: after the delete, update_table labels nt>=200 docs
+        # 'hot' in place, and merge_table REPLACES the 40..49 band
+        # with 'merged' rows (same ids/tokens) while INSERTING the
+        # 50..59 band under new '-ins' ids — so the final state is
+        # kept-docs + inserts, with the three source labels
+        # recomputable straight from the token-count bands
         "orc_merge_compact": (
             f"WITH d AS (SELECT doc_id, "
             f"CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
             f"ELSE {n_tok} END AS nt FROM documents), "
-            f"k AS (SELECT * FROM d WHERE nt >= 40) "
+            f"k AS (SELECT * FROM d WHERE nt >= 40), "
+            f"i AS (SELECT * FROM d WHERE nt BETWEEN 50 AND 59) "
             f"SELECT CAST(1 AS BIGINT) AS n_files, "
-            f"(SELECT count(*) FROM k) AS n_docs, "
-            f"(SELECT CAST(sum(nt) AS BIGINT) FROM k) "
+            f"(SELECT count(*) FROM k) + (SELECT count(*) FROM i) "
+            f"AS n_docs, "
+            f"(SELECT CAST(sum(nt) AS BIGINT) FROM k) + "
+            f"(SELECT CAST(sum(nt) AS BIGINT) FROM i) "
             f"AS total_tokens, "
-            f"(SELECT count(DISTINCT doc_id) FROM k) AS n_ids, "
+            f"(SELECT count(DISTINCT doc_id) FROM k) + "
+            f"(SELECT count(*) FROM i) AS n_ids, "
+            f"(SELECT count(*) FROM d WHERE nt >= 200) AS n_hot, "
+            f"(SELECT count(*) FROM d WHERE nt BETWEEN 40 AND 49) "
+            f"AS n_merged, "
+            f"(SELECT count(*) FROM i) AS n_ins, "
             f"(SELECT count(*) FROM d) AS n_docs_v1"),
         # full recompute of the >15-significant-digit decimals: every
         # digit of sum/min/max must survive the .orc round-trip
