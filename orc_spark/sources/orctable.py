@@ -356,7 +356,7 @@ def _entry_stats(f) -> dict:
 def _write_data_files(df, table: str, spec: list[dict],
                       codec: str = "zlib", stripe_rows: int = 1 << 20,
                       bloom_columns: list[str] | None = None,
-                      prefix: str = "part"):
+                      prefix: str = "part", cluster: bool = True):
     """Encode ``df`` into new ``data/`` files (one per partition,
     job-unique names — a failed job leaves only unreferenced
     orphans) WITHOUT committing; returns ``(entries, write_schema)``
@@ -372,7 +372,11 @@ def _write_data_files(df, table: str, spec: list[dict],
 
     The per-file manifest stats ride back from the SAME task that
     wrote the file (it re-opens only its own tail, mmap) — no
-    driver-side footer pass, no second listing."""
+    driver-side footer pass, no second listing.  ``cluster=False``
+    skips the transform shuffle for callers that already arranged
+    the frame (rewrite_sorted's per-tuple sort would be destroyed by
+    a second repartition); the kernel's exact per-tuple split keeps
+    correctness either way."""
     import pyarrow as pa
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -387,7 +391,7 @@ def _write_data_files(df, table: str, spec: list[dict],
     job = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table, _DATA)
     os.makedirs(data_dir, exist_ok=True)
-    if spec:
+    if spec and cluster:
         # cluster so each task sees few partition tuples — the SAME
         # md5 hash as _bucket_of (sampling.py convention), 60 bits
         exprs = [F.col(sp["col"]) if sp["transform"] == "identity"
@@ -881,6 +885,66 @@ def compact_table(spark, table: str,
     manifest = _write_manifest(table, new_entries)
     return _commit_retrying(table, base, "replace", manifest,
                             new_entries, base["schema"])
+
+
+def rewrite_sorted(spark, table: str, sort_by: list[str],
+                   target_bytes: int = 256 << 20,
+                   codec: str | None = None) -> dict:
+    """Sort-order rewrite (Iceberg ``rewrite_data_files`` with a sort
+    strategy): re-encode the current file set clustered by
+    ``sort_by`` so file/stripe/stride statistics become SELECTIVE —
+    after ingestion-order writes, a range predicate matches every
+    file; after this rewrite it prunes to the few files its range
+    lives in, and RLE/dictionary encoders compress sorted runs
+    tighter as a side effect.
+
+    Unpartitioned tables range-repartition globally (one shuffle,
+    ``ceil(total_bytes / target_bytes)`` output files with DISJOINT
+    key ranges — file-level pruning does the work).  Partitioned
+    tables keep their transform clustering and sort WITHIN each
+    partition tuple (file ranges may overlap across tuples; stride
+    pruning inside each file still sharpens).  Row-preserving, so it
+    commits as a ``replace`` snapshot exactly like compaction —
+    incremental changelog readers skip it silently and time travel
+    to the unsorted layout still works."""
+    from pyspark.sql import functions as F
+    base = load_snapshot(table)
+    entries = manifest_entries(table, base)
+    if not entries:
+        return base
+    root = orctypes.parse_orc_type(base["schema"])
+    for c in sort_by:
+        if c not in root.field_names:
+            raise ValueError(
+                f"orc_table: sort column {c!r} not in table schema "
+                f"({root.field_names})")
+    if not sort_by:
+        raise ValueError("orc_table: rewrite_sorted needs at least "
+                         "one sort column")
+    spec = _parse_spec(base.get("spec", []))
+    out_codec = codec or entries[0].get("codec") or "zlib"
+    df = read_table(spark, table)
+    if spec:
+        exprs = [F.col(sp["col"]) if sp["transform"] == "identity"
+                 else (F.conv(F.substring(
+                     F.md5(F.col(sp["col"]).cast("string")), 1, 15),
+                     16, 10).cast("long") % sp["n"])
+                 for sp in spec]
+        df = df.repartition(*exprs) \
+            .sortWithinPartitions(*[F.col(c) for c in sort_by])
+    else:
+        total = sum(e["bytes"] for e in entries)
+        n = max(1, -(-total // target_bytes))
+        df = df.repartitionByRange(n, *[F.col(c) for c in sort_by]) \
+            .sortWithinPartitions(*[F.col(c) for c in sort_by])
+    new_entries, write_schema = _write_data_files(
+        df, table, spec, codec=out_codec, prefix="sorted",
+        cluster=False)
+    manifest = _write_manifest(table, new_entries) if new_entries \
+        else None
+    return _commit_retrying(
+        table, base, "replace", manifest, new_entries,
+        base["schema"], extra={"sorted_by": list(sort_by)})
 
 
 # ------------------------------------------------------------------

@@ -170,3 +170,93 @@ def test_stream_write_table_exactly_once(spark, tmp_path):
     assert orctable._stream_sink_once(batch, last + 1, t, "ingest") \
         is True
     assert orctable.table_count(spark, t) == 400
+
+
+# ------------------------------------------------------------------
+# sort-order rewrite
+# ------------------------------------------------------------------
+
+
+def test_rewrite_sorted_makes_pruning_selective(spark, tmp_path):
+    """Ingestion-order files all overlap a range predicate; after
+    rewrite_sorted the file ranges are disjoint and manifest stats
+    prune to one file.  Rows, values and the changelog contract are
+    preserved."""
+    from orc_spark.sources.orcscan import _pred_list
+    t = str(tmp_path / "ts")
+    orctable.create_table(t, "struct<v:int,tag:string>")
+    # interleaved writes: every file spans nearly the full v range
+    for k in range(4):
+        df = spark.range(k, 1000, 4, 1).selectExpr(
+            "CAST(id AS INT) AS v", "CAST(id AS STRING) AS tag")
+        orctable.write_table(df, t)
+    preds = _pred_list(("v", "between", (100, 120)))
+    snap0 = orctable.load_snapshot(t)
+    spec = orctable._parse_spec(snap0.get("spec", []))
+    before = [e for e in orctable.manifest_entries(t, snap0)
+              if orctable._entry_survives(e, preds, spec)]
+    assert len(before) == 4  # every unsorted file overlaps
+    snap = orctable.rewrite_sorted(spark, t, ["v"],
+                                   target_bytes=1 << 10)
+    assert snap["operation"] == "replace"
+    assert snap["summary"]["sorted_by"] == ["v"]
+    entries = orctable.manifest_entries(t, snap)
+    assert len(entries) >= 3  # target_bytes split the output
+    after = [e for e in entries
+             if orctable._entry_survives(e, preds, spec)]
+    assert len(after) == 1  # disjoint ranges: one file survives
+    # row preservation, exact values
+    got = sorted(r["v"] for r in orctable.read_table(spark, t)
+                 .collect())
+    assert got == list(range(1000))
+    # row-preserving replace: changelog across it stays readable
+    orctable.write_table(
+        spark.range(1000, 1010, 1, 1).selectExpr(
+            "CAST(id AS INT) AS v", "CAST(id AS STRING) AS tag"), t)
+    delta = orctable.read_table_changes(spark, t, from_version=4)
+    assert sorted(r["v"] for r in delta.collect()) == \
+        list(range(1000, 1010))
+    # time travel to the unsorted layout still works
+    assert orctable.read_table(
+        spark, t, snapshot=snap0["version"]).count() == 1000
+
+
+def test_rewrite_sorted_partitioned_sorts_within_tuples(spark,
+                                                        tmp_path):
+    """On a bucketed table the rewrite keeps one partition tuple per
+    file and sorts inside each tuple; pruning by the partition key
+    AND the sort key both work."""
+    t = str(tmp_path / "tsp")
+    orctable.create_table(t, "struct<v:int,tag:string>",
+                          partition_by=["bucket(4, tag)"])
+    for k in range(2):
+        df = spark.range(k, 400, 2, 1).selectExpr(
+            "CAST(id AS INT) AS v", "CAST(id AS STRING) AS tag")
+        orctable.write_table(df, t)
+    snap = orctable.rewrite_sorted(spark, t, ["v"])
+    entries = orctable.manifest_entries(t, snap)
+    assert all(e.get("partition") for e in entries)
+    assert len(entries) == 4  # one per bucket again
+    got = sorted(r["v"] for r in orctable.read_table(spark, t)
+                 .collect())
+    assert got == list(range(400))
+    # equality lookup on the bucket key still prunes to one file
+    from orc_spark.sources.orcscan import _pred_list
+    preds = _pred_list(("tag", "==", "123"))
+    spec = orctable._parse_spec(snap.get("spec", []))
+    alive = [e for e in entries
+             if orctable._entry_survives(e, preds, spec)]
+    assert len(alive) == 1
+
+
+def test_rewrite_sorted_validation(spark, tmp_path):
+    t = str(tmp_path / "tsv")
+    orctable.create_table(t, "struct<v:int>")
+    assert orctable.rewrite_sorted(spark, t, ["v"]) == \
+        orctable.load_snapshot(t)  # empty table: no-op
+    orctable.write_table(
+        spark.range(5).selectExpr("CAST(id AS INT) AS v"), t)
+    with pytest.raises(ValueError, match="not in table schema"):
+        orctable.rewrite_sorted(spark, t, ["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        orctable.rewrite_sorted(spark, t, [])
