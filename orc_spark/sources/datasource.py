@@ -22,7 +22,12 @@ What the engine sees is a first-class V2 source:
 * **Arrow-batch reads**: ``read()`` yields pyarrow RecordBatches
   straight from the whole-array decode kernel (no Python rows).
 
-Options: ``path`` (file or directory), ``columns`` (comma-separated
+Options: ``path`` (file or directory) OR ``table`` (a
+snapshot-managed orctable directory, r5: the file set and schema
+come from table metadata — no listing, no footer open; pushed
+predicates prune whole files from manifest partition tuples and
+min/max stats before stripe planning; ``snapshot`` time-travels by
+version int or tag name), ``columns`` (comma-separated
 projection — Python DataSources have no column-pruning hook yet, so
 this is the explicit projection control), ``timestamp_nanos``
 ("true" -> LONG wall-clock nanos), ``evolve`` ("true" -> name-based
@@ -131,12 +136,27 @@ class StripesPartition(InputPartition):
         self.root_str = root_str
 
 
+def _snapshot_opt(options, table: str):
+    """The ``snapshot`` option: digits time-travel to a version,
+    anything else resolves as a tag name."""
+    from .orctable import _resolve_ref
+    raw = options.get("snapshot")
+    if raw is None:
+        return None
+    raw = str(raw)
+    return int(raw) if raw.lstrip("-").isdigit() \
+        else _resolve_ref(table, raw)
+
+
 class OrcReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
-        if not self.path:
+        self.table = options.get("table")
+        if bool(self.path) == bool(self.table):
             raise ValueError(
-                "orc_spark datasource: .load(path) is required")
+                "orc_spark datasource: exactly one of .load(path) "
+                "or .option('table', dir) is required")
+        self.options = options
         cols = options.get("columns")
         self.columns = [c.strip() for c in cols.split(",")
                         if c.strip()] if cols else None
@@ -151,11 +171,33 @@ class OrcReader(DataSourceReader):
         # (reference model: the Go reader opens exactly one file,
         # orc.go:35-41)
         self._resolved = None
+        self._entries = None
+        self._spec = None
 
     def _resolve(self):
         if self._resolved is None:
-            self._resolved = _resolve_root(self.path, self.columns,
-                                           self.evolve)
+            if self.table:
+                # snapshot-table mode: file set + schema from table
+                # metadata — no listing, no footer open at all, and
+                # every file decodes name-based under the snapshot's
+                # declared (widened) schema
+                from . import orctable
+                snap = orctable.load_snapshot(
+                    self.table, _snapshot_opt(self.options,
+                                              self.table))
+                self._entries = orctable.manifest_entries(
+                    self.table, snap)
+                self._spec = orctable._parse_spec(
+                    snap.get("spec", []))
+                files = [os.path.join(self.table, e["path"])
+                         for e in self._entries]
+                full = orctypes.parse_orc_type(snap["schema"])
+                self._resolved = (
+                    files, _project_root(full, self.columns),
+                    full.orc_string())
+            else:
+                self._resolved = _resolve_root(
+                    self.path, self.columns, self.evolve)
         return self._resolved
 
     def pushFilters(self, filters):
@@ -203,12 +245,25 @@ class OrcReader(DataSourceReader):
         # per-task LIST calls and zero foreign footer opens
         # (r5: metadata-clean reads)
         root_str = root.orc_string()
+        lax = self.evolve or bool(self.table)
+        if self.table:
+            # Iceberg-layer pruning BEFORE any footer opens: pushed
+            # predicates drop whole files from manifest partition
+            # tuples + min/max stats, driver-side
+            if self.pushed:
+                from .orctable import _entry_survives
+                files = [os.path.join(self.table, e["path"])
+                         for e in self._entries
+                         if _entry_survives(e, self.pushed,
+                                            self._spec)]
+            if not files:
+                return [StripesPartition("", [], root_str)]
         # row counts ride along from the planning footer pass — no
         # second ORCFile open per file (r4 review fix)
         tasks, _ = plan_tasks(files, self.pushed or None,
-                              None if self.evolve else expect,
+                              None if lax else expect,
                               with_rows=True,
-                              strict_cols=not self.evolve)
+                              strict_cols=not lax)
         if not tasks:
             return [StripesPartition(files[0], [], root_str)]
         return _coalesce_parts(tasks, root_str)
@@ -594,6 +649,15 @@ class OrcDataSource(DataSource):
             # empty directory (and skips the footer open for batch)
             full = orctypes.parse_orc_type(self.options["schema"])
             root = _project_root(full, columns)
+        elif self.options.get("table"):
+            # snapshot-table mode: the schema is the snapshot's
+            # declared type — zero file I/O
+            from . import orctable
+            table = self.options["table"]
+            snap = orctable.load_snapshot(
+                table, _snapshot_opt(self.options, table))
+            root = _project_root(
+                orctypes.parse_orc_type(snap["schema"]), columns)
         else:
             evolve = str(self.options.get("evolve", "false")) \
                 .lower() == "true"

@@ -260,3 +260,68 @@ def test_rewrite_sorted_validation(spark, tmp_path):
         orctable.rewrite_sorted(spark, t, ["nope"])
     with pytest.raises(ValueError, match="at least one"):
         orctable.rewrite_sorted(spark, t, [])
+
+
+# ------------------------------------------------------------------
+# DataSource table mode
+# ------------------------------------------------------------------
+
+
+def test_datasource_table_mode_reads_snapshot(spark, tmp_path):
+    """spark.read.format('orc_spark').option('table', dir): schema
+    from the snapshot (zero file I/O at inference), time travel via
+    the snapshot option (version int or tag), evolved files decode
+    name-based under the declared widened schema, and SQL works over
+    a registered temp view."""
+    from orc_spark.sources import datasource
+    datasource.register(spark)
+    t = str(tmp_path / "tds")
+    orctable.create_table(t, "struct<v:int,tag:string>")
+    orctable.write_table(_df(spark, 0, 200), t)          # v1
+    orctable.tag_snapshot(t, "first")
+    # evolved append: extra column widens the declared schema
+    df2 = spark.range(200, 300, 1, 1).selectExpr(
+        "CAST(id AS INT) AS v", "CAST(id AS STRING) AS tag",
+        "CAST(id * 2 AS LONG) AS extra")
+    orctable.write_table(df2, t)                          # v2
+
+    cur = (spark.read.format("orc_spark").option("table", t).load())
+    assert set(cur.columns) == {"v", "tag", "extra"}
+    rows = {r["v"]: r for r in cur.collect()}
+    assert len(rows) == 300
+    assert rows[0]["extra"] is None        # old file null-fills
+    assert rows[250]["extra"] == 500
+    # predicate + projection through the source
+    sel = (spark.read.format("orc_spark").option("table", t)
+           .option("columns", "v").load().where("v >= 290"))
+    assert sel.columns == ["v"] and sel.count() == 10
+    # time travel: by version int and by tag
+    v1 = (spark.read.format("orc_spark").option("table", t)
+          .option("snapshot", "1").load())
+    assert v1.count() == 200 and set(v1.columns) == {"v", "tag"}
+    tagd = (spark.read.format("orc_spark").option("table", t)
+            .option("snapshot", "first").load())
+    assert tagd.count() == 200
+    # SQL over the table surface
+    cur.createOrReplaceTempView("lake")
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(extra) AS s FROM lake "
+        "WHERE v >= 200").collect()[0]
+    assert got["n"] == 100 and got["s"] == sum(2 * v for v in
+                                               range(200, 300))
+
+
+def test_datasource_table_mode_validation(spark, tmp_path):
+    from orc_spark.sources import datasource
+    datasource.register(spark)
+    t = str(tmp_path / "tdsv")
+    orctable.create_table(t, "struct<v:int>")
+    orctable.write_table(
+        spark.range(5).selectExpr("CAST(id AS INT) AS v"), t)
+    # empty table at an old snapshot: empty frame, right schema
+    empty = (spark.read.format("orc_spark").option("table", t)
+             .option("snapshot", "0").load())
+    assert empty.count() == 0 and empty.columns == ["v"]
+    with pytest.raises(Exception, match="no tag"):
+        (spark.read.format("orc_spark").option("table", t)
+         .option("snapshot", "ghost").load()).collect()
