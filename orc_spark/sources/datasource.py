@@ -27,7 +27,10 @@ snapshot-managed orctable directory, r5: the file set and schema
 come from table metadata — no listing, no footer open; pushed
 predicates prune whole files from manifest partition tuples and
 min/max stats before stripe planning; ``snapshot`` time-travels by
-version int or tag name), ``columns`` (comma-separated
+version int or tag name; WRITES commit one atomic snapshot per save
+— ``mode("append")`` widens the schema, ``mode("overwrite")``
+replaces, partitioned tables split per tuple exactly — see
+OrcTableWriter), ``columns`` (comma-separated
 projection — Python DataSources have no column-pruning hook yet, so
 this is the explicit projection control), ``timestamp_nanos``
 ("true" -> LONG wall-clock nanos), ``evolve`` ("true" -> name-based
@@ -624,6 +627,104 @@ class OrcStreamWriter(OrcWriter, DataSourceStreamArrowWriter):
         OrcWriter.abort(self, messages)
 
 
+class _TableCommit(WriterCommitMessage):
+    """Manifest entries written by one task (plain dicts — the
+    driver folds all tasks' entries into ONE atomic snapshot)."""
+
+    def __init__(self, entries: list):
+        self.entries = entries
+
+
+class OrcTableWriter(DataSourceArrowWriter):
+    """``df.write.format("orc_spark").option("table", dir)`` — encode
+    into a snapshot-managed table (orctable) as ONE atomic commit.
+
+    Unlike the raw-directory writer there is no temp-rename phase:
+    data files are invisible until a snapshot names them, so tasks
+    write job-unique final names straight into ``data/`` and commit()
+    publishes a single manifest + snapshot (``append`` widens the
+    table schema via orctypes.widen and rebases over concurrent
+    appends; ``overwrite`` replaces the file set and conflicts loudly
+    if the table moved).  Each task routes its Arrow batches through
+    the SAME TupleSplitWriter as write_table — a partitioned table
+    gets exact per-tuple files with manifest partition pruning; a
+    failed or aborted job leaves only unreferenced orphans that
+    abort() sweeps by job prefix (and remove_orphans reclaims after
+    crashes).  The table must exist (orctable.create_table declares
+    schema + partition spec — partitioning is table DDL, not a write
+    option)."""
+
+    def __init__(self, options, overwrite: bool, schema, fs=None):
+        import uuid
+
+        from . import orctable
+        self.table = options["table"]
+        self.codec = options.get("codec", "zlib")
+        self.stripe_rows = int(options.get("stripe_rows", 1 << 20))
+        bc = options.get("bloom_columns")
+        self.bloom_columns = [c.strip() for c in bc.split(",")
+                              if c.strip()] if bc else None
+        self.mode = "overwrite" if overwrite else "append"
+        self.base = orctable.load_snapshot(self.table)
+        self.spec = orctable._parse_spec(self.base.get("spec", []))
+        self.write_schema = orctypes.parse_orc_type(
+            orctypes.orc_string_from_spark(schema)).orc_string()
+        fields = set(schema.fieldNames())
+        for sp in self.spec:
+            if sp["col"] not in fields:
+                raise ValueError(
+                    f"orc_spark datasource: partition column "
+                    f"{sp['col']!r} missing from the frame "
+                    f"({sorted(fields)})")
+        self.job = uuid.uuid4().hex[:12]
+        self.fs = fs or LocalFS()
+
+    def _data_dir(self) -> str:
+        from . import orctable
+        return os.path.join(self.table, orctable._DATA)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        from orc_spark._alloc import tune_worker
+
+        from . import orctable
+        tune_worker()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        data_dir = self._data_dir()
+        self.fs.makedirs(data_dir)
+        sw = orctable.TupleSplitWriter(
+            data_dir, self.spec,
+            lambda i: f"part-{self.job}-{pid:05d}-{i:04d}.orc",
+            codec=self.codec, stripe_rows=self.stripe_rows,
+            bloom_columns=self.bloom_columns)
+        for batch in iterator:
+            sw.write_batch(batch)
+        return _TableCommit([
+            orctable._manifest_entry(c, self.spec, self.write_schema,
+                                     self.codec)
+            for c in sw.close()])
+
+    def commit(self, messages):
+        from . import orctable
+        entries = [e for m in messages if m is not None
+                   for e in m.entries]
+        manifest = orctable._write_manifest(self.table, entries) \
+            if entries else None
+        orctable._commit_retrying(self.table, self.base, self.mode,
+                                  manifest, entries,
+                                  self.write_schema)
+
+    def abort(self, messages):
+        # every file of THIS job is findable by its prefix; files a
+        # crashed task never reported are orphans remove_orphans
+        # reclaims after the grace period
+        for p in self.fs.list(self._data_dir(),
+                              f"part-{self.job}-*.orc"):
+            self.fs.remove(p)
+
+
 def register(spark) -> None:
     """One-call setup: enables Python-datasource filter pushdown
     (runtime-settable; Spark refuses a reader that implements
@@ -670,7 +771,9 @@ class OrcDataSource(DataSource):
     def reader(self, schema) -> OrcReader:
         return OrcReader(self.options)
 
-    def writer(self, schema, overwrite: bool) -> OrcWriter:
+    def writer(self, schema, overwrite: bool):
+        if self.options.get("table"):
+            return OrcTableWriter(self.options, overwrite, schema)
         return OrcWriter(self.options, overwrite)
 
     def streamReader(self, schema) -> OrcStreamReader:

@@ -353,6 +353,107 @@ def _entry_stats(f) -> dict:
     return out
 
 
+class TupleSplitWriter:
+    """Per-task encoder routing Arrow batches into one open
+    ORCFileWriter per partition TUPLE — the executor half shared by
+    both table write paths (``_write_data_files``'s mapInArrow kernel
+    and the DataSource table writer, datasource.OrcTableWriter).
+
+    The split is exact and whole-array: dictionary codes per
+    partition column (nulls -> a sentinel code) combine into one
+    group id, bucket values hash per DISTINCT value only — no
+    per-row Python.  Memory is one stripe buffer per open tuple;
+    file names come from ``name_of(seq)`` so callers control
+    job/task uniqueness."""
+
+    def __init__(self, data_dir: str, spec: list[dict], name_of,
+                 *, codec: str = "zlib", stripe_rows: int = 1 << 20,
+                 bloom_columns: list[str] | None = None):
+        self.data_dir = data_dir
+        self.spec = spec
+        self.name_of = name_of
+        self.codec = codec
+        self.stripe_rows = stripe_rows
+        self.bloom_columns = bloom_columns
+        self.writers: dict[tuple, dict] = {}
+
+    def _sink(self, tup: tuple) -> dict:
+        from .orcwriter import ORCFileWriter
+        w = self.writers.get(tup)
+        if w is None:
+            name = self.name_of(len(self.writers))
+            path = os.path.join(self.data_dir, name)
+            w = {"name": name, "path": path,
+                 "writer": ORCFileWriter(
+                     path, codec=self.codec,
+                     stripe_rows=self.stripe_rows,
+                     bloom_columns=self.bloom_columns),
+                 "n": 0, "tup": tup}
+            self.writers[tup] = w
+        return w
+
+    def write_batch(self, b) -> None:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        if b.num_rows == 0:
+            return
+        if not self.spec:
+            w = self._sink(())
+            w["writer"].write_batch(b)
+            w["n"] += b.num_rows
+            return
+        combo = np.zeros(b.num_rows, dtype=np.int64)
+        valmaps = []
+        for sp in self.spec:
+            enc = pc.dictionary_encode(
+                b.column(b.schema.get_field_index(sp["col"])))
+            dvals = enc.dictionary.to_pylist()
+            idx = pc.fill_null(enc.indices, len(dvals)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = dvals + [None]
+            if sp["transform"] == "bucket":
+                vals = [_bucket_of(v, sp["n"]) for v in vals]
+            valmaps.append(vals)
+            combo = combo * len(vals) + idx
+        for u in np.unique(combo):
+            rem = int(u)
+            tup = []
+            for vals in reversed(valmaps):
+                rem, k = divmod(rem, len(vals))
+                tup.append(vals[k])
+            tup = tuple(reversed(tup))
+            sub = b.filter(pa.array(combo == u))
+            w = self._sink(tup)
+            w["writer"].write_batch(sub)
+            w["n"] += sub.num_rows
+
+    def close(self) -> list[dict]:
+        """Close every open file; ``[{name, path, n, tup}]``."""
+        out = []
+        for w in self.writers.values():
+            w["writer"].close()
+            out.append({"name": w["name"], "path": w["path"],
+                        "n": w["n"], "tup": w["tup"]})
+        return out
+
+
+def _manifest_entry(closed: dict, spec: list[dict],
+                    write_schema: str, codec: str) -> dict:
+    """Manifest entry for one just-closed data file — stats ride back
+    from the SAME task that wrote it (re-opens only its own tail,
+    mmap): no driver-side footer pass, no second listing."""
+    from .orcfile import ORCFile
+    e = {"path": f"{_DATA}/{closed['name']}", "n_rows": closed["n"],
+         "bytes": os.path.getsize(closed["path"]),
+         "type": write_schema, "codec": codec,
+         "stats": _entry_stats(ORCFile(closed["path"]))}
+    if spec:
+        e["partition"] = {sp["str"]: v
+                          for sp, v in zip(spec, closed["tup"])}
+    return e
+
+
 def _write_data_files(df, table: str, spec: list[dict],
                       codec: str = "zlib", stripe_rows: int = 1 << 20,
                       bloom_columns: list[str] | None = None,
@@ -402,106 +503,32 @@ def _write_data_files(df, table: str, spec: list[dict],
         df = df.repartition(*exprs)
 
     def kernel(batches):
-        import numpy as np
-        import pyarrow.compute as pc
-
         from pyspark import TaskContext
 
         from orc_spark._alloc import tune_worker
-
-        from .orcfile import ORCFile
-        from .orcwriter import ORCFileWriter
         tune_worker()
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        writers: dict[tuple, dict] = {}
-
-        def _sink(tup):
-            w = writers.get(tup)
-            if w is None:
-                name = (f"{prefix}-{job}-{pid:05d}-"
-                        f"{len(writers):04d}.orc")
-                w = {"name": name,
-                     "path": os.path.join(data_dir, name),
-                     "writer": ORCFileWriter(
-                         os.path.join(data_dir, name), codec=codec,
-                         stripe_rows=stripe_rows,
-                         bloom_columns=bloom_columns),
-                     "n": 0, "tup": tup}
-                writers[tup] = w
-            return w
-
+        sw = TupleSplitWriter(
+            data_dir, spec,
+            lambda i: f"{prefix}-{job}-{pid:05d}-{i:04d}.orc",
+            codec=codec, stripe_rows=stripe_rows,
+            bloom_columns=bloom_columns)
         for b in batches:
-            if b.num_rows == 0:
-                continue
-            if not spec:
-                w = _sink(())
-                w["writer"].write_batch(b)
-                w["n"] += b.num_rows
-                continue
-            # exact per-row partition tuples, whole-array: dictionary
-            # codes per column (nulls -> a sentinel code), combined
-            # into one group id; bucket values hash per DISTINCT
-            # value only, never per row
-            combo = np.zeros(b.num_rows, dtype=np.int64)
-            valmaps = []
-            for sp in spec:
-                enc = pc.dictionary_encode(
-                    b.column(b.schema.get_field_index(sp["col"])))
-                dvals = enc.dictionary.to_pylist()
-                idx = pc.fill_null(enc.indices, len(dvals)) \
-                    .to_numpy(zero_copy_only=False).astype(np.int64)
-                vals = dvals + [None]
-                if sp["transform"] == "bucket":
-                    vals = [_bucket_of(v, sp["n"]) for v in vals]
-                valmaps.append(vals)
-                combo = combo * len(vals) + idx
-            for u in np.unique(combo):
-                rem = int(u)
-                tup = []
-                for vals in reversed(valmaps):
-                    rem, k = divmod(rem, len(vals))
-                    tup.append(vals[k])
-                tup = tuple(reversed(tup))
-                sub = b.filter(pa.array(combo == u))
-                w = _sink(tup)
-                w["writer"].write_batch(sub)
-                w["n"] += sub.num_rows
-        if not writers:
+            sw.write_batch(b)
+        closed = sw.close()
+        if not closed:
             return
-        names, ns, sizes, stats_l, parts = [], [], [], [], []
-        for w in writers.values():
-            w["writer"].close()
-            names.append(w["name"])
-            ns.append(w["n"])
-            sizes.append(os.path.getsize(w["path"]))
-            stats_l.append(json.dumps(_entry_stats(
-                ORCFile(w["path"]))))
-            parts.append(json.dumps(
-                {sp["str"]: v for sp, v in zip(spec, w["tup"])}))
         yield pa.RecordBatch.from_arrays(
-            [pa.array(names, pa.string()),
-             pa.array(ns, pa.int64()),
-             pa.array(sizes, pa.int64()),
-             pa.array(stats_l, pa.string()),
-             pa.array(parts, pa.string())],
-            names=["name", "n_rows", "bytes", "stats", "partition"])
+            [pa.array([json.dumps(_manifest_entry(
+                c, spec, write_schema, codec)) for c in closed],
+                pa.string())],
+            names=["entry"])
 
-    out_schema = T.StructType([
-        T.StructField("name", T.StringType()),
-        T.StructField("n_rows", T.LongType()),
-        T.StructField("bytes", T.LongType()),
-        T.StructField("stats", T.StringType()),
-        T.StructField("partition", T.StringType())])
+    out_schema = T.StructType([T.StructField("entry",
+                                             T.StringType())])
     rows = df.mapInArrow(kernel, out_schema).collect()  # one/file
-    entries = []
-    for r in rows:
-        e = {"path": f"{_DATA}/{r['name']}", "n_rows": r["n_rows"],
-             "bytes": r["bytes"], "type": write_schema,
-             "codec": codec, "stats": json.loads(r["stats"])}
-        if spec:
-            e["partition"] = json.loads(r["partition"])
-        entries.append(e)
+    entries = [json.loads(r["entry"]) for r in rows]
     return entries, write_schema
 
 

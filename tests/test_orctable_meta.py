@@ -325,3 +325,109 @@ def test_datasource_table_mode_validation(spark, tmp_path):
     with pytest.raises(Exception, match="no tag"):
         (spark.read.format("orc_spark").option("table", t)
          .option("snapshot", "ghost").load()).collect()
+
+
+def test_datasource_table_mode_write_append_overwrite(spark,
+                                                      tmp_path):
+    """df.write.format('orc_spark').option('table', dir): every save
+    is ONE atomic snapshot — append widens the table schema through
+    orctypes.widen and accumulates; overwrite replaces file set and
+    schema; time travel still reproduces the pre-overwrite rows."""
+    from orc_spark.sources import datasource
+    datasource.register(spark)
+    t = str(tmp_path / "tw")
+    orctable.create_table(t, "struct<v:int,tag:string>")
+    _df(spark, 0, 100, 2).write.format("orc_spark") \
+        .option("table", t).mode("append").save()             # v1
+    spark.range(100, 150, 1, 1).selectExpr(
+        "CAST(id AS INT) AS v", "CAST(id AS STRING) AS tag",
+        "CAST(id * 3 AS LONG) AS extra").write \
+        .format("orc_spark").option("table", t) \
+        .mode("append").save()                                # v2
+    cur = spark.read.format("orc_spark").option("table", t).load()
+    assert set(cur.columns) == {"v", "tag", "extra"}
+    assert cur.count() == 150
+    assert cur.where("extra = 300").count() == 1
+    assert cur.where("v < 100").where("extra IS NULL").count() == 100
+    _df(spark, 0, 10).write.format("orc_spark") \
+        .option("table", t).mode("overwrite").save()          # v3
+    now = spark.read.format("orc_spark").option("table", t).load()
+    assert now.count() == 10 and set(now.columns) == {"v", "tag"}
+    v2 = (spark.read.format("orc_spark").option("table", t)
+          .option("snapshot", "2").load())
+    assert v2.count() == 150 and "extra" in v2.columns
+    ops = {r["version"]: r["operation"]
+           for r in orctable.table_history(spark, t).collect()}
+    assert ops[1] == "append" and ops[2] == "append" \
+        and ops[3] == "overwrite"
+
+
+def test_datasource_table_mode_write_partitioned(spark, tmp_path):
+    """A partitioned table written through the DataSource gets exact
+    per-tuple data files (manifest partition pruning works on them),
+    and a frame missing a partition column is rejected driver-side."""
+    from orc_spark.sources import datasource
+    datasource.register(spark)
+    t = str(tmp_path / "twp")
+    orctable.create_table(t, "struct<v:int,src:string>",
+                          partition_by=["src"])
+    spark.range(0, 400, 1, 2).selectExpr(
+        "CAST(id AS INT) AS v",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS src") \
+        .write.format("orc_spark").option("table", t) \
+        .mode("append").save()
+    snap = orctable.load_snapshot(t)
+    entries = orctable.manifest_entries(t, snap)
+    assert entries and all(
+        e["partition"]["identity(src)"] in ("a", "b")
+        for e in entries)
+    parts = {json.loads(r["partition"])["identity(src)"]: r["n_rows"]
+             for r in orctable.table_partitions(spark, t).collect()}
+    assert parts == {"a": 200, "b": 200}
+    got = (spark.read.format("orc_spark").option("table", t)
+           .load().where("src = 'a'"))
+    assert got.count() == 200
+    with pytest.raises(Exception, match="partition column"):
+        spark.range(3).selectExpr("CAST(id AS INT) AS v").write \
+            .format("orc_spark").option("table", t) \
+            .mode("append").save()
+
+
+def test_datasource_table_writer_atomicity_and_abort(spark,
+                                                     tmp_path):
+    """Direct protocol drive: nothing is visible before commit()
+    (files in data/ are unreferenced), abort() sweeps this job's
+    files by prefix, concurrent APPEND jobs prepared against the
+    same base both land (rebase), and an OVERWRITE prepared against
+    a moved table conflicts loudly."""
+    import pyarrow as pa
+
+    from orc_spark.sources import datasource as ds
+    t = str(tmp_path / "twa")
+    orctable.create_table(t, "struct<v:int>")
+    schema = spark.range(1).selectExpr("CAST(id AS INT) AS v").schema
+
+    def batches(vals):
+        return iter(pa.table(
+            {"v": pa.array(vals, pa.int32())}).to_batches())
+
+    w = ds.OrcTableWriter({"table": t}, False, schema)
+    msg = w.write(batches([1, 2, 3]))
+    assert os.listdir(os.path.join(t, "data"))      # bytes on disk
+    assert orctable.load_snapshot(t)["version"] == 0  # invisible
+    w.abort([msg, None])
+    assert os.listdir(os.path.join(t, "data")) == []
+
+    wa = ds.OrcTableWriter({"table": t}, False, schema)
+    wb = ds.OrcTableWriter({"table": t}, False, schema)  # same base
+    wo = ds.OrcTableWriter({"table": t}, True, schema)   # overwrite
+    ma = wa.write(batches([1, 2, 3]))
+    me = wa.write(iter([]))                # empty task: no file
+    mb = wb.write(batches([4, 5]))
+    wa.commit([ma, me])
+    wb.commit([mb])                        # append rebases: no clash
+    snap = orctable.load_snapshot(t)
+    assert snap["version"] == 2 and snap["summary"]["n_rows"] == 5
+    mo = wo.write(batches([9]))
+    with pytest.raises(orctable.CommitConflict):
+        wo.commit([mo])                    # table moved under it
