@@ -48,6 +48,9 @@ replayable file stream (offset = seen-file set; admission control
 via ``max_files_per_trigger``; empty-directory starts via the
 ``schema`` option), and ``OrcStreamWriter`` commits each microbatch
 under batch-scoped part names so recovery replays idempotently.
+With ``option("table", dir)`` the stream writes into a snapshot
+table instead — one atomic append commit per micro-batch, replayed
+batch ids skipped (OrcTableStreamWriter).
 """
 
 from __future__ import annotations
@@ -627,6 +630,61 @@ class OrcStreamWriter(OrcWriter, DataSourceStreamArrowWriter):
         OrcWriter.abort(self, messages)
 
 
+class OrcTableStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("orc_spark").option("table", dir)`` —
+    streaming encode into a snapshot table, one atomic APPEND commit
+    per micro-batch, exactly-once via the same batch-id convention as
+    orctable.stream_write_table: the commit summary records
+    ``{"stream": {"query", "batch_id"}}``, so a batch replayed after
+    a crash between commit and checkpoint-advance finds its id
+    already in the table history, sweeps the files it just wrote and
+    SKIPS — no double append.  ``query`` option names the sink for
+    multi-stream tables (default "default").  Append output mode
+    only: a streaming overwrite would drop other writers' commits."""
+
+    def __init__(self, options, overwrite: bool, schema, fs=None):
+        if overwrite:
+            raise ValueError(
+                "orc_spark datasource: table streaming sink is "
+                "append-only (outputMode('append'))")
+        self._w = OrcTableWriter(options, False, schema, fs=fs)
+        self.query = options.get("query", "default")
+
+    def write(self, iterator):
+        return self._w.write(iterator)
+
+    def _sweep(self, messages) -> None:
+        # remove exactly THIS batch's files (never a prefix sweep —
+        # earlier batches share the job prefix and are committed);
+        # files of failed tasks (None messages) are unreferenced
+        # orphans that remove_orphans reclaims after the grace period
+        w = self._w
+        for m in messages or []:
+            if m is not None:
+                for e in m.entries:
+                    w.fs.remove(os.path.join(w.table, e["path"]))
+
+    def commit(self, messages, batchId: int) -> None:
+        from . import orctable
+        w = self._w
+        last = orctable._last_stream_batch(w.table, self.query)
+        if last is not None and batchId <= last:
+            self._sweep(messages)  # replay of a committed batch
+            return
+        entries = [e for m in messages if m is not None
+                   for e in m.entries]
+        manifest = orctable._write_manifest(w.table, entries) \
+            if entries else None
+        orctable._commit_retrying(
+            w.table, orctable.load_snapshot(w.table), "append",
+            manifest, entries, w.write_schema,
+            extra={"stream": {"query": self.query,
+                              "batch_id": int(batchId)}})
+
+    def abort(self, messages, batchId: int) -> None:
+        self._sweep(messages)
+
+
 class _TableCommit(WriterCommitMessage):
     """Manifest entries written by one task (plain dicts — the
     driver folds all tasks' entries into ONE atomic snapshot)."""
@@ -684,6 +742,8 @@ class OrcTableWriter(DataSourceArrowWriter):
         return os.path.join(self.table, orctable._DATA)
 
     def write(self, iterator):
+        import uuid
+
         from pyspark import TaskContext
 
         from orc_spark._alloc import tune_worker
@@ -694,9 +754,14 @@ class OrcTableWriter(DataSourceArrowWriter):
         pid = ctx.partitionId() if ctx is not None else 0
         data_dir = self._data_dir()
         self.fs.makedirs(data_dir)
+        # a per-CALL uuid, not just (job, pid): the streaming variant
+        # reuses one pickled writer across micro-batches whose task
+        # partition ids restart at 0 — deterministic names would
+        # clobber a previous batch's committed files
+        tid = uuid.uuid4().hex[:8]
         sw = orctable.TupleSplitWriter(
             data_dir, self.spec,
-            lambda i: f"part-{self.job}-{pid:05d}-{i:04d}.orc",
+            lambda i: f"part-{self.job}-{pid:05d}-{tid}-{i:04d}.orc",
             codec=self.codec, stripe_rows=self.stripe_rows,
             bloom_columns=self.bloom_columns)
         for batch in iterator:
@@ -779,5 +844,8 @@ class OrcDataSource(DataSource):
     def streamReader(self, schema) -> OrcStreamReader:
         return OrcStreamReader(self.options)
 
-    def streamWriter(self, schema, overwrite: bool) -> OrcStreamWriter:
+    def streamWriter(self, schema, overwrite: bool):
+        if self.options.get("table"):
+            return OrcTableStreamWriter(self.options, overwrite,
+                                        schema)
         return OrcStreamWriter(self.options, overwrite)

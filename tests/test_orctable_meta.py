@@ -431,3 +431,49 @@ def test_datasource_table_writer_atomicity_and_abort(spark,
     mo = wo.write(batches([9]))
     with pytest.raises(orctable.CommitConflict):
         wo.commit([mo])                    # table moved under it
+
+
+def test_datasource_table_stream_sink_exactly_once(spark, tmp_path):
+    """df.writeStream.format('orc_spark').option('table', dir): one
+    atomic append snapshot per micro-batch with the batch id in the
+    summary; a replayed batch id sweeps its files and skips (no
+    double append), matching stream_write_table's convention."""
+    import pyarrow as pa
+
+    from orc_spark.sources import datasource
+    from orc_spark.sources import datasource as ds
+    datasource.register(spark)
+    t = str(tmp_path / "tss")
+    orctable.create_table(t, "struct<id:bigint,txt:string>")
+    pin = str(tmp_path / "pin")
+    spark.range(0, 1000).selectExpr(
+        "id", "cast(id as string) as txt") \
+        .coalesce(2).write.parquet(pin)
+    q = (spark.readStream.schema("id long, txt string").parquet(pin)
+         .writeStream.format("orc_spark").option("table", t)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    snap = orctable.load_snapshot(t)
+    assert snap["operation"] == "append"
+    assert snap["summary"]["stream"]["batch_id"] == 0
+    got = orctable.read_table(spark, t).selectExpr(
+        "count(*) c", "sum(id) s").collect()[0]
+    assert (got["c"], got["s"]) == (1000, 999 * 1000 // 2)
+    # direct replay of batch 0: swept + skipped, not duplicated
+    schema = spark.range(1).selectExpr(
+        "id", "cast(id as string) as txt").schema
+    w = ds.OrcTableStreamWriter({"table": t}, False, schema)
+    n_files = len(os.listdir(os.path.join(t, "data")))
+    msg = w.write(iter(pa.table(
+        {"id": [1, 2], "txt": ["a", "b"]}).to_batches()))
+    w.commit([msg], 0)
+    assert orctable.load_snapshot(t)["version"] == snap["version"]
+    assert len(os.listdir(os.path.join(t, "data"))) == n_files
+    # a NEW batch id commits
+    msg2 = w.write(iter(pa.table(
+        {"id": [7], "txt": ["z"]}).to_batches()))
+    w.commit([msg2], 1)
+    assert orctable.read_table(spark, t).count() == 1001
+    with pytest.raises(ValueError, match="append-only"):
+        ds.OrcTableStreamWriter({"table": t}, True, schema)
