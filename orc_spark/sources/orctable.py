@@ -974,6 +974,108 @@ def rewrite_sorted(spark, table: str, sort_by: list[str],
         base["schema"], extra={"sorted_by": list(sort_by)})
 
 
+_Z_KINDS = ("tinyint", "smallint", "int", "bigint", "float",
+            "double", "date", "timestamp")
+
+
+def rewrite_zorder(spark, table: str, by: list[str],
+                   target_bytes: int = 256 << 20,
+                   codec: str | None = None, bits: int = 8) -> dict:
+    """Z-order rewrite (Iceberg ``rewrite_data_files`` with a zorder
+    strategy): recluster the file set along a space-filling curve
+    over 2-4 NUMERIC/date/timestamp columns so MULTI-column
+    predicates prune files — a single-key sort (rewrite_sorted)
+    makes its one key selective and leaves every other column's
+    min/max spanning the full range; z-order keeps every curve
+    column's per-file range narrow (width ~ range / files^(1/k)).
+
+    Spark-native and exact: one pass computes ``2^bits`` quantile
+    boundaries per column (multi-column approxQuantile — ONE scan,
+    driver gets k*256 doubles), each row maps to per-column bucket
+    ids via a codegen'd boundary count (no Python, no join), the
+    bucket bits interleave into one long z-value, and the frame
+    range-repartitions + sorts on it.  Quantile (not equal-width)
+    buckets make the curve skew-proof: a long-tail column still
+    spreads over all 2^bits levels.  Row-preserving ``replace``
+    commit, exactly like compaction — changelog readers skip it,
+    time travel to the old layout works.  Partitioned tables keep
+    their transform clustering and z-order WITHIN each tuple."""
+    from pyspark.sql import functions as F
+    if not 1 <= len(by) * bits <= 63:
+        raise ValueError("orc_table: zorder needs 1..63 total bits "
+                         f"(got {len(by)} cols x {bits} bits)")
+    base = load_snapshot(table)
+    root = orctypes.parse_orc_type(base["schema"])
+    kinds = dict(zip(root.field_names,
+                     [ch.kind for ch in root.children]))
+    for c in by:
+        if c not in root.field_names:
+            raise ValueError(
+                f"orc_table: zorder column {c!r} not in table schema "
+                f"({root.field_names})")
+        if kinds[c] not in _Z_KINDS:
+            raise ValueError(
+                f"orc_table: zorder column {c!r} has kind "
+                f"{kinds[c]!r}; orderable kinds are {_Z_KINDS} "
+                f"(strings: bucket partition + blooms serve "
+                f"equality; ranges over hashes are meaningless)")
+    entries = manifest_entries(table, base)
+    if not entries:
+        return base
+    spec = _parse_spec(base.get("spec", []))
+    out_codec = codec or entries[0].get("codec") or "zlib"
+    df = read_table(spark, table)
+    nb = 1 << bits
+    casted = df.select(*[F.col(c).cast("double").alias(f"q{i}")
+                         for i, c in enumerate(by)])
+    probs = [i / nb for i in range(1, nb)]
+    quants = casted.approxQuantile(
+        [f"q{i}" for i in range(len(by))], probs, 1.0 / (4 * nb))
+    k = len(by)
+    zbits = F.lit(0)
+    for i, (c, qs) in enumerate(zip(by, quants)):
+        bounds = sorted(set(q for q in qs if q is not None))
+        if bounds:
+            arr = F.array(*[F.lit(float(x)) for x in bounds])
+            cnt = F.aggregate(
+                arr, F.lit(0),
+                lambda acc, x: acc + F.when(
+                    F.col(c).cast("double") >= x, 1).otherwise(0))
+            # rescale distinct-boundary count back to the bit range
+            bucket = F.least(
+                F.lit(nb - 1),
+                F.floor(cnt * nb / (len(bounds) + 1)).cast("int"))
+        else:
+            bucket = F.lit(0)  # all-null column: one level
+        bucket = F.when(F.col(c).isNull(), F.lit(0)).otherwise(bucket)
+        for bit in range(bits):
+            zbits = zbits + F.shiftleft(
+                F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                bit * k + i)
+    df = df.withColumn("__z", zbits.cast("long"))
+    if spec:
+        exprs = [F.col(sp["col"]) if sp["transform"] == "identity"
+                 else (F.conv(F.substring(
+                     F.md5(F.col(sp["col"]).cast("string")), 1, 15),
+                     16, 10).cast("long") % sp["n"])
+                 for sp in spec]
+        df = df.repartition(*exprs).sortWithinPartitions("__z")
+    else:
+        total = sum(e["bytes"] for e in entries)
+        n = max(1, -(-total // target_bytes))
+        df = df.repartitionByRange(n, F.col("__z")) \
+            .sortWithinPartitions("__z")
+    df = df.drop("__z")
+    new_entries, write_schema = _write_data_files(
+        df, table, spec, codec=out_codec, prefix="zorder",
+        cluster=False)
+    manifest = _write_manifest(table, new_entries) if new_entries \
+        else None
+    return _commit_retrying(
+        table, base, "replace", manifest, new_entries,
+        base["schema"], extra={"zordered_by": list(by)})
+
+
 # ------------------------------------------------------------------
 # row-level deletes, rollback, retention
 # ------------------------------------------------------------------

@@ -320,3 +320,59 @@ def test_read_table_changes_appends_only(spark, tmp_path):
     got = sorted(r["v"] for r in orctable.read_table_changes(
         spark, t, from_version=0, to_version=4).collect())
     assert got == list(range(170))
+
+
+def test_rewrite_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order rewrite: after an x-sorted ingestion layout (y spans
+    every file, so y-predicates prune nothing), rewrite_zorder over
+    (x, y) makes BOTH columns' manifest stats selective — a box
+    predicate keeps a small minority of files — while preserving
+    every row, committing as a replace (changelog-silent, time
+    travel to the old layout intact)."""
+    from orc_spark.sources import orctable
+    t = str(tmp_path / "zt")
+    orctable.create_table(t, "struct<x:int,y:int,v:bigint>")
+    # x and y independent uniform on [0, 4096); written sorted by x
+    df = spark.range(0, 4096 * 4, 1, 1).selectExpr(
+        "CAST(id % 4096 AS INT) AS x",
+        "CAST(conv(substring(md5(cast(id as string)), 1, 8), 16, 10) "
+        "% 4096 AS INT) AS y",
+        "id AS v").orderBy("x")
+    orctable.write_table(df.repartitionByRange(16, "x")
+                         .sortWithinPartitions("x"), t)   # v1
+    base = orctable.load_snapshot(t)
+    ents = orctable.manifest_entries(t, base)
+    assert len(ents) >= 8
+    ypred = [("y", "<", 256)]                     # 1/16 of y-space
+    before = sum(orctable._entry_survives(e, ypred) for e in ents)
+    assert before == len(ents)                    # y prunes NOTHING
+    snap = orctable.rewrite_zorder(spark, t, ["x", "y"],
+                                   target_bytes=5 << 10)
+    assert snap["operation"] == "replace"
+    assert snap["summary"]["zordered_by"] == ["x", "y"]
+    zents = orctable.manifest_entries(t, snap)
+    assert len(zents) >= 8
+    ysurv = sum(orctable._entry_survives(e, ypred) for e in zents)
+    xsurv = sum(orctable._entry_survives(e, [("x", "<", 256)])
+                for e in zents)
+    assert ysurv <= len(zents) // 2, (ysurv, len(zents))
+    assert xsurv <= len(zents) // 2, (xsurv, len(zents))
+    box = [("x", "<", 1024), ("y", "<", 1024)]    # 1/16 box
+    bsurv = sum(orctable._entry_survives(e, box) for e in zents)
+    assert bsurv < len(zents) // 2, (bsurv, len(zents))
+    # row preservation, exact
+    got = orctable.read_table(spark, t).selectExpr(
+        "count(*) c", "sum(v) s", "sum(x) sx", "sum(y) sy") \
+        .collect()[0]
+    n = 4096 * 4
+    assert got["c"] == n and got["s"] == n * (n - 1) // 2
+    # time travel to the unsorted layout still answers identically
+    old = orctable.read_table(spark, t, snapshot=base["version"]) \
+        .selectExpr("sum(v) s").collect()[0]
+    assert old["s"] == got["s"]
+    # strings are rejected loudly
+    orctable.create_table(str(tmp_path / "zs"),
+                          "struct<s:string>")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="orderable kinds"):
+        orctable.rewrite_zorder(spark, str(tmp_path / "zs"), ["s"])
