@@ -703,6 +703,12 @@ def _q_orc_merge_compact(spark, sf_dir):
                .select(*cols)))
     orctable.merge_table(spark, t, src, on="doc_id")
     snap = orctable.compact_table(spark, t, target_bytes=1 << 40)
+    # ALTER TABLE (r5): rename source -> label METADATA-ONLY; every
+    # data file still carries the old physical name, so this read
+    # exercises the name-history mapping scan (_scan_entries groups
+    # by physical->logical epoch and aliases back) — values must
+    # stay bit-identical to the oracle
+    orctable.rename_column(t, "source", "label")
     df = orctable.read_table(spark, t)
     v1 = orctable.read_table(spark, t, snapshot=1)
     n_files = snap["summary"]["n_files"]
@@ -711,11 +717,11 @@ def _q_orc_merge_compact(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
         F.countDistinct("doc_id").alias("n_ids"),
-        F.sum(F.when(F.col("source") == "hot", 1).otherwise(0))
+        F.sum(F.when(F.col("label") == "hot", 1).otherwise(0))
         .cast("long").alias("n_hot"),
-        F.sum(F.when(F.col("source") == "merged", 1).otherwise(0))
+        F.sum(F.when(F.col("label") == "merged", 1).otherwise(0))
         .cast("long").alias("n_merged"),
-        F.sum(F.when(F.col("source") == "inserted", 1).otherwise(0))
+        F.sum(F.when(F.col("label") == "inserted", 1).otherwise(0))
         .cast("long").alias("n_ins")) \
         .crossJoin(v1.agg(F.count("*").alias("n_docs_v1")))
 

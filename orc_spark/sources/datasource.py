@@ -193,6 +193,12 @@ class OrcReader(DataSourceReader):
                                               self.table))
                 self._entries = orctable.manifest_entries(
                     self.table, snap)
+                # the one-scan DataSource plan addresses columns by
+                # physical name; renamed-legacy files need the
+                # mapping read path (orctable.read_table) or a
+                # rewrite_migrate first
+                orctable._require_migrated(
+                    snap, self._entries, "DataSource table read")
                 self._spec = orctable._parse_spec(
                     snap.get("spec", []))
                 files = [os.path.join(self.table, e["path"])

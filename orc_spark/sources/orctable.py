@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from .. import orctypes
@@ -256,6 +257,9 @@ def create_table(table: str, schema: str,
     snap = {"version": 0, "parent": None, "operation": "create",
             "schema": root.orc_string(),
             "spec": [sp["str"] for sp in spec], "manifests": [],
+            "columns": [{"id": i + 1, "name": n, "prev": []}
+                        for i, n in enumerate(root.field_names)],
+            "retired": [],
             "summary": {"n_files": 0, "n_rows": 0, "bytes": 0,
                         "added_files": 0, "added_rows": 0}}
     if not _try_commit(table, snap):
@@ -305,11 +309,14 @@ def _commit_retrying(table: str, base: dict, operation: str,
                        "added_files": len(new_entries),
                        "added_rows": added_rows}
         summary.update(extra or {})
+        columns, retired = _sync_columns(latest, schema, operation)
         snap = {"version": latest["version"] + 1,
                 "parent": latest["version"], "operation": operation,
                 "schema": schema,
                 "spec": latest.get("spec", []),
-                "manifests": manifests, "summary": summary}
+                "manifests": manifests,
+                "columns": columns, "retired": retired,
+                "summary": summary}
         if _try_commit(table, snap):
             return snap
         latest = load_snapshot(table)  # lost the race: rebase
@@ -640,6 +647,210 @@ def _entry_survives(entry: dict, preds: list[tuple],
     return True
 
 
+# ------------------------------------------------------------------
+# schema evolution (ALTER TABLE): stable field ids + name history
+# ------------------------------------------------------------------
+#
+# Snapshots carry ``columns`` ([{"id", "name", "prev": [old names]}])
+# and ``retired`` (names of dropped columns, plus their histories).
+# Data files are NEVER rewritten by an ALTER: a renamed column keeps
+# its old name inside already-written files, and the read path maps
+# physical -> logical per file through the name history (the same
+# role Iceberg's field ids play).  Historical names stay reserved —
+# reusing one would make an old file's column ambiguous — so
+# add/rename reject them loudly.
+
+
+def _columns_meta(snap: dict) -> tuple[list[dict], list[str]]:
+    """(columns, retired) for a snapshot; synthesized from the schema
+    for snapshots written before this metadata existed (those tables
+    have never seen a rename, so identity ids are exact)."""
+    cols = snap.get("columns")
+    if cols is None:
+        root = orctypes.parse_orc_type(snap["schema"])
+        return ([{"id": i + 1, "name": n, "prev": []}
+                 for i, n in enumerate(root.field_names)],
+                list(snap.get("retired", [])))
+    return ([{"id": c["id"], "name": c["name"],
+              "prev": list(c.get("prev", []))} for c in cols],
+            list(snap.get("retired", [])))
+
+
+def _names_ever(cols: list[dict], retired: list[str]) -> set:
+    used = set(retired)
+    for c in cols:
+        used.add(c["name"])
+        used.update(c.get("prev", []))
+    return used
+
+
+def _sync_columns(latest: dict, new_schema: str,
+                  operation: str) -> tuple[list[dict], list[str]]:
+    """columns/retired metadata for a commit moving ``latest`` to
+    ``new_schema``.  Widening commits extend (new top-level names get
+    fresh ids; reusing a historical name is rejected — an old data
+    file could no longer resolve it unambiguously).  ``overwrite``
+    resets: no pre-overwrite data file survives, so the name history
+    restarts clean."""
+    new_names = orctypes.parse_orc_type(new_schema).field_names
+    if operation == "overwrite":
+        return ([{"id": i + 1, "name": n, "prev": []}
+                 for i, n in enumerate(new_names)], [])
+    cols, retired = _columns_meta(latest)
+    have = {c["name"] for c in cols}
+    used = _names_ever(cols, retired)
+    nxt = max((c["id"] for c in cols), default=0) + 1
+    for n in new_names:
+        if n in have:
+            continue
+        if n in used:
+            raise ValueError(
+                f"orc_table: column name {n!r} belonged to a "
+                f"renamed/dropped column; historical names stay "
+                f"reserved so old data files resolve unambiguously "
+                f"— pick a fresh name")
+        cols.append({"id": nxt, "name": n, "prev": []})
+        have.add(n)
+        nxt += 1
+    return cols, retired
+
+
+def _phys_of(type_str: str, cols: list[dict], cache: dict) -> dict:
+    """logical column name -> PHYSICAL field name inside data files
+    whose footer type is ``type_str``.  Identity unless the column
+    was renamed after the file was written; columns the file
+    predates are absent (the scan null-fills them)."""
+    got = cache.get(type_str)
+    if got is None:
+        try:
+            names = set(orctypes.parse_orc_type(type_str).field_names)
+        except Exception:
+            names = set()
+        got = {}
+        for c in cols:
+            if c["name"] in names:
+                got[c["name"]] = c["name"]
+            else:
+                for p in c.get("prev", []):
+                    if p in names:
+                        got[c["name"]] = p
+                        break
+        cache[type_str] = got
+    return got
+
+
+def _xlate(col: str, m: dict) -> str:
+    """Rename the TOP-LEVEL segment of a (possibly dotted) column."""
+    head, dot, rest = col.partition(".")
+    return m.get(head, head) + dot + rest
+
+
+def _legacy_entries(entries: list[dict], cols: list[dict]
+                    ) -> list[dict]:
+    """Manifest entries whose data files carry a since-renamed
+    physical column name (empty unless a rename ever happened)."""
+    prevs = {p for c in cols for p in c.get("prev", [])}
+    if not prevs:
+        return []
+    out = []
+    for e in entries:
+        try:
+            names = set(orctypes.parse_orc_type(
+                e.get("type", "")).field_names)
+        except Exception:
+            names = set()
+        if names & prevs:
+            out.append(e)
+    return out
+
+
+def _require_migrated(snap: dict, entries: list[dict],
+                      what: str) -> None:
+    """Per-file rewrite operations (DELETE/UPDATE/MERGE, hybrid
+    COUNT) address columns by physical name inside each file; they
+    refuse tables holding files written under since-renamed names
+    rather than silently matching nothing."""
+    cols, _ = _columns_meta(snap)
+    legacy = _legacy_entries(entries, cols)
+    if legacy:
+        raise ValueError(
+            f"orc_table: {what} over {len(legacy)} data file(s) "
+            f"written under since-renamed column names — run "
+            f"rewrite_migrate (or rewrite_sorted/rewrite_zorder) "
+            f"first to normalize the layout")
+
+
+def _scan_entries(spark, table: str, snap: dict, entries: list[dict],
+                  columns: list[str] | None = None, predicate=None,
+                  timestamp_nanos: bool = False,
+                  on_error: str = "fail"):
+    """DataFrame over a manifest entry list under ``snap``'s LOGICAL
+    schema.  Entries group by their physical->logical rename mapping
+    (one group per schema epoch — almost always exactly one); each
+    group scans with translated predicates/projection so stripe,
+    stride and bloom pruning still bite on old physical names, then
+    aliases back to logical names and unions.  Manifest min/max
+    pruning also happens here, per entry, under the entry's own
+    physical names."""
+    from pyspark.sql import functions as F
+
+    from .orcscan import _pred_list, _spark_of, orc_scan
+    cols_meta, _ = _columns_meta(snap)
+    renamed = any(c.get("prev") for c in cols_meta)
+    preds = _pred_list(predicate)
+    spec = _parse_spec(snap.get("spec", []))
+    root = orctypes.parse_orc_type(snap["schema"])
+    cache: dict = {}
+    groups: dict[tuple, list[dict]] = {}
+    for e in entries:
+        if renamed:
+            m = _phys_of(e.get("type", ""), cols_meta, cache)
+            key = tuple(sorted(
+                (l, p) for l, p in m.items() if l != p))
+        else:
+            key = ()
+        if preds:
+            ep = [( _xlate(c, dict(key)), op, v)
+                  for c, op, v in preds] if key else preds
+            if not _entry_survives(e, ep, spec):
+                continue
+        groups.setdefault(key, []).append(e)
+    if not groups:
+        out = spark.createDataFrame(
+            [], _spark_of(root, timestamp_nanos))
+        if columns:
+            out = out.select(*[F.col(c).alias(c) for c in columns])
+        return out
+    out = None
+    for key, es in groups.items():
+        files = [os.path.join(table, e["path"]) for e in es]
+        if not key:
+            part = orc_scan(spark, files, columns=columns,
+                            predicate=predicate,
+                            timestamp_nanos=timestamp_nanos,
+                            on_error=on_error,
+                            declared_type=snap["schema"])
+        else:
+            m = dict(key)
+            g_root = orctypes.OrcType(
+                "struct", list(root.children),
+                [m.get(fn, fn) for fn in root.field_names])
+            g_cols = [_xlate(c, m) for c in columns] \
+                if columns else None
+            g_preds = [(_xlate(c, m), op, v)
+                       for c, op, v in preds] or None
+            part = orc_scan(spark, files, columns=g_cols,
+                            predicate=g_preds,
+                            timestamp_nanos=timestamp_nanos,
+                            on_error=on_error,
+                            declared_type=g_root.orc_string())
+            # positional rename back to logical names (orc_scan
+            # returns columns in projection / declared-root order)
+            part = part.toDF(*(columns or root.field_names))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def read_table(spark, table: str, snapshot=None,
                columns: list[str] | None = None, predicate=None,
                timestamp_nanos: bool = False, on_error: str = "fail"):
@@ -647,30 +858,16 @@ def read_table(spark, table: str, snapshot=None,
     travels, a string resolves as a tag name).  File set and
     schema come from table metadata — no directory listing, no
     footer-union pass; manifest stats prune whole files before the
-    stripe/stride/bloom planning chain sees them."""
-    from pyspark.sql import functions as F
-
-    from .orcscan import _pred_list, _spark_of, orc_scan
+    stripe/stride/bloom planning chain sees them.  Columns renamed
+    by ``rename_column`` resolve through the table's name history —
+    files written before the rename scan under their physical name
+    and alias back (see ``_scan_entries``)."""
     snap = load_snapshot(table, _resolve_ref(table, snapshot))
     entries = manifest_entries(table, snap)
-    preds = _pred_list(predicate)
-    if preds:
-        spec = _parse_spec(snap.get("spec", []))
-        entries = [e for e in entries
-                   if _entry_survives(e, preds, spec)]
-    if not entries:
-        root = orctypes.parse_orc_type(snap["schema"])
-        out = spark.createDataFrame(
-            [], _spark_of(root, timestamp_nanos))
-        if columns:
-            out = out.select(*[F.col(c).alias(c) for c in columns])
-        return out
-    files = [os.path.join(table, e["path"]) for e in entries]
-    return orc_scan(spark, files, columns=columns,
-                    predicate=predicate,
-                    timestamp_nanos=timestamp_nanos,
-                    on_error=on_error,
-                    declared_type=snap["schema"])
+    return _scan_entries(spark, table, snap, entries,
+                         columns=columns, predicate=predicate,
+                         timestamp_nanos=timestamp_nanos,
+                         on_error=on_error)
 
 
 def table_files(spark, table: str, snapshot=None):
@@ -1327,6 +1524,7 @@ def delete_from(spark, table: str, predicate) -> dict:
             "every row, write_table(empty_df, mode='overwrite')")
     base = load_snapshot(table)
     entries = manifest_entries(table, base)
+    _require_migrated(base, entries, "delete_from")
     spec = _parse_spec(base.get("spec", []))
     untouched = [e for e in entries
                  if not _entry_survives(e, preds, spec)]
@@ -1453,6 +1651,7 @@ def update_table(spark, table: str, set: dict, predicate=None) -> dict:
                 f"updating it would falsify manifest partition "
                 f"tuples; rewrite via read + overwrite instead")
     entries = manifest_entries(table, base)
+    _require_migrated(base, entries, "update_table")
     if preds:
         untouched = [e for e in entries
                      if not _entry_survives(e, preds, spec)]
@@ -1730,6 +1929,9 @@ def merge_table(spark, table: str, source_df, on: str,
                 write_schema)).orc_string(),
             extra={"matched_rows": matched, "plan": "shuffle"})
     entries = manifest_entries(table, base)
+    # broadcast COW rewrites files in place (physical names);
+    # the shuffle plan above is rename-safe (reads via read_table)
+    _require_migrated(base, entries, "merge_table (broadcast COW)")
     matched = dropped = rewritten = 0
     new_entries = []
     if n_keys:
@@ -1812,11 +2014,13 @@ def rollback_table(table: str, to_version: int) -> dict:
     if old["version"] == base["version"]:
         return base
     entries = manifest_entries(table, old)
+    old_cols, old_retired = _columns_meta(old)
     snap = {"version": base["version"] + 1,
             "parent": base["version"], "operation": "rollback",
             "schema": old["schema"],
             "spec": old.get("spec", []),
             "manifests": list(old["manifests"]),
+            "columns": old_cols, "retired": old_retired,
             "summary": {"n_files": len(entries),
                         "n_rows": sum(e["n_rows"] for e in entries),
                         "bytes": sum(e["bytes"] for e in entries),
@@ -1827,6 +2031,183 @@ def rollback_table(table: str, to_version: int) -> dict:
             f"orc_table: rollback prepared against "
             f"v{base['version']} but another commit landed first")
     return snap
+
+
+# ------------------------------------------------------------------
+# ALTER TABLE: add / drop / rename column (metadata-only commits)
+# ------------------------------------------------------------------
+
+
+_COLNAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _check_colname(name: str) -> None:
+    if not isinstance(name, str) or not _COLNAME_RE.match(name):
+        raise ValueError(
+            f"orc_table: invalid column name {name!r} "
+            f"(want [A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _alter_guard_spec(base: dict, name: str, what: str) -> None:
+    for sp in _parse_spec(base.get("spec", [])):
+        if sp["col"] == name:
+            raise ValueError(
+                f"orc_table: cannot {what} {name!r}: it is the "
+                f"source of partition transform {sp['str']!r} — "
+                f"manifest partition tuples and writer clustering "
+                f"key on it")
+
+
+def _alter_commit(table: str, base: dict, operation: str, root,
+                  cols: list[dict], retired: list[str],
+                  extra: dict) -> dict:
+    """Metadata-only snapshot: same manifests/file set, new schema +
+    column metadata.  Conflicts loudly (like overwrite) — rebasing a
+    schema change over a concurrent commit is not safe."""
+    entries = manifest_entries(table, base)
+    snap = {"version": base["version"] + 1,
+            "parent": base["version"], "operation": operation,
+            "schema": root.orc_string(),
+            "spec": base.get("spec", []),
+            "manifests": list(base["manifests"]),
+            "columns": cols, "retired": retired,
+            "summary": {"n_files": len(entries),
+                        "n_rows": sum(e["n_rows"] for e in entries),
+                        "bytes": sum(e["bytes"] for e in entries),
+                        "added_files": 0, "added_rows": 0, **extra}}
+    if not _try_commit(table, snap):
+        raise CommitConflict(
+            f"orc_table: {operation} prepared against "
+            f"v{base['version']} but another commit landed first")
+    return snap
+
+
+def add_column(table: str, name: str, orc_type: str) -> dict:
+    """ALTER TABLE ADD COLUMN — metadata-only: no data file changes;
+    existing rows read NULL for the new column (exactly the widened
+    append semantics).  ``orc_type`` is any canonical ORC type
+    string (``bigint``, ``struct<...>``, ...).  Historical names of
+    renamed/dropped columns are reserved and rejected."""
+    _check_colname(name)
+    base = load_snapshot(table)
+    root = orctypes.parse_orc_type(base["schema"])
+    child = orctypes.parse_orc_type(orc_type)
+    cols, retired = _columns_meta(base)
+    if name in root.field_names:
+        raise ValueError(
+            f"orc_table: column {name!r} already exists")
+    if name in _names_ever(cols, retired):
+        raise ValueError(
+            f"orc_table: column name {name!r} belonged to a "
+            f"renamed/dropped column; historical names stay "
+            f"reserved so old data files resolve unambiguously")
+    new_root = orctypes.OrcType(
+        "struct", list(root.children) + [child],
+        list(root.field_names) + [name])
+    cols.append({"id": max((c["id"] for c in cols), default=0) + 1,
+                 "name": name, "prev": []})
+    return _alter_commit(
+        table, base, "add-column", new_root, cols, retired,
+        {"added_column": f"{name}:{child.orc_string()}"})
+
+
+def drop_column(table: str, name: str) -> dict:
+    """ALTER TABLE DROP COLUMN — metadata-only: data files keep the
+    column's bytes (time travel to pre-drop versions still reads
+    it), but the current schema no longer exposes it and scans never
+    decode its streams.  The name (and its rename history) stays
+    reserved; a rewrite (migrate/sorted/zorder/compact-recode) is
+    how the bytes are eventually reclaimed."""
+    base = load_snapshot(table)
+    root = orctypes.parse_orc_type(base["schema"])
+    if name not in root.field_names:
+        raise ValueError(
+            f"orc_table: column {name!r} not in table schema "
+            f"({root.field_names})")
+    if len(root.field_names) == 1:
+        raise ValueError(
+            "orc_table: cannot drop the last column")
+    _alter_guard_spec(base, name, "drop column")
+    cols, retired = _columns_meta(base)
+    i = root.field_names.index(name)
+    new_root = orctypes.OrcType(
+        "struct",
+        [c for j, c in enumerate(root.children) if j != i],
+        [n for n in root.field_names if n != name])
+    keep, dropped = [], None
+    for c in cols:
+        if c["name"] == name:
+            dropped = c
+        else:
+            keep.append(c)
+    retired = retired + [name] + list(dropped.get("prev", []))
+    return _alter_commit(table, base, "drop-column", new_root,
+                         keep, retired, {"dropped_column": name})
+
+
+def rename_column(table: str, old: str, new: str) -> dict:
+    """ALTER TABLE RENAME COLUMN — metadata-only: data files written
+    before the rename keep the old physical name; reads resolve it
+    through the column's name history (``_scan_entries``), so
+    ``read_table`` and time travel stay exact with zero rewrite.
+    Per-file rewrite operations (DELETE/UPDATE/MERGE, hybrid COUNT)
+    require ``rewrite_migrate`` first when such legacy files exist.
+    The old name stays reserved forever."""
+    _check_colname(new)
+    base = load_snapshot(table)
+    root = orctypes.parse_orc_type(base["schema"])
+    if old not in root.field_names:
+        raise ValueError(
+            f"orc_table: column {old!r} not in table schema "
+            f"({root.field_names})")
+    _alter_guard_spec(base, old, "rename column")
+    cols, retired = _columns_meta(base)
+    if new in _names_ever(cols, retired):
+        raise ValueError(
+            f"orc_table: column name {new!r} is or was already in "
+            f"use; historical names stay reserved so old data "
+            f"files resolve unambiguously")
+    for c in cols:
+        if c["name"] == old:
+            c["prev"] = list(c.get("prev", [])) + [old]
+            c["name"] = new
+            break
+    new_root = orctypes.OrcType(
+        "struct", list(root.children),
+        [new if n == old else n for n in root.field_names])
+    return _alter_commit(table, base, "rename-column", new_root,
+                         cols, retired,
+                         {"renamed_column": f"{old} -> {new}"})
+
+
+def rewrite_migrate(spark, table: str, codec: str | None = None
+                    ) -> dict:
+    """Rewrite the data files still carrying since-renamed physical
+    column names into the current logical schema (row-preserving
+    ``replace`` — changelog readers skip it, time travel to the old
+    layout still works).  Only legacy files rewrite; files already
+    on the current names pass through untouched.  After this, every
+    per-file operation (DELETE/UPDATE/MERGE, hybrid COUNT) works
+    again."""
+    base = load_snapshot(table)
+    entries = manifest_entries(table, base)
+    cols, _ = _columns_meta(base)
+    legacy = _legacy_entries(entries, cols)
+    if not legacy:
+        return base
+    legacy_paths = {e["path"] for e in legacy}
+    keep = [e for e in entries if e["path"] not in legacy_paths]
+    spec = _parse_spec(base.get("spec", []))
+    out_codec = codec or legacy[0].get("codec") or "zlib"
+    df = _scan_entries(spark, table, base, legacy)
+    new_entries, _ = _write_data_files(
+        df, table, spec, codec=out_codec, prefix="migrate")
+    all_entries = keep + new_entries
+    manifest = _write_manifest(table, all_entries) \
+        if all_entries else None
+    return _commit_retrying(
+        table, base, "replace", manifest, all_entries,
+        base["schema"], extra={"migrated_files": len(legacy)})
 
 
 def table_count(spark, table: str, predicate=None,
@@ -1842,6 +2223,7 @@ def table_count(spark, table: str, predicate=None,
         return sum(e["n_rows"] for e in entries)
     from .orcscan import _pred_list
     from .orcstats import _DRIVER_STATS_MAX_FILES, _count_file
+    _require_migrated(snap, entries, "predicated table_count")
     preds = _pred_list(predicate)
     spec = _parse_spec(snap.get("spec", []))
     files = [os.path.join(table, e["path"]) for e in entries
@@ -2049,9 +2431,6 @@ def read_table_changes(spark, table: str, from_version: int,
     they raise rather than return a wrong delta.  Appended files
     decode under the ``to`` snapshot's (widened) schema, exactly as
     ``read_table`` would."""
-    from pyspark.sql import functions as F
-
-    from .orcscan import _spark_of, orc_scan
     to_snap = load_snapshot(table, to_version)
     if to_version is None:
         to_version = to_snap["version"]
@@ -2073,8 +2452,10 @@ def read_table_changes(spark, table: str, from_version: int,
                 for name in new_names:
                     probe = {"manifests": [name]}
                     added.extend(manifest_entries(table, probe))
-            elif op == "replace":
-                pass  # compaction: row-preserving, nothing appended
+            elif op == "replace" or op.endswith("-column"):
+                # compaction / sort / z-order rewrites and ALTER
+                # TABLE commits are row-preserving: nothing appended
+                pass
             else:
                 raise ValueError(
                     f"orc_table: cannot compute an append-only "
@@ -2082,20 +2463,8 @@ def read_table_changes(spark, table: str, from_version: int,
                     f"were changed or removed; read_table both "
                     f"versions and diff, or narrow the range")
         prev_manifests = cur
-    if predicate is not None:
-        from .orcscan import _pred_list
-        preds = _pred_list(predicate)
-        spec = _parse_spec(to_snap.get("spec", []))
-        added = [e for e in added if _entry_survives(e, preds, spec)]
-    if not added:
-        root = orctypes.parse_orc_type(to_snap["schema"])
-        out = spark.createDataFrame(
-            [], _spark_of(root, timestamp_nanos))
-        if columns:
-            out = out.select(*[F.col(c).alias(c) for c in columns])
-        return out
-    files = [os.path.join(table, e["path"]) for e in added]
-    return orc_scan(spark, files, columns=columns,
-                    predicate=predicate,
-                    timestamp_nanos=timestamp_nanos,
-                    declared_type=to_snap["schema"])
+    # _scan_entries prunes with per-entry translated predicates and
+    # resolves renamed columns through the to-snapshot's history
+    return _scan_entries(spark, table, to_snap, added,
+                         columns=columns, predicate=predicate,
+                         timestamp_nanos=timestamp_nanos)
