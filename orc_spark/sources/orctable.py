@@ -764,6 +764,22 @@ def _legacy_entries(entries: list[dict], cols: list[dict]
     return out
 
 
+def _check_pred_cols(snap: dict, preds: list[tuple],
+                     what: str) -> None:
+    """Fail-loud guard for per-file operations: every predicate's
+    top-level column must exist in the CURRENT schema — a dropped
+    column's statistics (and bytes) still live inside data files, and
+    classifying against them would silently act on a column the
+    table no longer has."""
+    names = set(orctypes.parse_orc_type(snap["schema"]).field_names)
+    for col, _, _ in preds:
+        head = col.partition(".")[0]
+        if head not in names:
+            raise ValueError(
+                f"orc_table: {what} predicate column {col!r} not in "
+                f"table schema ({sorted(names)})")
+
+
 def _require_migrated(snap: dict, entries: list[dict],
                       what: str) -> None:
     """Per-file rewrite operations (DELETE/UPDATE/MERGE, hybrid
@@ -1525,6 +1541,7 @@ def delete_from(spark, table: str, predicate) -> dict:
     base = load_snapshot(table)
     entries = manifest_entries(table, base)
     _require_migrated(base, entries, "delete_from")
+    _check_pred_cols(base, preds, "delete_from")
     spec = _parse_spec(base.get("spec", []))
     untouched = [e for e in entries
                  if not _entry_survives(e, preds, spec)]
@@ -1652,6 +1669,7 @@ def update_table(spark, table: str, set: dict, predicate=None) -> dict:
                 f"tuples; rewrite via read + overwrite instead")
     entries = manifest_entries(table, base)
     _require_migrated(base, entries, "update_table")
+    _check_pred_cols(base, preds, "update_table")
     if preds:
         untouched = [e for e in entries
                      if not _entry_survives(e, preds, spec)]
@@ -2225,6 +2243,7 @@ def table_count(spark, table: str, predicate=None,
     from .orcstats import _DRIVER_STATS_MAX_FILES, _count_file
     _require_migrated(snap, entries, "predicated table_count")
     preds = _pred_list(predicate)
+    _check_pred_cols(snap, preds, "table_count")
     spec = _parse_spec(snap.get("spec", []))
     files = [os.path.join(table, e["path"]) for e in entries
              if _entry_survives(e, preds, spec)]

@@ -199,6 +199,24 @@ def test_dml_refuses_legacy_then_migrate_normalizes(spark, tmp_path):
     assert pre.count() == 60
 
 
+def test_dml_rejects_dropped_column_predicates(spark, tmp_path):
+    """A dropped column's statistics (and bytes) still live inside
+    data files — per-file DML must refuse predicates on it instead of
+    silently classifying against ghost stats."""
+    t = _mk(spark, tmp_path)
+    orctable.drop_column(t, "tag")
+    with pytest.raises(ValueError, match="not in table schema"):
+        orctable.delete_from(spark, t, ("tag", "==", "3"))
+    with pytest.raises(ValueError, match="not in table schema"):
+        orctable.update_table(spark, t, set={"n_tok": 1},
+                              predicate=("tag", "==", "3"))
+    with pytest.raises(ValueError, match="not in table schema"):
+        orctable.table_count(spark, t, ("tag", "==", "3"))
+    # the surviving columns still work
+    orctable.delete_from(spark, t, ("doc_id", "==", 3))
+    assert orctable.table_count(spark, t) == 49
+
+
 def test_merge_shuffle_plan_is_rename_safe(spark, tmp_path, monkeypatch):
     """Above the key threshold MERGE reads via read_table (mapping-
     aware) and rewrites everything — no migrate needed."""
