@@ -91,9 +91,16 @@ def _merge_file_stats(per_file: list[list[dict]],
     return out
 
 
-def merge_orc_files(inputs: list[str], out_path: str) -> dict:
+def merge_orc_files(inputs: list[str], out_path: str,
+                    rename: dict | None = None) -> dict:
     """Byte-copy merge of ``inputs`` into one ``out_path``.  Returns
-    {n_rows, n_stripes, bytes}."""
+    {n_rows, n_stripes, bytes}.
+
+    ``rename`` ({old_top_level_field: new_name}) rewrites top-level
+    struct field names in the emitted footer ONLY — stripe bytes,
+    statistics, row indexes and blooms are untouched (column ids
+    don't change), which is how orctable.rewrite_migrate renames
+    columns in already-written files with zero recode."""
     if not inputs:
         raise ValueError("orc_merge: no input files")
     files = [ORCFile(p) for p in inputs]
@@ -167,6 +174,18 @@ def merge_orc_files(inputs: list[str], out_path: str) -> dict:
 
         # footer
         root = orctypes.type_from_file(inputs[0])
+        if rename:
+            if root.kind != "struct":
+                raise ValueError(
+                    "orc_merge: rename requires a struct root")
+            missing = [o for o in rename if o not in root.field_names]
+            if missing:
+                raise ValueError(
+                    f"orc_merge: rename source fields {missing} not "
+                    f"in {root.field_names}")
+            root = orctypes.OrcType(
+                "struct", list(root.children),
+                [rename.get(n, n) for n in root.field_names])
         # per-column kinds in column-id order from the file's own
         # type list (covers nested subtrees too)
         kinds = [t.kind for t in files[0].types]

@@ -58,6 +58,7 @@ correctness.
 
 from __future__ import annotations
 
+import functools as _functools
 import json
 import os
 import re
@@ -260,6 +261,7 @@ def create_table(table: str, schema: str,
             "columns": [{"id": i + 1, "name": n, "prev": []}
                         for i, n in enumerate(root.field_names)],
             "retired": [],
+            "last_column_id": len(root.field_names),
             "summary": {"n_files": 0, "n_rows": 0, "bytes": 0,
                         "added_files": 0, "added_rows": 0}}
     if not _try_commit(table, snap):
@@ -316,6 +318,9 @@ def _commit_retrying(table: str, base: dict, operation: str,
                 "spec": latest.get("spec", []),
                 "manifests": manifests,
                 "columns": columns, "retired": retired,
+                "last_column_id": max(
+                    int(latest.get("last_column_id", 0)),
+                    max((c["id"] for c in columns), default=0)),
                 "summary": summary}
         if _try_commit(table, snap):
             return snap
@@ -616,16 +621,39 @@ def _partition_survives(entry: dict, preds: list[tuple],
     return True
 
 
+@_functools.lru_cache(maxsize=4096)
+def _type_top_names(type_str: str):
+    """frozenset of top-level field names of a manifest entry's type
+    string, or None when it is absent/unparseable (externally-added
+    entries — stay conservative)."""
+    try:
+        root = orctypes.parse_orc_type(type_str)
+        if root.kind != "struct":
+            return None
+        return frozenset(root.field_names)
+    except Exception:
+        return None
+
+
 def _entry_survives(entry: dict, preds: list[tuple],
                     spec: list[dict] | None = None) -> bool:
     """Manifest-level pruning: conservative min/max checks, only when
     the literal and the recorded stats share a comparison family
     (numeric vs numeric, str vs str) — else keep.  On a partitioned
     table the partition tuple prunes first (identity point-stats,
-    bucket-id equality)."""
+    bucket-id equality).  A file whose recorded type LACKS a
+    predicate's top-level column is pruned outright: the column is
+    NULL for every row there (schema-evolution backfill) and every
+    supported op is NULL-rejecting — this also keeps per-file DML
+    classifiers away from files that predate an added column."""
     from .orcscan import _stats_can_match
     if spec and not _partition_survives(entry, preds, spec):
         return False
+    names = _type_top_names(entry.get("type", ""))
+    if names is not None:
+        for col, _, _ in preds:
+            if col.partition(".")[0] not in names:
+                return False
     stats = entry.get("stats") or {}
     for col, op, val in preds:
         st = stats.get(col)
@@ -699,7 +727,11 @@ def _sync_columns(latest: dict, new_schema: str,
     cols, retired = _columns_meta(latest)
     have = {c["name"] for c in cols}
     used = _names_ever(cols, retired)
-    nxt = max((c["id"] for c in cols), default=0) + 1
+    # ids are permanent identities: never reuse one a dropped column
+    # held (Iceberg field-id semantics), hence the last_column_id
+    # high-water mark carried on every snapshot
+    nxt = max(int(latest.get("last_column_id", 0)),
+              max((c["id"] for c in cols), default=0)) + 1
     for n in new_names:
         if n in have:
             continue
@@ -725,7 +757,12 @@ def _phys_of(type_str: str, cols: list[dict], cache: dict) -> dict:
         try:
             names = set(orctypes.parse_orc_type(type_str).field_names)
         except Exception:
-            names = set()
+            # never guess on a renamed table: silently treating an
+            # unknown layout as current would null-fill real data
+            raise ValueError(
+                f"orc_table: manifest entry type {type_str!r} is "
+                f"unparseable on a table with renamed columns — "
+                f"cannot resolve its physical layout")
         got = {}
         for c in cols:
             if c["name"] in names:
@@ -752,13 +789,21 @@ def _legacy_entries(entries: list[dict], cols: list[dict]
     prevs = {p for c in cols for p in c.get("prev", [])}
     if not prevs:
         return []
+    seen: dict[str, set] = {}
     out = []
     for e in entries:
-        try:
-            names = set(orctypes.parse_orc_type(
-                e.get("type", "")).field_names)
-        except Exception:
-            names = set()
+        ts = e.get("type", "")
+        names = seen.get(ts)
+        if names is None:
+            try:
+                names = set(orctypes.parse_orc_type(ts).field_names)
+            except Exception:
+                raise ValueError(
+                    f"orc_table: manifest entry "
+                    f"{e.get('path', '?')!r} has unparseable type "
+                    f"{ts!r} on a table with renamed columns — "
+                    f"cannot resolve its physical layout")
+            seen[ts] = names
         if names & prevs:
             out.append(e)
     return out
@@ -824,9 +869,9 @@ def _scan_entries(spark, table: str, snap: dict, entries: list[dict],
             key = tuple(sorted(
                 (l, p) for l, p in m.items() if l != p))
         else:
-            key = ()
+            m, key = {}, ()
         if preds:
-            ep = [( _xlate(c, dict(key)), op, v)
+            ep = [(_xlate(c, m), op, v)
                   for c, op, v in preds] if key else preds
             if not _entry_survives(e, ep, spec):
                 continue
@@ -2039,6 +2084,10 @@ def rollback_table(table: str, to_version: int) -> dict:
             "spec": old.get("spec", []),
             "manifests": list(old["manifests"]),
             "columns": old_cols, "retired": old_retired,
+            "last_column_id": max(
+                int(base.get("last_column_id", 0)),
+                int(old.get("last_column_id", 0)),
+                max((c["id"] for c in old_cols), default=0)),
             "summary": {"n_files": len(entries),
                         "n_rows": sum(e["n_rows"] for e in entries),
                         "bytes": sum(e["bytes"] for e in entries),
@@ -2080,18 +2129,21 @@ def _alter_commit(table: str, base: dict, operation: str, root,
                   cols: list[dict], retired: list[str],
                   extra: dict) -> dict:
     """Metadata-only snapshot: same manifests/file set, new schema +
-    column metadata.  Conflicts loudly (like overwrite) — rebasing a
+    column metadata.  O(1) — totals copy from the base summary, no
+    manifest is read.  Conflicts loudly (like overwrite) — rebasing a
     schema change over a concurrent commit is not safe."""
-    entries = manifest_entries(table, base)
+    s = base["summary"]
     snap = {"version": base["version"] + 1,
             "parent": base["version"], "operation": operation,
             "schema": root.orc_string(),
             "spec": base.get("spec", []),
             "manifests": list(base["manifests"]),
             "columns": cols, "retired": retired,
-            "summary": {"n_files": len(entries),
-                        "n_rows": sum(e["n_rows"] for e in entries),
-                        "bytes": sum(e["bytes"] for e in entries),
+            "last_column_id": max(
+                int(base.get("last_column_id", 0)),
+                max((c["id"] for c in cols), default=0)),
+            "summary": {"n_files": s["n_files"],
+                        "n_rows": s["n_rows"], "bytes": s["bytes"],
                         "added_files": 0, "added_rows": 0, **extra}}
     if not _try_commit(table, snap):
         raise CommitConflict(
@@ -2122,7 +2174,9 @@ def add_column(table: str, name: str, orc_type: str) -> dict:
     new_root = orctypes.OrcType(
         "struct", list(root.children) + [child],
         list(root.field_names) + [name])
-    cols.append({"id": max((c["id"] for c in cols), default=0) + 1,
+    cols.append({"id": max(int(base.get("last_column_id", 0)),
+                           max((c["id"] for c in cols), default=0))
+                 + 1,
                  "name": name, "prev": []})
     return _alter_commit(
         table, base, "add-column", new_root, cols, retired,
@@ -2198,31 +2252,85 @@ def rename_column(table: str, old: str, new: str) -> dict:
                          {"renamed_column": f"{old} -> {new}"})
 
 
-def rewrite_migrate(spark, table: str, codec: str | None = None
-                    ) -> dict:
+def rewrite_migrate(spark, table: str) -> dict:
     """Rewrite the data files still carrying since-renamed physical
-    column names into the current logical schema (row-preserving
-    ``replace`` — changelog readers skip it, time travel to the old
-    layout still works).  Only legacy files rewrite; files already
-    on the current names pass through untouched.  After this, every
+    column names onto the current logical names — ZERO-RECODE: each
+    legacy file's stripe bytes byte-copy verbatim and only the
+    footer's top-level field names change (column ids are positional,
+    so statistics, row indexes, blooms, nanosecond timestamps and
+    char/varchar types are preserved bit-exactly; orcmerge does the
+    tail rewrite).  One executor task per legacy file; files already
+    on the current names pass through untouched.  Commits as a
+    row-preserving ``replace`` — changelog readers skip it, time
+    travel to the old layout still works.  After this, every
     per-file operation (DELETE/UPDATE/MERGE, hybrid COUNT) works
     again."""
+    from .orcmerge import merge_orc_files
     base = load_snapshot(table)
     entries = manifest_entries(table, base)
     cols, _ = _columns_meta(base)
     legacy = _legacy_entries(entries, cols)
     if not legacy:
         return base
+    cache: dict = {}
+
+    def _ren_of(e: dict) -> dict:
+        m = _phys_of(e.get("type", ""), cols, cache)
+        return {p: l for l, p in m.items() if l != p}
+
+    job = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table, _DATA)
+    tasks = [(i, os.path.join(table, e["path"]),
+              json.dumps(_ren_of(e)))
+             for i, e in enumerate(legacy)]
+    tdf = spark.createDataFrame(
+        tasks, "idx int, path string, ren string") \
+        .repartition(min(len(tasks), 256))
+
+    def kern(it):
+        import pandas as pd
+        for pdf in it:
+            idxs, names, nb, nr = [], [], [], []
+            for idx, path, ren in zip(pdf["idx"], pdf["path"],
+                                      pdf["ren"]):
+                name = f"migrate-{job}-{int(idx):05d}.orc"
+                got = merge_orc_files(
+                    [path], os.path.join(data_dir, name),
+                    rename=json.loads(ren))
+                idxs.append(int(idx))
+                names.append(name)
+                nb.append(got["bytes"])
+                nr.append(got["n_rows"])
+            yield pd.DataFrame({"idx": idxs, "name": names,
+                                "bytes": nb, "n_rows": nr})
+
+    got = {r["idx"]: r for r in tdf.mapInPandas(
+        kern, "idx int, name string, bytes long, n_rows long")
+        .collect()}
+    new_entries = []
+    for i, e in enumerate(legacy):
+        r = got[i]
+        if int(r["n_rows"]) != e["n_rows"]:
+            raise RuntimeError(
+                f"orc_table: migrate row drift on {e['path']}: "
+                f"{r['n_rows']} != {e['n_rows']}")
+        ren = _ren_of(e)
+        et = orctypes.parse_orc_type(e["type"])
+        new_type = orctypes.OrcType(
+            "struct", list(et.children),
+            [ren.get(n, n) for n in et.field_names]).orc_string()
+        ne = {"path": f"{_DATA}/{r['name']}",
+              "n_rows": e["n_rows"], "bytes": int(r["bytes"]),
+              "type": new_type, "codec": e.get("codec", ""),
+              "stats": {ren.get(k, k): v
+                        for k, v in (e.get("stats") or {}).items()}}
+        if e.get("partition") is not None:
+            ne["partition"] = e["partition"]
+        new_entries.append(ne)
     legacy_paths = {e["path"] for e in legacy}
     keep = [e for e in entries if e["path"] not in legacy_paths]
-    spec = _parse_spec(base.get("spec", []))
-    out_codec = codec or legacy[0].get("codec") or "zlib"
-    df = _scan_entries(spark, table, base, legacy)
-    new_entries, _ = _write_data_files(
-        df, table, spec, codec=out_codec, prefix="migrate")
     all_entries = keep + new_entries
-    manifest = _write_manifest(table, all_entries) \
-        if all_entries else None
+    manifest = _write_manifest(table, all_entries)
     return _commit_retrying(
         table, base, "replace", manifest, all_entries,
         base["schema"], extra={"migrated_files": len(legacy)})

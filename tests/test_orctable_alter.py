@@ -199,6 +199,86 @@ def test_dml_refuses_legacy_then_migrate_normalizes(spark, tmp_path):
     assert pre.count() == 60
 
 
+def test_migrate_zero_recode_preserves_bytes_exactly(spark, tmp_path):
+    """rewrite_migrate must byte-copy stripes and rewrite only the
+    footer's field names: nanosecond timestamps, codec, stride and
+    statistics survive bit-exactly (a DataFrame re-encode would
+    truncate ns to Spark's microseconds)."""
+    import pyarrow as pa
+
+    from orc_spark.sources.orcfile import ORCFile
+    from orc_spark.sources.orcwriter import ORCFileWriter
+    t = str(tmp_path / "ns")
+    orctable.create_table(t, "struct<doc_id:bigint,ts:timestamp>")
+    # seed a file through the ns write path so the stored nanos are
+    # NOT representable in Spark's microsecond timestamps
+    p0 = os.path.join(t, "data", "seed-00000.orc")
+    w = ORCFileWriter(p0, codec="zstd")
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array(range(20), pa.int64()),
+         pa.array([1600000000_000000000 + 1000 * i + 7
+                   for i in range(20)], pa.timestamp("ns"))],
+        names=["doc_id", "ts"]))
+    w.close()
+    entries = [{"path": "data/seed-00000.orc", "n_rows": 20,
+                "bytes": os.path.getsize(p0),
+                "type": "struct<doc_id:bigint,ts:timestamp>",
+                "codec": "zstd", "stats": {}}]
+    man = orctable._write_manifest(t, entries)
+    orctable._commit_retrying(t, orctable.load_snapshot(t), "append",
+                              man, entries,
+                              "struct<doc_id:bigint,ts:timestamp>")
+    orctable.rename_column(t, "ts", "event_ts")
+    snap = orctable.rewrite_migrate(spark, t)
+    assert snap["summary"]["migrated_files"] == 1
+    [e1] = orctable.manifest_entries(t, snap)
+    assert e1["codec"] == "zstd" and "event_ts" in e1["type"]
+    # stripe region is a verbatim byte copy (same length prefix)
+    f_old, f_new = ORCFile(p0), ORCFile(os.path.join(t, e1["path"]))
+    s_old, s_new = f_old.stripes[0], f_new.stripes[0]
+    ln = sum(s_old.get(k, [0])[0] for k in (2, 3, 4))
+    assert bytes(f_old.data[s_old.get(1, [0])[0]:
+                            s_old.get(1, [0])[0] + ln]) == \
+        bytes(f_new.data[s_new.get(1, [0])[0]:
+                         s_new.get(1, [0])[0] + ln])
+    # ns-exact through the mapped read
+    out = orctable.read_table(spark, t, timestamp_nanos=True)
+    assert "event_ts" in out.columns
+    vals = sorted(r["event_ts"] for r in out.collect())
+    assert vals[0] == 1600000000_000000007 \
+        and vals[-1] == 1600000000_000019007
+
+
+def test_dml_on_added_column_skips_pre_add_files(spark, tmp_path):
+    """A predicate on a column ADDED later must treat pre-add files
+    as all-NULL (no comparison matches) instead of crashing the
+    per-file classifier."""
+    t = _mk(spark, tmp_path)                 # 50 rows, no 'lang'
+    orctable.add_column(t, "lang", "string")
+    df2 = spark.range(50, 60, 1, 1).selectExpr(
+        "id AS doc_id", "CAST(id * 10 AS INT) AS n_tok",
+        "CAST(id AS STRING) AS tag", "'en' AS lang")
+    orctable.write_table(df2, t)
+    assert orctable.table_count(spark, t, ("lang", "==", "en")) == 10
+    orctable.delete_from(spark, t, ("lang", "==", "en"))
+    out = orctable.read_table(spark, t)
+    assert out.count() == 50
+    assert out.where("lang IS NOT NULL").count() == 0
+    orctable.update_table(spark, t, set={"tag": "x"},
+                          predicate=("lang", "==", "fr"))  # no-op
+    assert orctable.read_table(spark, t) \
+        .where("tag = 'x'").count() == 0
+
+
+def test_field_ids_never_reused_after_drop(spark, tmp_path):
+    t = _mk(spark, tmp_path)                 # ids 1..3
+    orctable.drop_column(t, "tag")           # id 3 retired
+    s = orctable.add_column(t, "lang", "string")
+    ids = {c["name"]: c["id"] for c in s["columns"]}
+    assert ids["lang"] == 4                  # id 3 is never reused
+    assert s["last_column_id"] == 4
+
+
 def test_dml_rejects_dropped_column_predicates(spark, tmp_path):
     """A dropped column's statistics (and bytes) still live inside
     data files — per-file DML must refuse predicates on it instead of
