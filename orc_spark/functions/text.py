@@ -45,20 +45,35 @@ def token_counts(docs: DataFrame) -> DataFrame:
 
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic quality features: length, mean word length, stopword
-    ratio, digit/punct density (all SQL-expressible)."""
-    words = F.split(F.trim("text"), r"\s+")
+    ratio, digit/punct density (all SQL-expressible).
+
+    r6 perf (guide §1.2 per-task work): the word array is computed ONCE
+    in a child projection — higher-order functions are interpreted (no
+    codegen), so a split embedded in every consuming expression used to
+    re-run the regex split per expression per row; char-class counts
+    (digits/punct/whitespace) run as regexp_count (pattern cached,
+    counts matches without building a replacement string) instead of
+    length(regexp_replace(...)) — count-identical by construction,
+    measured ~3x cheaper per column.  Output values are bit-identical
+    to the r5 formulation (same oracle); parity pinned across all SFs
+    plus adversarial whitespace/NULL rows (OPTIMIZATION_r06.md)."""
+    d = docs.select(
+        "doc_id", "text", F.split(F.trim("text"), r"\s+").alias("_words"))
+    words = F.col("_words")
     n_words = F.size(words)
     stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
-    return docs.select(
+    n_chars = F.length("text")
+    return d.select(
         "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
+        n_chars.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
-        F.round(F.length(F.regexp_replace("text", r"\s+", "")) /
+        # length-after-removing-\s == n_chars - count of \s chars
+        F.round((n_chars - F.regexp_count("text", F.lit(r"\s"))) /
                 n_words, 4).alias("mean_word_len"),
         F.round(stop_hits / n_words, 4).alias("stopword_ratio"),
-        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long")
+        F.regexp_count("text", F.lit("[0-9]")).cast("long")
         .alias("n_digits"),
-        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("long")
+        F.regexp_count("text", F.lit("[.!?,;:]")).cast("long")
         .alias("n_punct"),
     )
 
@@ -66,13 +81,19 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-marker language ID: the language whose markers hit the
     most words wins; ties broken by language code order (deterministic).
+
+    r6 perf: the word array is split ONCE in a child projection instead
+    of being re-evaluated inside each language's (interpreted) filter
+    expression — values unchanged (parity pinned, see quality_scores).
     """
-    words = F.split(F.trim("text"), r"\s+")
+    d = docs.select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("_words"))
+    words = F.col("_words")
     scores = [
         F.size(F.filter(words, lambda w: w.isin(markers))).alias(f"s_{lang}")
         for lang, markers in LANG_MARKERS.items()
     ]
-    scored = docs.select("doc_id", "lang", *scores)
+    scored = d.select("doc_id", "lang", *scores)
     best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
     pred = None
     for lang in sorted(LANG_MARKERS):
