@@ -239,9 +239,26 @@ def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
     # the minhash+banding projection is evaluated ONCE, on this side
     # only; the signature array rides through the banded self-join
     # (n_perms longs per row) so est_jaccard needs no extra join and
-    # the verify side recomputes only the cheap shingle hashes
-    banded = _banded_with_mh(docs, n_perms, bands, shingle_n)
-    banded = _cap_buckets(banded, ["band", "sig"], max_bucket)
+    # the verify side recomputes only the cheap shingle hashes.
+    # r6 (guide §2.4): repartition on the join key so BOTH self-join
+    # sides hang off ONE exchange of the banded signatures (AQE stage
+    # reuse: identical canonical subtrees) — previously each join side
+    # AND the hot-bucket count recomputed the 32-permutation minhash
+    # projection from the collapse exchange (3x the dominant map-side
+    # cost).  The bucket cap becomes a count-over-window ON that same
+    # exchange (the partitioning already satisfies the window spec, so
+    # no extra shuffle and no separate counting subtree — a broadcast
+    # anti-join here would be pushed below the repartition by the
+    # optimizer and split the exchange back into two); semantics are
+    # identical: keep rows whose (band, sig) bucket has <= max_bucket
+    # members.  The join itself adds no further shuffle since both
+    # sides arrive hash-partitioned on (band, sig).
+    banded = _banded_with_mh(docs, n_perms, bands, shingle_n) \
+        .repartition("band", "sig")
+    if max_bucket is not None:
+        bw = Window.partitionBy("band", "sig")
+        banded = banded.withColumn("_bsz", F.count("*").over(bw)) \
+            .where(F.col("_bsz") <= max_bucket).drop("_bsz")
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (a.join(b, ["band", "sig"])

@@ -26,12 +26,40 @@ def _run(df):
 
 
 def test_pipeline_plans_have_no_scale_killers(spark, docs):
-    """No CartesianProduct / nested-loop / sort-merge join anywhere in
-    the dedup + text pipeline plans; the r3 minhash plan also carries
-    no Window."""
-    pairs = _run(dedup.minhash_lsh_pairs(docs, min_jaccard=0.4))
-    plans.assert_no(pairs, "CartesianProduct", "BroadcastNestedLoopJoin",
-                    "SortMergeJoin", "Window")
+    """No CartesianProduct / nested-loop join anywhere in the dedup +
+    text pipeline plans; the r6 minhash plan computes the expensive
+    32-permutation signature projection exactly ONCE (both self-join
+    sides and the bucket cap share one repartition exchange — the cap
+    is a count-over-window on that exchange, the only Window in the
+    plan)."""
+    # UNCACHED input, matching the bench/driver paths: AQE wraps each
+    # reference to a cached relation in its own TableCacheQueryStage,
+    # which defeats the canonical-subtree stage reuse this test pins
+    # (CacheManager substitutes the cache by plan match, so a fresh
+    # read of the same path is not enough — drop the cache entry)
+    spark.catalog.clearCache()
+    fresh = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(fresh, min_jaccard=0.4)
+    # execute THIS DataFrame's QueryExecution (collect, not a write
+    # command) so the AQE-final plan — with runtime ReusedExchange
+    # stages — is what the audit below reads
+    pairs.collect()
+    docs.cache()  # restore the module fixture's cache for later tests
+    plans.assert_no(pairs, "CartesianProduct", "BroadcastNestedLoopJoin")
+    plan_str = plans.executed_plan(pairs)
+    final = plan_str.split("Initial Plan")[0]
+    # the signature projection (array_min over per-permutation rehash)
+    # must appear exactly once in the final plan: <= 32 array_min calls
+    # (the plan printer truncates wide arrays, so one projection prints
+    # <= 32; a duplicated projection would print > 32) and the second
+    # self-join side must arrive as a ReusedExchange of the first
+    n_mh = final.count("array_min(transform(sh")
+    assert 0 < n_mh <= 32, f"minhash projection duplicated: {n_mh}"
+    assert "ReusedExchange" in final
+    # the only Window nodes are the bucket-size cap sitting directly on
+    # the shared exchange (re-executed per join side over the REUSED
+    # shuffle output — a per-partition count, not a second shuffle)
+    assert final.count("Window [") <= 2
     q = _run(text.quality_scores(docs))
     plans.assert_no(q, "Exchange", "BatchEvalPython", "ArrowEvalPython")
     counts = plans.operator_counts(q)
