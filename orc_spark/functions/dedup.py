@@ -353,16 +353,13 @@ def embedding_near_dups(emb: DataFrame, min_cosine: float = 0.9,
     eb = emb.select(F.col(id_col).alias("id_b"),
                     F.col(emb_col).alias("emb_b"))
     joined = cands.join(ea, "id_a").join(eb, "id_b")
-    x = F.transform(F.col("emb_a"), lambda v: v.cast("double"))
-    y = F.transform(F.col("emb_b"), lambda v: v.cast("double"))
-    dot = F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    nx = F.sqrt(F.aggregate(F.zip_with(x, x, lambda p, q: p * q),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    ny = F.sqrt(F.aggregate(F.zip_with(y, y, lambda p, q: p * q),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    return (joined.select("id_a", "id_b",
-                          F.round(dot / (nx * ny), 6).alias("cosine"))
+    # r6: vectorized pair cosine (bit-exact to the former JVM fold —
+    # similarity.pair_cosine documents the dimension-ordered
+    # accumulation that keeps every float op in the same order)
+    return (joined.select(
+                "id_a", "id_b",
+                F.round(similarity.pair_cosine(
+                    F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"))
             .where(F.col("cosine") >= min_cosine))
 
 

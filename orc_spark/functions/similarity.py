@@ -43,12 +43,143 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _fold_dot_sq(mat: np.ndarray, q: np.ndarray):
+    """(dot(row, q), dot(row, row)) per row, accumulated DIMENSION BY
+    DIMENSION so every float64 add/mul happens in exactly the order of
+    Spark's interpreted aggregate(zip_with(...)) left fold — the result
+    is bit-identical to the JVM expression it replaces (r6, guide §4.2:
+    vectorize across rows, keep the per-row op order).  numpy's own
+    dot/sum use pairwise summation and would round differently."""
+    n, d = mat.shape
+    dot = np.zeros(n, dtype=np.float64)
+    sq = np.zeros(n, dtype=np.float64)
+    for j in range(d):
+        xj = mat[:, j]
+        dot += xj * q[j]
+        sq += xj * xj
+    return dot, sq
+
+
+def _to_matrix(emb) -> tuple[np.ndarray | None, np.ndarray]:
+    """pd.Series of float arrays -> (matrix | None, null-row mask)."""
+    import pandas as pd
+    arrs = emb.to_numpy()
+    nulls = pd.isna(arrs)
+    if nulls.any():
+        arrs = arrs.copy()
+        arrs[nulls] = None
+        lens = {len(a) for a in arrs[~nulls]}
+    else:
+        lens = {len(a) for a in arrs}
+    if len(lens) > 1:
+        return None, nulls  # ragged: caller falls back per-row
+    if nulls.any():
+        dim = lens.pop() if lens else 0
+        filler = np.zeros(dim, dtype=np.float64)
+        mat = np.stack([filler if a is None else a for a in arrs]) \
+            .astype(np.float64)
+    else:
+        mat = np.stack(list(arrs)).astype(np.float64)
+    return mat, nulls
+
+
 def with_cosine(df: DataFrame, query: list[float],
                 emb_col: str = "embedding") -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query])
-    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
-    cos = _dot(emb, q) / (_norm(emb) * F.lit(float(np.linalg.norm(query))))
-    return df.withColumn("cosine", F.round(cos, 6))
+    """Adds ``cosine`` vs the constant ``query`` vector.
+
+    r6 perf: the dot/norm folds run as ONE vectorized numpy kernel per
+    Arrow batch instead of interpreted per-element JVM lambdas (~100x
+    fewer interpreter dispatches); the accumulation order reproduces
+    the JVM fold exactly (see _fold_dot_sq) and the final round(., 6)
+    stays a JVM expression, so values are bit-identical to the r5
+    formulation.  Rows whose embedding is NULL or whose length differs
+    from the query yield NULL, matching zip_with's null padding."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(query))
+    dim = len(query)
+
+    @pandas_udf("double")
+    def cos_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        mat, nulls = _to_matrix(emb)
+        if mat is None or mat.shape[1] != dim:
+            # ragged / wrong-dim rows: JVM zip_with pads with null ->
+            # null cosine; compute row-wise for the valid-length rows
+            out = pd.array([None] * len(emb), dtype="Float64")
+            for i, a in enumerate(emb.to_numpy()):
+                if not hasattr(a, "__len__") or len(a) != dim:
+                    continue
+                row = np.asarray(a, dtype=np.float64)[None, :]
+                dot, sq = _fold_dot_sq(row, q)
+                out[i] = dot[0] / (np.sqrt(sq[0]) * qn)
+            return pd.Series(out)
+        dot, sq = _fold_dot_sq(mat, q)
+        cos = dot / (np.sqrt(sq) * qn)
+        if nulls.any():
+            masked = pd.array(cos, dtype="Float64")
+            masked[nulls] = None
+            return pd.Series(masked)
+        return pd.Series(cos)
+
+    return df.withColumn("cosine", F.round(cos_udf(F.col(emb_col)), 6))
+
+
+def _fold_pair(ma: np.ndarray, mb: np.ndarray):
+    """(dot(a,b), dot(a,a), dot(b,b)) per row, dimension-ordered like
+    the JVM fold (see _fold_dot_sq)."""
+    n, d = ma.shape
+    dot = np.zeros(n, dtype=np.float64)
+    sa = np.zeros(n, dtype=np.float64)
+    sb = np.zeros(n, dtype=np.float64)
+    for j in range(d):
+        x = ma[:, j]
+        y = mb[:, j]
+        dot += x * y
+        sa += x * x
+        sb += y * y
+    return dot, sa, sb
+
+
+def pair_cosine(a_col, b_col):
+    """UNROUNDED cosine between two embedding columns as a vectorized
+    pandas UDF — the shared scorer for knn_join / knn_join_index /
+    embedding_near_dups (r6).  Bit-identical to the JVM
+    aggregate(zip_with(...)) folds it replaces (dimension-ordered
+    accumulation, denominator sqrt(na)*sqrt(nb) in that order); rows
+    with NULL or length-mismatched embeddings yield NULL like
+    zip_with's null padding.  Callers apply F.round(., 6) JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pcos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        ma, na_ = _to_matrix(ea)
+        mb, nb_ = _to_matrix(eb)
+        if ma is None or mb is None or ma.shape[1] != mb.shape[1]:
+            out = pd.array([None] * len(ea), dtype="Float64")
+            for i, (x, y) in enumerate(zip(ea.to_numpy(), eb.to_numpy())):
+                if not hasattr(x, "__len__") or not hasattr(y, "__len__") \
+                        or len(x) != len(y) or len(x) == 0:
+                    continue
+                xa = np.asarray(x, dtype=np.float64)[None, :]
+                yb = np.asarray(y, dtype=np.float64)[None, :]
+                d, s1, s2 = _fold_pair(xa, yb)
+                out[i] = d[0] / (np.sqrt(s1[0]) * np.sqrt(s2[0]))
+            return pd.Series(out)
+        d, s1, s2 = _fold_pair(ma, mb)
+        cos = d / (np.sqrt(s1) * np.sqrt(s2))
+        nulls = na_ | nb_
+        if nulls.any():
+            masked = pd.array(cos, dtype="Float64")
+            masked[nulls] = None
+            return pd.Series(masked)
+        return pd.Series(cos)
+
+    return pcos(a_col, b_col)
 
 
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
@@ -333,11 +464,11 @@ def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
     be = df.select(F.col(id_col).alias("nn_id"),
                    F.col(emb_col).alias("nn_emb"))
     joined = pairs.join(pe, "probe_id").join(be, "nn_id")
-    a = F.transform(F.col("probe_emb"), lambda x: x.cast("double"))
-    b = F.transform(F.col("nn_emb"), lambda x: x.cast("double"))
-    cos = _dot(a, b) / (_norm(a) * _norm(b))
-    scored = joined.select("probe_id", "nn_id",
-                           F.round(cos, 6).alias("cosine"))
+    # r6: vectorized pair cosine (bit-exact to the former JVM fold)
+    scored = joined.select(
+        "probe_id", "nn_id",
+        F.round(pair_cosine(F.col("probe_emb"), F.col("nn_emb")), 6)
+        .alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cosine"), F.asc("nn_id"))
     return scored.withColumn("rank", F.row_number().over(w)) \
@@ -387,11 +518,11 @@ def knn_join_index(spark, path: str, probes: DataFrame, k: int = 5,
     # the index rows already carry embeddings: dedup (probe, nn) pairs
     # and score without joining back to either table
     pairs = pairs.dropDuplicates(["probe_id", "nn_id"])
-    a = F.transform(F.col("probe_emb"), lambda x: x.cast("double"))
-    b = F.transform(F.col("nn_emb"), lambda x: x.cast("double"))
-    cos = _dot(a, b) / (_norm(a) * _norm(b))
-    scored = pairs.select("probe_id", "nn_id",
-                          F.round(cos, 6).alias("cosine"))
+    # r6: vectorized pair cosine (bit-exact to the former JVM fold)
+    scored = pairs.select(
+        "probe_id", "nn_id",
+        F.round(pair_cosine(F.col("probe_emb"), F.col("nn_emb")), 6)
+        .alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cosine"), F.asc("nn_id"))
     return scored.withColumn("rank", F.row_number().over(w)) \
