@@ -22,13 +22,21 @@ ZLIB = "zlib"
 SNAPPY = "snappy"  # r5: read AND write (the reference is decode-only)
 ZSTD = "zstd"
 
+_ZSTD_CODEC = None
+
+
 def _zstd_codec():
     """pyarrow's BUNDLED zstd (r4): Spark 4 writes ORC with zstd by
     DEFAULT, so reading Spark-default lakes requires this even though
     the reference never did zstd.  No standalone zstandard wheel is
-    needed — Arrow ships the codec."""
-    import pyarrow as pa
-    return pa.Codec("zstd", compression_level=3)
+    needed — Arrow ships the codec.  Cached (r6): the stripe-table
+    default codec is now zstd, so this runs once per chunk on the
+    encode hot path."""
+    global _ZSTD_CODEC
+    if _ZSTD_CODEC is None:
+        import pyarrow as pa
+        _ZSTD_CODEC = pa.Codec("zstd", compression_level=3)
+    return _ZSTD_CODEC
 
 
 def _header(length: int, original: bool) -> bytes:

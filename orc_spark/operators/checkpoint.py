@@ -25,7 +25,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..stripe import TOKEN_SCHEMA
+from ..stripe import DEFAULT_CODEC as stripe_DEFAULT_CODEC,  TOKEN_SCHEMA
 from . import encode as enc_ops
 
 
@@ -48,7 +48,7 @@ def completed_parts(spark: SparkSession, out_dir: str) -> set[int]:
 
 def encode_dataset(spark: SparkSession, df: DataFrame, out_dir: str,
                    n_parts: int = 64, specs=TOKEN_SCHEMA,
-                   codec: str = "zlib", use_fsst: bool = False,
+                   codec: str = stripe_DEFAULT_CODEC, use_fsst: bool = False,
                    stripe_rows: int = enc_ops.DEFAULT_STRIPE_ROWS,
                    stripe_tokens: int = enc_ops.DEFAULT_STRIPE_TOKENS,
                    batch_parts: int | None = None) -> dict:

@@ -7,13 +7,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..stripe import TOKEN_SCHEMA
+from ..stripe import DEFAULT_CODEC as stripe_DEFAULT_CODEC,  TOKEN_SCHEMA
 from . import encode as enc_ops
 
 
 def encoded_to_csv(enc_df: DataFrame, path: str, specs=TOKEN_SCHEMA,
                    columns: list[str] | None = None,
-                   codec: str = "zlib") -> None:
+                   codec: str = stripe_DEFAULT_CODEC) -> None:
     dec = enc_ops.decode(enc_df, specs, columns=columns, codec=codec)
     out = dec
     for f in dec.schema.fields:

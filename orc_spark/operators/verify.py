@@ -9,12 +9,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..stripe import TOKEN_SCHEMA
+from ..stripe import DEFAULT_CODEC as stripe_DEFAULT_CODEC,  TOKEN_SCHEMA
 from . import encode as enc_ops
 
 
 def roundtrip_check(df: DataFrame, specs=TOKEN_SCHEMA,
-                    codec: str = "zlib", use_fsst: bool = False,
+                    codec: str = stripe_DEFAULT_CODEC, use_fsst: bool = False,
                     key: str = "doc_id",
                     sample_rate: float | None = None) -> DataFrame:
     """Returns a one-row DataFrame (n_rows, n_match, n_token_match).

@@ -22,11 +22,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import encode as enc_ops
-from ..stripe import TOKEN_SCHEMA
+from ..stripe import DEFAULT_CODEC as stripe_DEFAULT_CODEC,  TOKEN_SCHEMA
 
 
 def encode_stream(spark: SparkSession, input_path: str, out_dir: str,
-                  specs=TOKEN_SCHEMA, codec: str = "zlib",
+                  specs=TOKEN_SCHEMA, codec: str = stripe_DEFAULT_CODEC,
                   stripe_rows: int = 1 << 16,
                   trigger_available_now: bool = True,
                   max_files_per_trigger: int = 32):

@@ -30,6 +30,13 @@ from .codecs import bits, byterle, compression, dictionary, fsst, rle2
 
 TIMESTAMP_BASE_SECONDS = 1420070400  # 2015-01-01 (treereader.go:128-131)
 
+# shared stripe-TABLE codec default (r6): zstd — every module that
+# encodes or decodes the stripe-table row format (operators/encode,
+# checkpoint, verify, export, streaming encode) references THIS
+# constant so write/read defaults can never diverge; the .orc FILE
+# writer/reader keep their own explicit codecs (reference interop)
+DEFAULT_CODEC = "zstd"
+
 # supported logical types
 INT_TYPES = {"tinyint": np.int8, "smallint": np.int16, "int": np.int32,
              "bigint": np.int64}
@@ -821,7 +828,7 @@ def _merge_col_stats(acc: dict, st: dict) -> dict:
 
 
 def encode_stripe(batch: pa.Table | pa.RecordBatch, specs: list[ColumnSpec],
-                  codec: str = "zlib", use_fsst: bool = False,
+                  codec: str = DEFAULT_CODEC, use_fsst: bool = False,
                   stride_rows: int | None = None) -> dict:
     """Encode one stripe (an Arrow batch) into a flat row dict:
     stream binaries keyed ``{col}__{KIND}`` + encodings/stats JSON +
@@ -958,7 +965,7 @@ def stride_index(row: dict) -> dict | None:
 
 
 def decode_stripe_strides(row: dict, specs: list[ColumnSpec],
-                          codec: str = "zlib",
+                          codec: str = DEFAULT_CODEC,
                           keep=None) -> pa.Table:
     """Decode a stride-indexed stripe, optionally restricted to the
     stride ids in ``keep`` — only those byte ranges are sliced from
@@ -1014,7 +1021,7 @@ def select_strides(row: dict, column: str, lo=None, hi=None) -> list[int]:
 
 
 def decode_stripe(row: dict, specs: list[ColumnSpec],
-                  codec: str = "zlib") -> pa.Table:
+                  codec: str = DEFAULT_CODEC) -> pa.Table:
     """Decode one stripe row back into an Arrow table."""
     n_rows = int(row["n_rows"])
     encodings = json.loads(row["encodings"])
