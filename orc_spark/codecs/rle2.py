@@ -528,6 +528,7 @@ def _emit_ops(out: bytearray, v: np.ndarray, ops: list, signed: bool) -> None:
     decision = params = None
     zz = None
     dv = None
+    be_all = None
     if v_idx:
         starts = np.array([ops[i][1] for i in v_idx], dtype=np.int64)
         lens = np.array([ops[i][2] for i in v_idx], dtype=np.int64)
@@ -540,6 +541,20 @@ def _emit_ops(out: bytearray, v: np.ndarray, ops: list, signed: bool) -> None:
         first_d = params["first_d"]
         br95p = params["br95p"]
         br100p = params["br100p"]
+        # r6: when byte-aligned DIRECT segments cover most of the array
+        # (the typical token-stream shape: thousands of 512-value
+        # blocks), ONE whole-array big-endian conversion replaces one
+        # small astype per segment (~6 us each); the coverage gate
+        # keeps the old per-segment path when variable data is a tiny
+        # tail of a mostly-fixed array, where the 8n cold alloc was
+        # measured to dominate.  Output bytes are identical.
+        direct = decision == _D_DIRECT
+        if direct.any():
+            aligned = np.isin(_CLOSEST_ALIGNED[zz100p],
+                              list(_BYTE_FB.keys()))
+            cov = int(lens[direct & aligned].sum())
+            if 2 * cov >= len(v):
+                be_all = zz.astype(">u8").view(np.uint8).reshape(-1, 8)
 
     si = 0  # index into variable-segment arrays
     for op in ops:
@@ -562,14 +577,17 @@ def _emit_ops(out: bytearray, v: np.ndarray, ops: list, signed: bool) -> None:
             out.append(run_len & 0xFF)
             col = _BYTE_FB.get(fb)
             if col is not None:
-                # big-endian bytes built PER SEGMENT: a whole-array
-                # 8n-byte matrix served only the DIRECT slices and its
-                # cold first-touch alloc dominated runs where variable
-                # segments are a tiny fraction (measured 742 ms cold
-                # for a 4M-value array with a 20-value tail)
-                seg_be = zz[s:e].astype(">u8").view(np.uint8) \
-                    .reshape(ln, 8)
-                out.extend(seg_be[:, col:].tobytes())
+                if be_all is not None:
+                    out.extend(be_all[s:e, col:].tobytes())
+                else:
+                    # big-endian bytes built PER SEGMENT: the 8n-byte
+                    # whole-array matrix (be_all) only pays off when
+                    # DIRECT segments cover most values — its cold
+                    # first-touch alloc was measured at 742 ms for a
+                    # 4M-value array with a 20-value variable tail
+                    seg_be = zz[s:e].astype(">u8").view(np.uint8) \
+                        .reshape(ln, 8)
+                    out.extend(seg_be[:, col:].tobytes())
             elif ln <= _SMALL_SEGMENT:
                 out.extend(_pack_bits_int(zz[s:e].tolist(), fb))
             else:
@@ -737,6 +755,12 @@ def _decode(data, n: int, signed: bool) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     got = 0
     pos = 0
+    # r6: byte-aligned DIRECT segments (the dominant kind in token
+    # streams: thousands of 512-value blocks at 8/16/24/... bits) are
+    # only REGISTERED during the sequential header walk and then
+    # materialized in ONE vectorized gather per byte width — replacing
+    # one unpack_bits + zigzag + slice-assign per segment (~10 us each).
+    ba_recs: list[tuple[int, int, int, int]] = []  # (pos, nb, take, got)
     while got < n:
         first = int(buf[pos])
         pos += 1
@@ -759,19 +783,59 @@ def _decode(data, n: int, signed: bool) -> np.ndarray:
             b2 = int(buf[pos])
             pos += 1
             l = (((first & 0x01) << 8) | b2) + 1
-            vals = unpack_bits(buf, l, fb, pos)
-            pos += (l * fb + 7) // 8
             take = min(l, n - got)
-            if signed:
-                out[got:got + take] = zigzag_decode(vals)[:take]
+            if fb % 8 == 0:
+                ba_recs.append((pos, fb // 8, take, got))
             else:
-                out[got:got + take] = vals.view(np.int64)[:take]
+                vals = unpack_bits(buf, l, fb, pos)
+                if signed:
+                    out[got:got + take] = zigzag_decode(vals)[:take]
+                else:
+                    out[got:got + take] = vals.view(np.int64)[:take]
+            pos += (l * fb + 7) // 8
             got += take
         elif enc == PATCHED_BASE:
             got, pos = _decode_patched_base(buf, pos, first, out, got)
         else:  # DELTA
             got, pos = _decode_delta(buf, pos, first, out, got, signed)
+    if ba_recs:
+        _fill_byte_aligned_direct(buf, out, ba_recs, signed)
     return out
+
+
+def _fill_byte_aligned_direct(buf: np.ndarray, out: np.ndarray,
+                              recs: list, signed: bool) -> None:
+    """Materialize registered byte-aligned DIRECT segments: one fancy
+    byte gather + one big-endian view + one zigzag + one scatter per
+    distinct byte width.  Values are identical to the per-segment
+    unpack_bits path (same bytes, same elementwise ops)."""
+    by_nb: dict[int, list] = {}
+    for rec in recs:
+        by_nb.setdefault(rec[1], []).append(rec)
+    for nb, rs in by_nb.items():
+        poss = np.array([r[0] for r in rs], dtype=np.int64)
+        takes = np.array([r[2] for r in rs], dtype=np.int64)
+        gots = np.array([r[3] for r in rs], dtype=np.int64)
+        total = int(takes.sum())
+        if total == 0:
+            continue
+        # source byte index per gathered byte: pos_j + within-segment
+        # offset (concat-arange trick, all vectorized)
+        bl = takes * nb
+        cum_b = np.zeros(len(rs) + 1, dtype=np.int64)
+        np.cumsum(bl, out=cum_b[1:])
+        src = np.repeat(poss - cum_b[:-1], bl) + \
+            np.arange(cum_b[-1], dtype=np.int64)
+        raw = buf[src].reshape(total, nb)
+        mat = np.zeros((total, 8), dtype=np.uint8)
+        mat[:, 8 - nb:] = raw
+        vals = mat.view(">u8").ravel().astype(np.uint64)
+        dec = zigzag_decode(vals) if signed else vals.view(np.int64)
+        cum_t = np.zeros(len(rs) + 1, dtype=np.int64)
+        np.cumsum(takes, out=cum_t[1:])
+        tgt = np.repeat(gots - cum_t[:-1], takes) + \
+            np.arange(total, dtype=np.int64)
+        out[tgt] = dec
 
 
 def _decode_delta(buf, pos, first, out, got, signed):
