@@ -1964,8 +1964,12 @@ def merge_table(spark, table: str, source_df, on: str,
             f"orc_table: merge key {on!r} not in source frame "
             f"({source_df.columns})")
     spec = _parse_spec(base.get("spec", []))
+    # r6: pin the distinct key set once (eager localCheckpoint) — it
+    # feeds an action (count), then either a collect (broadcast path)
+    # or the anti-join (shuffle path); without the pin each consumer
+    # re-ran the whole upstream source plan to re-derive the keys
     keys_df = source_df.select(on).where(F.col(on).isNotNull()) \
-        .distinct()
+        .distinct().localCheckpoint()
     n_keys = keys_df.count()
     if n_keys > _MERGE_MAX_KEYS:
         # shuffle path: anti-join out every matched row, re-encode
