@@ -75,10 +75,30 @@ class _Bits:
         return v - (1 << n) if v >> (n - 1) else v
 
     def unary(self) -> int:
+        # r6: byte-at-a-time zero skipping (bit_length finds the
+        # leading 1 in the remaining bits of the current byte) instead
+        # of one read(1) call per zero bit — same bits consumed, ~3x
+        # fewer Python operations on typical rice residuals
+        d = self.d
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        byte = self.byte
+        bit = self.bit
+        while True:
+            cur = d[byte] & (0xFF >> bit)
+            if cur:
+                top = cur.bit_length()
+                zeros = (8 - bit) - top
+                q += zeros
+                bit += zeros + 1
+                if bit == 8:
+                    bit = 0
+                    byte += 1
+                self.byte = byte
+                self.bit = bit
+                return q
+            q += 8 - bit
+            bit = 0
+            byte += 1
 
     def align(self):
         if self.bit:

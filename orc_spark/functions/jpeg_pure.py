@@ -114,8 +114,30 @@ for _k in range(8):
                                            np.pi / 16)
 
 
+class _HuffTable:
+    """Decode table: the (length, code) dict for the bit-by-bit tail
+    path plus a flat 2^16 peek LUT — entry = (code_length << 8) |
+    symbol, 0 = no code with that prefix — for the fast path (r6).
+    Same codes, same symbols, just O(1) per symbol instead of walking
+    code lengths one bit at a time."""
+
+    __slots__ = ("codes", "lut")
+
+    def __init__(self, codes: dict):
+        self.codes = codes
+        lut = [0] * (1 << 16)
+        for (ln, code), sym in codes.items():
+            span = 1 << (16 - ln)
+            base = code << (16 - ln)
+            lut[base:base + span] = [(ln << 8) | sym] * span
+        self.lut = lut
+
+    def get(self, key):
+        return self.codes.get(key)
+
+
 def _build_huffman(bits, values):
-    """(code -> (symbol, length)) decode dict keyed by (length, code),
+    """(code -> (symbol, length)) decode table keyed by (length, code),
     built per T.81 C.2: codes assigned in increasing length order."""
     table = {}
     code = 0
@@ -126,7 +148,7 @@ def _build_huffman(bits, values):
             code += 1
             k += 1
         code <<= 1
-    return table
+    return _HuffTable(table)
 
 
 def _encode_huffman(bits, values):
@@ -145,39 +167,86 @@ def _encode_huffman(bits, values):
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    stuffing removal; stops at any real marker."""
+    stuffing removal; stops at any real marker.
+
+    r6 rewrite — same consumption semantics, orders of magnitude
+    faster: (1) the accumulator keeps only UNCONSUMED bits (the old
+    one grew by 8 bits per byte and never dropped consumed bits, so
+    every fill shifted an ever-growing bigint — quadratic in segment
+    size, the dominant cost of the whole decoder); (2) fills prefetch
+    up to 16 bits, recording a marker/EOF encountered mid-prefetch as
+    PENDING — nothing is consumed for it — and delivering (for RSTn:
+    consuming) it only when a bit is actually needed, exactly when the
+    on-demand reader would have hit it; (3) huffman decode peeks 16
+    bits through the table's flat LUT instead of walking code lengths
+    bit by bit.  Decoded values are bit-identical on every stream the
+    old reader accepted."""
+
+    __slots__ = ("data", "pos", "acc", "n", "_pending")
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self._pending = None
 
-    def _fill(self):
+    def _pull(self) -> bool:
+        """Append one byte to the accumulator; a marker/EOF becomes
+        pending (RSTn stays UNCONSUMED until delivered by bit())."""
+        if self._pending is not None:
+            return False
         d = self.data
-        b = d[self.pos]
+        pos = self.pos
+        if pos >= len(d):
+            self._pending = IndexError("index out of range")
+            return False
+        b = d[pos]
         if b == 0xFF:
-            nxt = d[self.pos + 1]
+            if pos + 1 >= len(d):
+                self._pending = IndexError("index out of range")
+                return False
+            nxt = d[pos + 1]
             if nxt == 0x00:
-                self.pos += 2
+                self.pos = pos + 2
             elif 0xD0 <= nxt <= 0xD7:
-                self.pos += 2            # consume the whole RSTn
-                raise _RestartMarker(nxt)
+                self._pending = _RestartMarker(nxt)
+                return False
             else:
-                raise ValueError(
+                self._pending = ValueError(
                     f"jpeg: marker 0xFF{nxt:02X} inside scan")
+                return False
         else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
+            self.pos = pos + 1
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | b
         self.n += 8
+        return True
+
+    def _raise_pending(self):
+        exc = self._pending
+        self._pending = None
+        if isinstance(exc, _RestartMarker):
+            self.pos += 2            # consume the RSTn on delivery
+        raise exc
 
     def bit(self) -> int:
         if self.n == 0:
-            self._fill()
+            if not self._pull():
+                self._raise_pending()
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        n = self.n
+        while n < k and self._pull():
+            n = self.n
+        if n >= k:
+            self.n = n - k
+            return (self.acc >> self.n) & ((1 << k) - 1)
+        # not enough bits before a marker/EOF: consume what is there,
+        # then deliver the pending event exactly like the old reader
         v = 0
         for _ in range(k):
             v = (v << 1) | self.bit()
@@ -186,12 +255,25 @@ class _BitReader:
     def align_to_marker(self):
         self.acc = 0
         self.n = 0
+        self._pending = None   # unconsumed; re-seen from pos if real
 
     def decode(self, table) -> int:
+        n = self.n
+        while n < 16 and self._pull():
+            n = self.n
+        if n >= 16:
+            e = table.lut[(self.acc >> (n - 16)) & 0xFFFF]
+            if e == 0:
+                raise ValueError("jpeg: invalid huffman code")
+            self.n = n - (e >> 8)
+            return e & 0xFF
+        # tail of the stream: walk the dict bit by bit (may legally
+        # finish within the remaining bits, or hit the pending event)
         code = 0
+        codes = table.codes
         for ln in range(1, 17):
             code = (code << 1) | self.bit()
-            sym = table.get((ln, code))
+            sym = codes.get((ln, code))
             if sym is not None:
                 return sym
         raise ValueError("jpeg: invalid huffman code")
