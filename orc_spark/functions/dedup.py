@@ -26,6 +26,8 @@ materializes and no hot bucket becomes a straggler task.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -139,7 +141,12 @@ def _minhash_cols(n_perms: int, col: str = "_hs"):
     min over shingles of xxhash64(shingle_hash, k).  Pure whole-row
     expressions — NO explode, NO groupBy shuffle (the r2 version
     shuffled K longs per doc through an aggregate); each of the K
-    permutations is a constant-time long re-hash."""
+    permutations is a constant-time long re-hash.
+
+    Kept as the JVM reference formulation (r6): production callers go
+    through ``_with_minhash`` below (vectorized numpy kernel), whose
+    values are pinned bit-identical to these expressions by
+    tests/test_functions.py::test_minhash_kernel_matches_jvm."""
     def _perm(k):
         # closure factory, NOT a default arg: F.transform treats a
         # two-parameter lambda as (element, index)
@@ -149,14 +156,126 @@ def _minhash_cols(n_perms: int, col: str = "_hs"):
             for k in range(n_perms)]
 
 
+# --- vectorized Spark-xxhash64 (r6, guide §4.2) -----------------------
+# Spark's xxhash64 over LongType columns is XXH64.hashLong chained over
+# the arguments with seed 42; these are the same constants and the same
+# u64 arithmetic, vectorized with numpy (parity pinned bit-for-bit in
+# tests against F.xxhash64 and against the _minhash_cols expressions).
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh64_fmix(h):
+    h ^= h >> np.uint64(33)
+    h *= _XXH_P2
+    h ^= h >> np.uint64(29)
+    h *= _XXH_P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _xxh64_long(l, seed):
+    """XXH64.hashLong(l, seed), elementwise over uint64 arrays (either
+    argument may be a scalar)."""
+    with np.errstate(over="ignore"):
+        h = seed + _XXH_P5 + np.uint64(8)
+        k1 = l * _XXH_P2
+        k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+        k1 *= _XXH_P1
+        h = h ^ k1
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * _XXH_P1 \
+            + _XXH_P4
+        return _xxh64_fmix(h)
+
+
+def _xxh64_int(i, seed):
+    """XXH64.hashInt(i, seed) — what Spark uses for IntegerType args
+    (e.g. the F.lit(k) permutation index, an int literal)."""
+    with np.errstate(over="ignore"):
+        h = seed + _XXH_P5 + np.uint64(4)
+        h = h ^ ((i & np.uint64(0xFFFFFFFF)) * _XXH_P1)
+        h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * _XXH_P2 \
+            + _XXH_P3
+        return _xxh64_fmix(h)
+
+
+def _minhash_matrix(lens: np.ndarray, flat: np.ndarray,
+                    n_perms: int) -> np.ndarray:
+    """(n_nonempty, n_perms) minhash matrix over concatenated shingle
+    hashes (``flat``, int64) segmented by the NONZERO entries of
+    ``lens``.  Bit-identical to array_min over xxhash64(h, F.lit(k)):
+    hashLong on the shingle hash seeded 42, then hashInt on the
+    IntegerType permutation literal, min per document."""
+    ne_lens = lens[lens > 0]
+    starts = np.zeros(len(ne_lens), dtype=np.int64)
+    np.cumsum(ne_lens[:-1], out=starts[1:])
+    base = _xxh64_long(flat.view(np.uint64), np.uint64(42))
+    mat = np.empty((len(ne_lens), n_perms), dtype=np.int64)
+    for k in range(n_perms):
+        hk = _xxh64_int(np.uint64(k), base).view(np.int64)
+        mat[:, k] = np.minimum.reduceat(hk, starts)
+    return mat
+
+
+def _with_minhash(sh_df: DataFrame, n_perms: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, sh array<long>) -> (id, mh array<long>) via ONE vectorized
+    numpy kernel per Arrow batch (mapInArrow — a plan node, so no
+    Python-UDF extraction pass is involved), replacing K interpreted
+    array transforms per row (~2000 lambda dispatches per document at
+    the defaults).  Values are bit-identical to the _minhash_cols JVM
+    expressions; empty or NULL shingle arrays yield K NULL elements,
+    exactly like array_min over an empty/null transform."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    id_field = sh_df.schema[id_col]
+    out_schema = T.StructType([
+        id_field, T.StructField("mh", T.ArrayType(T.LongType()))])
+
+    def kernel(batches):
+        from orc_spark._alloc import tune_worker
+        tune_worker()
+        for batch in batches:
+            ids = batch.column(0)
+            sh = batch.column(1)
+            n = batch.num_rows
+            lens = sh.value_lengths().fill_null(0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ne = lens > 0
+            vals = np.zeros((n, n_perms), dtype=np.int64)
+            if ne.any():
+                flat = np.asarray(sh.flatten(), dtype=np.int64)
+                vals[ne] = _minhash_matrix(lens, flat, n_perms)
+            mask_flat = np.repeat(~ne, n_perms)
+            offsets = np.arange(0, (n + 1) * n_perms, n_perms,
+                                dtype=np.int32)
+            mh_arr = pa.ListArray.from_arrays(
+                pa.array(offsets),
+                pa.array(vals.ravel(), mask=mask_flat))
+            yield pa.RecordBatch.from_arrays(
+                [ids, mh_arr],
+                schema=pa.schema([
+                    pa.field(id_field.name, ids.type),
+                    pa.field("mh", pa.list_(pa.int64()))]))
+
+    return sh_df.select(id_col, "sh").mapInArrow(kernel, out_schema)
+
+
 def minhash_signatures(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
                        shingle_n: int = 3) -> DataFrame:
     """doc_id -> K minhash values (columns h0..h{K-1}), computed
     entirely map-side (zero shuffles): min over an exploded group ==
-    array_min over the array."""
-    return (docs
-            .select("doc_id", _shingle_hashes(shingle_n).alias("_hs"))
-            .select("doc_id", *_minhash_cols(n_perms)))
+    array_min over the array (r6: one vectorized numpy batch kernel
+    instead of K interpreted transforms — values bit-identical)."""
+    sh = docs.select("doc_id", _shingle_hashes(shingle_n).alias("sh"))
+    return _with_minhash(sh, n_perms).select(
+        "doc_id", *[F.col("mh").getItem(k).alias(f"h{k}")
+                    for k in range(n_perms)])
 
 
 def verify_pairs_exact(cands: DataFrame, sh: DataFrame,
@@ -189,8 +308,7 @@ def _banded_with_mh(docs: DataFrame, n_perms: int, bands: int,
     + exploded LSH band keys, computed FULLY MAP-SIDE (no shuffle, no
     state) — usable on batch and streaming DataFrames alike."""
     sh = docs.select("doc_id", _shingle_hashes(shingle_n).alias("sh"))
-    feat = sh.select(
-        "doc_id", F.array(*_minhash_cols(n_perms, "sh")).alias("mh"))
+    feat = _with_minhash(sh, n_perms)
     rows_per_band = n_perms // bands
     band_cols = []
     for b in range(bands):

@@ -33,6 +33,32 @@ def test_exact_dedup_finds_planted_dups(spark, docs):
     assert groups.agg(F.sum("dup_count")).collect()[0][0] == 505
 
 
+def test_minhash_kernel_matches_jvm(spark, docs):
+    """The r6 vectorized minhash kernel (numpy XXH64 over mapInArrow)
+    must stay bit-identical to the JVM reference expressions
+    (array_min over xxhash64(h, F.lit(k))) — including NULL/empty
+    shingle arrays, which yield K NULL signature elements."""
+    from pyspark.sql import functions as F2
+    from orc_spark.functions.dedup import (_minhash_cols,
+                                           _shingle_hashes,
+                                           _with_minhash)
+    adv = spark.createDataFrame(
+        [(900001, None), (900002, ""), (900003, "   "), (900004, "one")],
+        "doc_id long, text string").select(
+        "doc_id", "text", F2.lit("en").alias("lang"),
+        F2.lit("cc").alias("source"), F2.lit(1).alias("n_chars"))
+    both = docs.unionByName(adv.select(docs.columns))
+    sh = both.select("doc_id", _shingle_hashes(3).alias("sh"))
+    jvm = sh.select("doc_id",
+                    F2.array(*_minhash_cols(8, "sh")).alias("mh")) \
+        .orderBy("doc_id").collect()
+    kern = _with_minhash(sh, 8).orderBy("doc_id").collect()
+    assert len(jvm) == len(kern)
+    for a, b in zip(jvm, kern):
+        assert a["doc_id"] == b["doc_id"]
+        assert list(a["mh"]) == list(b["mh"])
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     near = docs.limit(10).select(
         (F.col("doc_id") + 10_000).alias("doc_id"),

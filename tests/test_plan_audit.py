@@ -48,13 +48,11 @@ def test_pipeline_plans_have_no_scale_killers(spark, docs):
     plans.assert_no(pairs, "CartesianProduct", "BroadcastNestedLoopJoin")
     plan_str = plans.executed_plan(pairs)
     final = plan_str.split("Initial Plan")[0]
-    # the signature projection (array_min over per-permutation rehash)
-    # must appear exactly once in the final plan: <= 32 array_min calls
-    # (the plan printer truncates wide arrays, so one projection prints
-    # <= 32; a duplicated projection would print > 32) and the second
-    # self-join side must arrive as a ReusedExchange of the first
-    n_mh = final.count("array_min(transform(sh")
-    assert 0 < n_mh <= 32, f"minhash projection duplicated: {n_mh}"
+    # the signature kernel (vectorized minhash, r6) must run exactly
+    # once in the final plan, and the second self-join side must
+    # arrive as a ReusedExchange of the first
+    n_mh = final.count("MapInArrow")
+    assert n_mh == 1, f"minhash kernel duplicated: {n_mh}"
     assert "ReusedExchange" in final
     # the only Window nodes are the bucket-size cap sitting directly on
     # the shared exchange (re-executed per join side over the REUSED
