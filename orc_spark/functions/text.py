@@ -1,14 +1,29 @@
 """Text-analysis operators for training-data pipelines.
 
-All hot paths are JVM-side built-ins (split/regexp/md5/size) so Catalyst
-can pipeline them inside whole-stage codegen; every operator here has an
-exactly-matching ANSI-SQL formulation used as the DuckDB oracle in
-``__spark_entry__.oracle_sql``.
+Every operator here has an exactly-matching ANSI-SQL formulation used
+as the DuckDB oracle in ``__spark_entry__.oracle_sql``.  Most paths
+are JVM-side built-ins (split/regexp/md5/size); the two hottest
+(quality_scores, lang_id — the bench's text_analysis pair) run their
+per-document counting as an Arrow/numpy mapInArrow kernel (r6, guide
+§4.2): pyarrow.compute split + set-membership + byte-class counting
+over whole batches, with the scoring/rounding expressions staying
+JVM-side so output values are bit-identical to the pure-JVM
+formulations kept below as ``_quality_scores_jvm`` / ``_lang_id_jvm``
+(parity pinned by tests across all SFs plus control-char/unicode
+fuzz).  Semantics replicated exactly: Spark trim() strips 0x20 ONLY;
+split keeps leading/trailing empty strings; Java \\s is exactly
+[ \\t\\n\\x0B\\f\\r]; ASCII byte counts equal char counts in UTF-8.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# Java regex \s, exactly: [ \t\n\x0B\f\r] (ASCII-only by default)
+_WS_CHARS = " \t\n\x0b\x0c\r"
+_WS_PATTERN = "[ \t\n\x0b\x0c\r]+"
 
 # tiny per-language stopword marker lists for the n-gram/stopword
 # language-ID heuristic (deterministic, SQL-replicable)
@@ -43,20 +58,10 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Heuristic quality features: length, mean word length, stopword
-    ratio, digit/punct density (all SQL-expressible).
-
-    r6 perf (guide §1.2 per-task work): the word array is computed ONCE
-    in a child projection — higher-order functions are interpreted (no
-    codegen), so a split embedded in every consuming expression used to
-    re-run the regex split per expression per row; char-class counts
-    (digits/punct/whitespace) run as regexp_count (pattern cached,
-    counts matches without building a replacement string) instead of
-    length(regexp_replace(...)) — count-identical by construction,
-    measured ~3x cheaper per column.  Output values are bit-identical
-    to the r5 formulation (same oracle); parity pinned across all SFs
-    plus adversarial whitespace/NULL rows (OPTIMIZATION_r06.md)."""
+def _quality_scores_jvm(docs: DataFrame) -> DataFrame:
+    """Pure-JVM reference formulation of quality_scores (pre-r6 hot
+    path) — kept for the kernel parity tests; value-identical to the
+    production kernel below."""
     d = docs.select(
         "doc_id", "text", F.split(F.trim("text"), r"\s+").alias("_words"))
     words = F.col("_words")
@@ -78,22 +83,111 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-marker language ID: the language whose markers hit the
-    most words wins; ties broken by language code order (deterministic).
+def _byte_class_counts(arr, classes):
+    """Per-row counts of ASCII byte classes over a string Arrow array
+    (exact for char counts too: in UTF-8, ASCII bytes never occur
+    inside multibyte sequences).  One 256-entry table gather + one
+    cumsum per class — no regex, no per-row Python."""
+    import pyarrow as pa
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    bufs = a.buffers()
+    n = len(a)
+    if pa.types.is_large_string(a.type) or pa.types.is_large_binary(a.type):
+        offsets = np.frombuffer(bufs[1], np.int64, count=n + 1,
+                                offset=a.offset * 8)
+    else:
+        offsets = np.frombuffer(bufs[1], np.int32, count=n + 1,
+                                offset=a.offset * 4).astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8, count=int(offsets[-1]))
+    outs = []
+    for cls in classes:
+        tab = np.zeros(256, np.int64)
+        for c in cls.encode():
+            tab[c] = 1
+        cums = np.zeros(len(data) + 1, np.int64)
+        np.cumsum(tab[data], out=cums[1:])
+        outs.append(cums[offsets[1:]] - cums[offsets[:-1]])
+    return outs
 
-    r6 perf: the word array is split ONCE in a child projection instead
-    of being re-evaluated inside each language's (interpreted) filter
-    expression — values unchanged (parity pinned, see quality_scores).
-    """
-    d = docs.select(
-        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("_words"))
-    words = F.col("_words")
-    scores = [
-        F.size(F.filter(words, lambda w: w.isin(markers))).alias(f"s_{lang}")
-        for lang, markers in LANG_MARKERS.items()
-    ]
-    scored = d.select("doc_id", "lang", *scores)
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, mean word length, stopword
+    ratio, digit/punct density.
+
+    r6 perf (guide §4.2): the per-document counting runs as ONE
+    Arrow/numpy kernel per batch (mapInArrow — C-level regex split,
+    set membership and byte-class counting), replacing interpreted
+    higher-order functions and JVM regex passes; the ratio/round
+    expressions stay JVM-side, so every output value is bit-identical
+    to ``_quality_scores_jvm`` (pinned by tests across all SFs plus
+    control-char/unicode fuzz rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = T.StructType([
+        docs.schema["doc_id"],
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("n_nonws", T.IntegerType()),
+        T.StructField("stop_hits", T.IntegerType()),
+        T.StructField("n_digits", T.IntegerType()),
+        T.StructField("n_punct", T.IntegerType()),
+    ])
+    stopset = pa.array(STOPWORDS)
+    count_fields = ["n_chars", "n_words", "n_nonws", "stop_hits",
+                    "n_digits", "n_punct"]
+
+    def kernel(batches):
+        from orc_spark._alloc import tune_worker
+        tune_worker()
+        for batch in batches:
+            ids = batch.column(0)
+            a = batch.column(1)
+            n = len(a)
+            if n == 0:
+                continue
+            nulls = np.asarray(a.is_null()) if a.null_count else None
+            av = a.fill_null("") if a.null_count else a
+            n_chars = pc.utf8_length(av) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            # Spark split(trim(text), \s+): trim strips 0x20 only and
+            # split KEEPS leading/trailing empty strings — Arrow's
+            # split_pattern_regex + utf8_trim(' ') match both exactly
+            sp = pc.split_pattern_regex(pc.utf8_trim(av, " "),
+                                        _WS_PATTERN)
+            nw = pc.list_value_length(sp) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(sp)
+            hv = pc.is_in(flat, value_set=stopset) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(nw, out=offs[1:])
+            sh = np.add.reduceat(np.append(hv, 0), offs[:-1]) * (nw > 0)
+            nd, npn, nws = _byte_class_counts(
+                av, ["0123456789", ".!?,;:", _WS_CHARS])
+            cols = (n_chars, nw, n_chars - nws, sh, nd, npn)
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(x.astype(np.int32), mask=nulls)
+                         for x in cols],
+                schema=pa.schema(
+                    [pa.field("doc_id", ids.type)] +
+                    [pa.field(f, pa.int32()) for f in count_fields]))
+
+    k = docs.select("doc_id", "text").mapInArrow(kernel, out_schema)
+    return k.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("n_nonws") / F.col("n_words"), 4)
+        .alias("mean_word_len"),
+        F.round(F.col("stop_hits") / F.col("n_words"), 4)
+        .alias("stopword_ratio"),
+        F.col("n_digits").cast("long").alias("n_digits"),
+        F.col("n_punct").cast("long").alias("n_punct"))
+
+
+def _lang_scored_to_pred(scored: DataFrame) -> DataFrame:
+    """Shared argmax projection over the s_<lang> score columns."""
     best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
     pred = None
     for lang in sorted(LANG_MARKERS):
@@ -102,6 +196,75 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return scored.select(
         "doc_id", "lang",
         F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"))
+
+
+def _lang_id_jvm(docs: DataFrame) -> DataFrame:
+    """Pure-JVM reference formulation of lang_id (pre-r6 hot path) —
+    kept for the kernel parity tests; value-identical to the
+    production kernel below."""
+    d = docs.select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("_words"))
+    words = F.col("_words")
+    scores = [
+        F.size(F.filter(words, lambda w: w.isin(markers))).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    return _lang_scored_to_pred(d.select("doc_id", "lang", *scores))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID: the language whose markers hit the
+    most words wins; ties broken by language code order (deterministic).
+
+    r6 perf (guide §4.2): the per-language marker counting runs as ONE
+    Arrow kernel per batch (C-level split + is_in per language) via
+    mapInArrow; the argmax/tie-break projection stays JVM-side, so
+    outputs are bit-identical to ``_lang_id_jvm`` (parity pinned, see
+    quality_scores)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    langs = list(LANG_MARKERS)
+    out_schema = T.StructType(
+        [docs.schema["doc_id"], docs.schema["lang"]] +
+        [T.StructField(f"s_{lang}", T.IntegerType()) for lang in langs])
+    marker_sets = {lang: pa.array(ms) for lang, ms in LANG_MARKERS.items()}
+
+    def kernel(batches):
+        from orc_spark._alloc import tune_worker
+        tune_worker()
+        for batch in batches:
+            ids = batch.column(0)
+            lang_col = batch.column(1)
+            a = batch.column(2)
+            n = len(a)
+            if n == 0:
+                continue
+            nulls = np.asarray(a.is_null()) if a.null_count else None
+            av = a.fill_null("") if a.null_count else a
+            sp = pc.split_pattern_regex(pc.utf8_trim(av, " "),
+                                        _WS_PATTERN)
+            nw = pc.list_value_length(sp) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(sp)
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(nw, out=offs[1:])
+            arrays = [ids, lang_col]
+            for lang in langs:
+                hv = pc.is_in(flat, value_set=marker_sets[lang]) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                s = np.add.reduceat(np.append(hv, 0), offs[:-1]) * (nw > 0)
+                arrays.append(pa.array(s.astype(np.int32), mask=nulls))
+            yield pa.RecordBatch.from_arrays(
+                arrays, schema=pa.schema(
+                    [pa.field("doc_id", ids.type),
+                     pa.field("lang", lang_col.type)] +
+                    [pa.field(f"s_{lang}", pa.int32())
+                     for lang in langs]))
+
+    scored = docs.select("doc_id", "lang", "text") \
+        .mapInArrow(kernel, out_schema)
+    return _lang_scored_to_pred(scored)
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:

@@ -135,6 +135,31 @@ def test_langid_accuracy_on_markers(spark):
         and got[4] == "fr"
 
 
+def test_text_kernels_match_jvm(spark, docs):
+    """The r6 Arrow/numpy text kernels (quality_scores, lang_id) must
+    stay value-identical to the pure-JVM reference formulations —
+    including NULL text, blank/whitespace-only rows, control chars
+    (Java \\s is [ \\t\\n\\x0B\\f\\r] only; \\x1c-\\x1f and unicode
+    spaces are NOT separators), and multibyte unicode."""
+    from pyspark.sql import functions as F2
+    adv = spark.createDataFrame(
+        [(900001, None), (900002, ""), (900003, "   "), (900004, "\t\n"),
+         (900005, "\ta b\t"), (900006, "\x1c\x1d\x1e\x1fx y"),
+         (900007, "the a of and to in is it"), (900008, "la le el de"),
+         (900009, "1.5!?2,3;4:5...99"), (900010, "été 中文 the"),
+         (900011, " \x0bmixed\x0c seps\r here ")],
+        "doc_id long, text string").select(
+        "doc_id", "text", F2.lit("en").alias("lang"),
+        F2.lit("cc").alias("source"), F2.lit(1).alias("n_chars"))
+    both = docs.unionByName(adv.select(docs.columns))
+    a = text._quality_scores_jvm(both).orderBy("doc_id").toPandas()
+    b = text.quality_scores(both).orderBy("doc_id").toPandas()
+    assert a.equals(b)
+    c = text._lang_id_jvm(both).orderBy("doc_id").toPandas()
+    d = text.lang_id(both).orderBy("doc_id").toPandas()
+    assert c.equals(d)
+
+
 def test_quality_scores_values(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox 42 jumps!", "en")],
