@@ -185,7 +185,13 @@ def pair_cosine(a_col, b_col):
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
                 emb_col: str = "embedding",
                 id_col: str = "vec_id") -> DataFrame:
-    """Exact brute-force top-k by cosine similarity to ``query``."""
+    """Exact brute-force top-k by cosine similarity to ``query``.
+
+    Deliberately NOT spread_scan-widened (r6): the vectorized cosine
+    kernel is a single matmul-shaped pass — measured 0.40s -> 0.60s
+    at 10x bench scale when an exchange was added, so the exchange
+    overhead exceeds the kernel's whole cost at any scale where the
+    input fits one row group."""
     return (with_cosine(df, query, emb_col)
             .select(id_col, "cosine")
             .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -262,6 +268,8 @@ def lsh_ann_topk(df: DataFrame, query: list[float], k: int = 10,
     For repeated queries over a static table, use build_ann_index +
     ann_index_topk instead — this variant hashes the table per call."""
     dim = len(query)
+    # not spread_scan-widened: same measurement as cosine_topk (the
+    # signature matmul is cheaper than one exchange of the vectors)
     sigs = add_lsh_signature(df, dim, n_planes, seed, emb_col)
     bpb = n_planes // bands
     cond = None

@@ -173,7 +173,9 @@ def quality_scores(docs: DataFrame) -> DataFrame:
                     [pa.field("doc_id", ids.type)] +
                     [pa.field(f, pa.int32()) for f in count_fields]))
 
-    k = docs.select("doc_id", "text").mapInArrow(kernel, out_schema)
+    from ._spread import spread_scan
+    k = spread_scan(docs.select("doc_id", "text")) \
+        .mapInArrow(kernel, out_schema)
     return k.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -262,7 +264,8 @@ def lang_id(docs: DataFrame) -> DataFrame:
                     [pa.field(f"s_{lang}", pa.int32())
                      for lang in langs]))
 
-    scored = docs.select("doc_id", "lang", "text") \
+    from ._spread import spread_scan
+    scored = spread_scan(docs.select("doc_id", "lang", "text")) \
         .mapInArrow(kernel, out_schema)
     return _lang_scored_to_pred(scored)
 

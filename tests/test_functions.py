@@ -160,6 +160,45 @@ def test_text_kernels_match_jvm(spark, docs):
     assert c.equals(d)
 
 
+def test_spread_scan_widens_only_large_narrow_scans(spark, tmp_path):
+    """r6 scale-adaptive spreading (_spread.spread_scan): a large
+    single-row-group scan is widened to the session parallelism; a
+    small scan and an already-wide frame are returned untouched; and
+    spreading never changes operator VALUES (quality_scores over the
+    widened input equals the unspread JVM reference)."""
+    from pyspark.sql import functions as F2
+    from orc_spark.functions import _spread
+
+    # large single-file input: 4k docs of ~200 chars -> one scan split
+    big = spark.range(4000).select(
+        F2.col("id").alias("doc_id"),
+        F2.concat(F2.lit("the quick brown fox 12! "),
+                  F2.repeat(F2.md5(F2.col("id").cast("string")), 6))
+        .alias("text"),
+        F2.lit("en").alias("lang"))
+    path = str(tmp_path / "big_docs")
+    big.coalesce(1).write.parquet(path)
+    one = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    assert one.rdd.getNumPartitions() < target
+    spread = _spread.spread_scan(one)
+    assert spread.rdd.getNumPartitions() == target
+
+    # small input: returned untouched (the exchange would cost more
+    # than the kernel — A/B in OPTIMIZATION_r06.md)
+    small = spark.createDataFrame(
+        [(1, "tiny", "en")], ["doc_id", "text", "lang"])
+    assert _spread.spread_scan(small) is small
+    # already-wide frame: untouched
+    wide = one.repartition(target)
+    assert _spread.spread_scan(wide) is wide
+
+    # value parity through the widened path
+    a = text._quality_scores_jvm(one).orderBy("doc_id").toPandas()
+    b = text.quality_scores(one).orderBy("doc_id").toPandas()
+    assert a.equals(b)
+
+
 def test_quality_scores_values(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox 42 jumps!", "en")],
