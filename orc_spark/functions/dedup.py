@@ -64,6 +64,12 @@ def collapse_exact(docs: DataFrame) -> DataFrame:
     cluster of C duplicates sends ~1 row per map partition instead of
     C rows to one window partition — the r2 row_number window shuffled
     every row AND sorted it."""
+    # r6: widen a narrow single-row-group scan before the map-side
+    # normalize+digest (regexp_replace + md5 over every byte of text
+    # otherwise runs on the one scan task); values are unaffected —
+    # min-over-struct is order-independent (guide §2.2/§6)
+    from ._spread import spread_scan
+    docs = spread_scan(docs)
     fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
     cols = docs.columns
     # struct comparison is field-ordered: doc_id first => min row per
@@ -98,7 +104,7 @@ def _shingles(n: int = 3):
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
 
 
-def _shingle_hashes(n: int = 3):
+def _shingle_hashes(n: int = 3, col: str = "text"):
     """Distinct 64-bit hashes of the word n-gram shingles
     (array<long>), built WITHOUT materializing shingle strings: hash
     each word once, then hash each n-tuple of word hashes.  Words
@@ -109,8 +115,10 @@ def _shingle_hashes(n: int = 3):
     computed over string shingles (what the DuckDB oracles compute).
     Cost per doc: 2w constant-size hashes vs w array-slice + string
     concat + O(len) string hashes — and downstream set ops run on
-    longs, not strings."""
-    words = F.split(F.trim("text"), r"\s+")
+    longs, not strings.  ``col`` names the text column (r6: the
+    post-join verify path computes shingles over renamed pair-side
+    text columns — same expression, same values)."""
+    words = F.split(F.trim(col), r"\s+")
     hw = F.transform(words, lambda w: F.xxhash64(w))
 
     def _per_doc(a):  # noqa: D401 — helper, documented below
@@ -130,7 +138,7 @@ def _shingle_hashes(n: int = 3):
     # sentinel, which would make every null-text doc a jaccard-1.0
     # duplicate of every other); empty sets verify to null jaccard and
     # never pass a threshold
-    return F.when(F.col("text").isNull(),
+    return F.when(F.col(col).isNull(),
                   F.array().cast("array<bigint>")).otherwise(
         F.array_distinct(
             F.flatten(F.transform(F.array(hw), _per_doc))))
@@ -290,7 +298,16 @@ def verify_pairs_exact(cands: DataFrame, sh: DataFrame,
                    F.col("sh").alias("sh_a"))
     fb = sh.select(F.col("doc_id").alias("doc_b"),
                    F.col("sh").alias("sh_b"))
-    return (cands.join(fa, "doc_a").join(fb, "doc_b")
+    return _jaccard_filter(cands.join(fa, "doc_a").join(fb, "doc_b"),
+                           min_jaccard)
+
+
+def _jaccard_filter(paired: DataFrame, min_jaccard: float) -> DataFrame:
+    """Exact-Jaccard residual shared by both verify paths: ``paired``
+    carries per-side shingle-hash arrays sh_a/sh_b; keeps pairs with
+    round(|A∩B| / |A∪B|, 6) >= ``min_jaccard`` and drops the working
+    columns."""
+    return (paired
             .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
             .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
             # try_divide: two EMPTY shingle sets (null-text docs) give
@@ -300,6 +317,35 @@ def verify_pairs_exact(cands: DataFrame, sh: DataFrame,
                         F.round(F.try_divide("inter", "uni"), 6))
             .where(F.col("jaccard") >= min_jaccard)
             .drop("sh_a", "sh_b", "inter", "uni"))
+
+
+def _verify_pairs_exact_text(cands: DataFrame, docs: DataFrame,
+                             shingle_n: int,
+                             min_jaccard: float) -> DataFrame:
+    """verify_pairs_exact, restructured for the batch path (r6, guide
+    §2.3/§8): join each candidate side against the doc TEXT and compute
+    the shingle-hash arrays AFTER the join, on candidate rows only.
+
+    The sh-join formulation evaluated the whole shingle projection
+    (split + 2w xxhash64 per doc) once per join side — 2x the corpus
+    shingle cost for a candidate set that is orders of magnitude
+    smaller than the corpus — and its join inputs carried ~8x more
+    bytes than the text (measured: shingle arrays ~2.4 KB/doc vs text
+    ~0.3 KB/doc).  Joining the text instead makes the per-side join
+    input the lightest possible payload, and the shingle expression —
+    THE SAME expression, over the renamed per-side text column, so
+    values are identical — runs on |candidates| rows, which the bucket
+    caps bound at any scale.  Output schema and values match
+    verify_pairs_exact exactly (pinned by a parity test)."""
+    fa = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("text").alias("_text_a"))
+    fb = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("text").alias("_text_b"))
+    paired = (cands.join(fa, "doc_a").join(fb, "doc_b")
+              .withColumn("sh_a", _shingle_hashes(shingle_n, "_text_a"))
+              .withColumn("sh_b", _shingle_hashes(shingle_n, "_text_b"))
+              .drop("_text_a", "_text_b"))
+    return _jaccard_filter(paired, min_jaccard)
 
 
 def _banded_with_mh(docs: DataFrame, n_perms: int, bands: int,
@@ -353,7 +399,6 @@ def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
     repeated calls leak no executor storage."""
     if pre_collapse:
         docs = collapse_exact(docs.select("doc_id", "text"))
-    sh = docs.select("doc_id", _shingle_hashes(shingle_n).alias("sh"))
     # the minhash+banding projection is evaluated ONCE, on this side
     # only; the signature array rides through the banded self-join
     # (n_perms longs per row) so est_jaccard needs no extra join and
@@ -386,14 +431,18 @@ def minhash_lsh_pairs(docs: DataFrame, n_perms: int = DEFAULT_PERMS,
                      F.col("a.mh").alias("mh_a"),
                      F.col("b.mh").alias("mh_b"))
              .distinct())
-    # exact verification on candidates only: the SHARED
-    # verify_pairs_exact helper (same semantics as the streaming
-    # path); the signature arrays ride through it, so est_jaccard
-    # costs one zip_with, not two extra K-column joins
+    # exact verification on candidates only, via the text-join variant
+    # (r6): each join side ships the doc TEXT (the lightest payload)
+    # and the shingle expression runs on candidate rows only — the
+    # sh-join formulation paid the full-corpus shingle projection per
+    # side (same semantics, pinned by a parity test); the signature
+    # arrays ride through it, so est_jaccard costs one zip_with, not
+    # two extra K-column joins
     est = F.size(F.filter(
         F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
         lambda eq: eq)) / F.lit(float(n_perms))
-    return (verify_pairs_exact(cands, sh, min_jaccard)
+    return (_verify_pairs_exact_text(cands, docs, shingle_n,
+                                     min_jaccard)
             .select("doc_a", "doc_b", est.alias("est_jaccard"),
                     "jaccard"))
 

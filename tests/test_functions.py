@@ -59,6 +59,35 @@ def test_minhash_kernel_matches_jvm(spark, docs):
         assert list(a["mh"]) == list(b["mh"])
 
 
+def test_verify_text_join_matches_sh_join(spark, docs):
+    """The r6 text-join verify path (_verify_pairs_exact_text: join doc
+    text per side, shingle AFTER the join on candidate rows only) must
+    return exactly what the sh-join formulation (verify_pairs_exact)
+    returns — same pairs, same jaccard values — including NULL-text
+    docs (empty shingle sets -> NULL jaccard -> filtered) and
+    sub-threshold pairs."""
+    from pyspark.sql import functions as F2
+    from orc_spark.functions.dedup import (_shingle_hashes,
+                                           _verify_pairs_exact_text,
+                                           verify_pairs_exact)
+    d = docs.select("doc_id", "text").unionByName(spark.createDataFrame(
+        [(900001, None), (900002, "the quick brown fox the quick")],
+        "doc_id long, text string"))
+    ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+    cands = spark.createDataFrame(
+        [(a, b) for a in ids[:40] for b in ids[:40] if a < b],
+        "doc_a long, doc_b long")
+    sh = d.select("doc_id", _shingle_hashes(3).alias("sh"))
+    old = verify_pairs_exact(cands, sh, 0.2) \
+        .orderBy("doc_a", "doc_b").collect()
+    new = _verify_pairs_exact_text(cands, d, 3, 0.2) \
+        .orderBy("doc_a", "doc_b").collect()
+    assert len(old) == len(new) and len(old) > 0
+    for a, b in zip(old, new):
+        assert (a["doc_a"], a["doc_b"], a["jaccard"]) == \
+            (b["doc_a"], b["doc_b"], b["jaccard"])
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     near = docs.limit(10).select(
         (F.col("doc_id") + 10_000).alias("doc_id"),
