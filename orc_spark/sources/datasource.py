@@ -655,6 +655,14 @@ class OrcTableStreamWriter(DataSourceStreamArrowWriter):
                 "append-only (outputMode('append'))")
         self._w = OrcTableWriter(options, False, schema, fs=fs)
         self.query = options.get("query", "default")
+        # stable run identity for the replay guard (r6, ADVICE r5 #2):
+        # Spark forwards the stream's checkpointLocation in the writer
+        # options; a fresh checkpoint is a NEW run whose batch ids
+        # restart at 0 and must never be mistaken for replays.  Users
+        # on exotic launch paths can pin option("run", ...) directly.
+        self.run = options.get("run") or \
+            options.get("checkpointlocation") or \
+            options.get("checkpointLocation")
 
     def write(self, iterator):
         return self._w.write(iterator)
@@ -673,19 +681,23 @@ class OrcTableStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         from . import orctable
         w = self._w
-        last = orctable._last_stream_batch(w.table, self.query)
-        if last is not None and batchId <= last:
+        action = orctable._stream_replay_action(
+            batchId, self.run,
+            orctable._last_stream_commit(w.table, self.query))
+        if action == "skip":
             self._sweep(messages)  # replay of a committed batch
             return
         entries = [e for m in messages if m is not None
                    for e in m.entries]
         manifest = orctable._write_manifest(w.table, entries) \
             if entries else None
+        stream_meta = {"query": self.query, "batch_id": int(batchId)}
+        if self.run is not None:
+            stream_meta["run"] = self.run
         orctable._commit_retrying(
             w.table, orctable.load_snapshot(w.table), "append",
             manifest, entries, w.write_schema,
-            extra={"stream": {"query": self.query,
-                              "batch_id": int(batchId)}})
+            extra={"stream": stream_meta})
 
     def abort(self, messages, batchId: int) -> None:
         self._sweep(messages)
@@ -828,6 +840,14 @@ class OrcDataSource(DataSource):
             table = self.options["table"]
             snap = orctable.load_snapshot(
                 table, _snapshot_opt(self.options, table))
+            if self.options.get("snapshot") is None:
+                # pin the version resolved at ANALYSIS time into the
+                # options the reader is built from (r6 fix, ADVICE r5
+                # #4): schema() and OrcReader._resolve() otherwise
+                # resolve "current" independently, and a concurrent
+                # commit between them makes the reader decode under a
+                # schema different from the one Spark negotiated
+                self.options["snapshot"] = str(snap["version"])
             root = _project_root(
                 orctypes.parse_orc_type(snap["schema"]), columns)
         else:

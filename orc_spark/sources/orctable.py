@@ -1310,20 +1310,25 @@ def rewrite_zorder(spark, table: str, by: list[str],
             zbits = zbits + F.shiftleft(
                 F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
                 bit * k + i)
-    df = df.withColumn("__z", zbits.cast("long"))
+    # per-job unique temp column name (r6 fix, ADVICE r5 #3): a user
+    # column literally named "__z" would be silently REPLACED by
+    # withColumn and then dropped — rewritten files would lack it and
+    # reads would null-fill it (silent data loss)
+    zcol = f"__z_{uuid.uuid4().hex[:8]}"
+    df = df.withColumn(zcol, zbits.cast("long"))
     if spec:
         exprs = [F.col(sp["col"]) if sp["transform"] == "identity"
                  else (F.conv(F.substring(
                      F.md5(F.col(sp["col"]).cast("string")), 1, 15),
                      16, 10).cast("long") % sp["n"])
                  for sp in spec]
-        df = df.repartition(*exprs).sortWithinPartitions("__z")
+        df = df.repartition(*exprs).sortWithinPartitions(zcol)
     else:
         total = sum(e["bytes"] for e in entries)
         n = max(1, -(-total // target_bytes))
-        df = df.repartitionByRange(n, F.col("__z")) \
-            .sortWithinPartitions("__z")
-    df = df.drop("__z")
+        df = df.repartitionByRange(n, F.col(zcol)) \
+            .sortWithinPartitions(zcol)
+    df = df.drop(zcol)
     new_entries, write_schema = _write_data_files(
         df, table, spec, codec=out_codec, prefix="zorder",
         cluster=False)
@@ -1490,7 +1495,8 @@ def _apply_set(batch, mask, set_spec):
 
 
 def _rewrite_update_file(path: str, preds: list[tuple], set_spec,
-                         data_dir: str, job: str, idx: int) -> dict:
+                         data_dir: str, job: str, idx: int,
+                         declared: dict | None = None) -> dict:
     """Copy-on-write UPDATE of one data file: rows where the
     predicate is TRUE take the new values (SQL semantics — NULL
     predicate rows do NOT update); everything re-encodes through the
@@ -1516,6 +1522,22 @@ def _rewrite_update_file(path: str, preds: list[tuple], set_spec,
             f"orc_table: update rewrite requires struct-root files, "
             f"got {root.orc_string()!r} in {path}")
     ctx = _ScanContext(root, [], None, ts_nanos=True)
+    # SET columns physically absent from this file's footer type (the
+    # column was ADDed after the file was written): null-fill them
+    # into every decoded batch under their DECLARED type before
+    # _apply_set — the backfill-after-ADD-COLUMN case.  Without this,
+    # _apply_set's get_field_index returned -1 and set_column raised
+    # ArrowInvalid mid-executor (ADVICE r5 finding #1).
+    import pyarrow as pa
+    fill_types = {}
+    for c in set_spec:
+        if c not in root.field_names:
+            if not declared or c not in declared:
+                raise ValueError(
+                    f"orc_table: update column {c!r} missing from "
+                    f"data file {path} and no declared type given")
+            fill_types[c] = \
+                orctypes.parse_orc_type(declared[c]).to_arrow()
     name = f"update-{job}-{idx:05d}.orc"
     new_path = os.path.join(data_dir, name)
     writer = ORCFileWriter(
@@ -1532,6 +1554,8 @@ def _rewrite_update_file(path: str, preds: list[tuple], set_spec,
         else:
             kind, v = "all", None  # unpredicated UPDATE: every row
         batch = ctx.decode_stripe(f, si)
+        for c, at in fill_types.items():
+            batch = batch.append_column(c, pa.nulls(batch.num_rows, at))
         if kind == "all":
             batch = _apply_set(batch, None, set_spec)
             n_upd += batch.num_rows
@@ -1764,6 +1788,10 @@ def update_table(spark, table: str, set: dict, predicate=None) -> dict:
         list(enumerate(rewrites)), "idx int, path string") \
         .repartition(len(rewrites))
     pr, ss = list(preds), dict(set)
+    # declared ORC type per SET column, for null-filling files whose
+    # footer type predates an ADD COLUMN (backfill UPDATE)
+    decl = {c: root.children[root.field_names.index(c)].orc_string()
+            for c in set}
 
     def rkern(it):
         import pandas as pd
@@ -1771,7 +1799,7 @@ def update_table(spark, table: str, set: dict, predicate=None) -> dict:
             out = []
             for idx, p in zip(pdf["idx"], pdf["path"]):
                 r = _rewrite_update_file(p, pr, ss, data_dir, job,
-                                         int(idx))
+                                         int(idx), declared=decl)
                 out.append((int(idx), json.dumps(r)))
             yield pd.DataFrame(out, columns=["idx", "res"])
 
@@ -2477,6 +2505,14 @@ def _last_stream_batch(table: str, query: str):
     snapshot summaries (newest first — the hit is almost always the
     immediately previous version, so the walk is O(1) in steady
     state)."""
+    rec = _last_stream_commit(table, query)
+    return rec[0] if rec else None
+
+
+def _last_stream_commit(table: str, query: str):
+    """(batch_id, run) of this stream query's newest commit, or None.
+    ``run`` is the stable run identity (checkpoint location) recorded
+    since r6; None for commits written by older versions."""
     for v in range(current_version(table), -1, -1):
         try:
             s = load_snapshot(table, v)
@@ -2484,19 +2520,60 @@ def _last_stream_batch(table: str, query: str):
             continue
         sb = s["summary"].get("stream")
         if sb and sb.get("query") == query:
-            return sb["batch_id"]
+            return sb["batch_id"], sb.get("run")
     return None
+
+
+def _stream_replay_action(batch_id: int, run, rec) -> str:
+    """Replay-guard decision shared by the foreachBatch sink and the
+    DataSource streaming sink (r6 fix, ADVICE r5 #2): ``rec`` is
+    ``_last_stream_commit``'s result.  Returns "append" | "skip".
+
+    The r5 guard keyed on (query, batch_id) alone: restarting a
+    stream into the same table with a FRESH checkpoint restarts batch
+    ids at 0, so every new batch satisfied ``batchId <= last`` and
+    was silently swept — silent data loss.  Scoping to a stable run
+    identity (the checkpoint location) fixes it: a different run is a
+    new stream and always appends; within the SAME run, ids at or
+    below the high-water mark are crash-replays and skip.  When
+    either side predates the run field, only an exact high-water-mark
+    match skips (the only id a genuine crash-replay can re-deliver —
+    the checkpoint lags the commit by at most one batch); an id
+    BELOW it raises loudly instead of silently dropping the batch."""
+    if rec is None:
+        return "append"
+    last, lrun = rec
+    if run is not None and lrun is not None:
+        if run != lrun:
+            return "append"  # new checkpoint/run: a new stream
+        return "skip" if batch_id <= last else "append"
+    if batch_id == last:
+        return "skip"  # crash between commit and checkpoint-advance
+    if batch_id < last:
+        raise ValueError(
+            f"orc_table: stream batch id {batch_id} is below this "
+            f"query's committed high-water mark {last} and no run "
+            f"identity is recorded — refusing to guess between a "
+            f"replay (skip) and a fresh-checkpoint restart (append "
+            f"— skipping would silently drop data).  Restart the "
+            f"stream with its original checkpoint, or use a new "
+            f"query name for a re-run")
+    return "append"
 
 
 def _stream_sink_once(batch_df, batch_id: int, table: str,
                       query: str, codec: str = "zlib",
                       stripe_rows: int = 1 << 20,
-                      bloom_columns: list[str] | None = None) -> bool:
+                      bloom_columns: list[str] | None = None,
+                      run: str | None = None) -> bool:
     """One idempotent micro-batch append: skips (returns False) when
-    ``batch_id`` was already committed for this query — the replay
-    guard for a crash between commit and checkpoint-advance."""
-    last = _last_stream_batch(table, query)
-    if last is not None and batch_id <= last:
+    ``batch_id`` was already committed for this query AND run — the
+    replay guard for a crash between commit and checkpoint-advance
+    (``run`` scopes the guard to a checkpoint identity so a
+    fresh-checkpoint restart is never mistaken for a replay; see
+    _stream_replay_action)."""
+    if _stream_replay_action(
+            batch_id, run, _last_stream_commit(table, query)) == "skip":
         return False  # replay of an already-committed batch
     base = load_snapshot(table)
     spec = _parse_spec(base.get("spec", []))
@@ -2504,9 +2581,12 @@ def _stream_sink_once(batch_df, batch_id: int, table: str,
         batch_df, table, spec, codec=codec, stripe_rows=stripe_rows,
         bloom_columns=bloom_columns, prefix="stream")
     manifest = _write_manifest(table, entries) if entries else None
+    stream_meta = {"query": query, "batch_id": int(batch_id)}
+    if run is not None:
+        stream_meta["run"] = run
     _commit_retrying(
         table, base, "append", manifest, entries, write_schema,
-        extra={"stream": {"query": query, "batch_id": int(batch_id)}})
+        extra={"stream": stream_meta})
     return True
 
 
@@ -2531,9 +2611,12 @@ def stream_write_table(df, table: str, checkpoint: str,
     Downstream consumers poll ``read_table_changes`` for exactly the
     appended rows.  Returns the started StreamingQuery."""
     def sink(batch_df, batch_id: int) -> None:
+        # the checkpoint location is the stable run identity: replay
+        # skipping only ever applies within one checkpoint's lifetime
         _stream_sink_once(batch_df, batch_id, table, query,
                           codec=codec, stripe_rows=stripe_rows,
-                          bloom_columns=bloom_columns)
+                          bloom_columns=bloom_columns,
+                          run=os.path.abspath(checkpoint))
 
     writer = (df.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint))

@@ -270,6 +270,35 @@ def test_dml_on_added_column_skips_pre_add_files(spark, tmp_path):
         .where("tag = 'x'").count() == 0
 
 
+def test_update_backfills_column_added_after_write(spark, tmp_path):
+    """UPDATE SET on a column ADDed after data files were written —
+    the backfill case (r6 fix, ADVICE r5 #1): pre-add files null-fill
+    the SET column under its declared type before applying the
+    assignment instead of crashing in the executor."""
+    t = _mk(spark, tmp_path)                 # 50 rows, no 'lang'
+    orctable.add_column(t, "lang", "string")
+    # unpredicated backfill touches every pre-add file
+    orctable.update_table(spark, t, set={"lang": "und"})
+    out = orctable.read_table(spark, t)
+    assert out.count() == 50
+    assert out.where("lang = 'und'").count() == 50
+    # predicated backfill (predicate on an ORIGINAL column) rewrites
+    # only matching rows; non-matching rows keep the null fill
+    orctable.add_column(t, "score", "int")
+    orctable.update_table(spark, t, set={"score": 7},
+                          predicate=("n_tok", ">=", 250))
+    out = orctable.read_table(spark, t)
+    assert out.where("score = 7").count() == 25
+    assert out.where("score IS NULL").count() == 25
+    # callable assignment over a batch that lacks the column works too
+    orctable.update_table(
+        spark, t, set={"score": lambda b: __import__("pyarrow")
+                       .compute.add(b.column("n_tok"), 1)})
+    got = orctable.read_table(spark, t) \
+        .selectExpr("sum(cast(score as bigint)) s").collect()[0]["s"]
+    assert got == sum(i * 10 + 1 for i in range(50))
+
+
 def test_field_ids_never_reused_after_drop(spark, tmp_path):
     t = _mk(spark, tmp_path)                 # ids 1..3
     orctable.drop_column(t, "tag")           # id 3 retired

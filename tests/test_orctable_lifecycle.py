@@ -376,3 +376,23 @@ def test_rewrite_zorder_prunes_both_dimensions(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="orderable kinds"):
         orctable.rewrite_zorder(spark, str(tmp_path / "zs"), ["s"])
+
+
+def test_rewrite_zorder_preserves_user_column_named__z(spark, tmp_path):
+    """r6 fix (ADVICE r5 #3): the z-order working column must not
+    collide with a real column named __z — previously withColumn
+    replaced it and drop removed it, so rewritten files silently lost
+    the column and reads null-filled it."""
+    from orc_spark.sources import orctable
+    t = str(tmp_path / "zc")
+    orctable.create_table(t, "struct<x:int,__z:bigint>")
+    df = spark.range(0, 500, 1, 1).selectExpr(
+        "CAST(id AS INT) AS x", "id * 3 AS __z")
+    orctable.write_table(df, t)
+    orctable.rewrite_zorder(spark, t, ["x"], target_bytes=4 << 10)
+    got = orctable.read_table(spark, t).selectExpr(
+        "count(*) c", "sum(__z) s",
+        "count(CASE WHEN __z IS NULL THEN 1 END) nn").collect()[0]
+    assert got["c"] == 500
+    assert got["nn"] == 0
+    assert got["s"] == 3 * 500 * 499 // 2

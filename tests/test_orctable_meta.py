@@ -172,6 +172,39 @@ def test_stream_write_table_exactly_once(spark, tmp_path):
     assert orctable.table_count(spark, t) == 400
 
 
+def test_stream_replay_guard_is_run_scoped(spark, tmp_path):
+    """r6 fix (ADVICE r5 #2): the replay guard must not mistake a
+    fresh-checkpoint restart (batch ids restart at 0) for a replay —
+    a DIFFERENT run identity appends; the SAME run identity skips ids
+    at or below its high-water mark; and with no run identity
+    recorded, an id strictly below the mark raises instead of
+    silently dropping the batch."""
+    import pytest as _pt
+    t = str(tmp_path / "runs")
+    orctable.create_table(t, "struct<v:int,tag:string>")
+    batch = _df(spark, 0, 10)
+    # run A commits batches 0 and 1
+    assert orctable._stream_sink_once(batch, 0, t, "q", run="ckptA")
+    assert orctable._stream_sink_once(batch, 1, t, "q", run="ckptA")
+    assert orctable.table_count(spark, t) == 20
+    # replay within run A: skip
+    assert orctable._stream_sink_once(batch, 1, t, "q",
+                                      run="ckptA") is False
+    assert orctable._stream_sink_once(batch, 0, t, "q",
+                                      run="ckptA") is False
+    # fresh checkpoint = run B, ids restart at 0: MUST append
+    assert orctable._stream_sink_once(batch, 0, t, "q", run="ckptB")
+    assert orctable.table_count(spark, t) == 30
+    # legacy caller (no run) against a below-high-water id: loud error
+    t2 = str(tmp_path / "legacy")
+    orctable.create_table(t2, "struct<v:int,tag:string>")
+    assert orctable._stream_sink_once(batch, 0, t2, "q")
+    assert orctable._stream_sink_once(batch, 1, t2, "q")
+    assert orctable._stream_sink_once(batch, 1, t2, "q") is False
+    with _pt.raises(ValueError, match="high-water"):
+        orctable._stream_sink_once(batch, 0, t2, "q")
+
+
 # ------------------------------------------------------------------
 # sort-order rewrite
 # ------------------------------------------------------------------
@@ -309,6 +342,34 @@ def test_datasource_table_mode_reads_snapshot(spark, tmp_path):
         "WHERE v >= 200").collect()[0]
     assert got["n"] == 100 and got["s"] == sum(2 * v for v in
                                                range(200, 300))
+
+
+def test_datasource_table_mode_pins_snapshot_at_analysis(spark,
+                                                         tmp_path):
+    """r6 fix (ADVICE r5 #4): with no snapshot option, the version
+    resolved when Spark negotiates the schema (analysis) is pinned
+    into the reader options, so a commit landing between analysis and
+    planning cannot make the reader decode under a different schema /
+    file set than the one negotiated."""
+    from orc_spark.sources import datasource
+    datasource.register(spark)
+    t = str(tmp_path / "pin")
+    orctable.create_table(t, "struct<v:int,tag:string>")
+    orctable.write_table(_df(spark, 0, 100), t)          # v1
+    df = spark.read.format("orc_spark").option("table", t).load()
+    _ = df.schema                       # analysis resolves + pins v1
+    # concurrent commit before any action: schema change + more rows
+    orctable.add_column(t, "extra", "bigint")
+    orctable.write_table(
+        spark.range(100, 150, 1, 1).selectExpr(
+            "CAST(id AS INT) AS v", "CAST(id AS STRING) AS tag",
+            "id * 2 AS extra"), t)                        # v3
+    # the pinned frame still answers from the analysis-time snapshot
+    assert df.count() == 100
+    assert set(df.columns) == {"v", "tag"}
+    # a fresh read sees the new snapshot
+    cur = spark.read.format("orc_spark").option("table", t).load()
+    assert cur.count() == 150 and "extra" in cur.columns
 
 
 def test_datasource_table_mode_validation(spark, tmp_path):
