@@ -114,22 +114,39 @@ for _k in range(8):
                                            np.pi / 16)
 
 
+# LUT memo keyed by table content: a 2^16-entry LUT costs ~10 ms to
+# build, which DOMINATES decode of small images (the mm fixtures are
+# 8x8-tile JPEGs, and real corpora overwhelmingly reuse the Annex K
+# standard tables) — measured 2x on the mm_decode oracle pass.
+# Bounded: real streams carry at most a handful of distinct tables.
+_LUT_CACHE: dict = {}
+_LUT_CACHE_MAX = 64
+
+
 class _HuffTable:
     """Decode table: the (length, code) dict for the bit-by-bit tail
     path plus a flat 2^16 peek LUT — entry = (code_length << 8) |
     symbol, 0 = no code with that prefix — for the fast path (r6).
     Same codes, same symbols, just O(1) per symbol instead of walking
-    code lengths one bit at a time."""
+    code lengths one bit at a time.  The LUT is memoized on the table
+    content, so repeated DHT segments (every image of a corpus using
+    the standard tables) build it once per process."""
 
     __slots__ = ("codes", "lut")
 
     def __init__(self, codes: dict):
         self.codes = codes
-        lut = [0] * (1 << 16)
-        for (ln, code), sym in codes.items():
-            span = 1 << (16 - ln)
-            base = code << (16 - ln)
-            lut[base:base + span] = [(ln << 8) | sym] * span
+        key = tuple(sorted(codes.items()))
+        lut = _LUT_CACHE.get(key)
+        if lut is None:
+            lut = [0] * (1 << 16)
+            for (ln, code), sym in codes.items():
+                span = 1 << (16 - ln)
+                base = code << (16 - ln)
+                lut[base:base + span] = [(ln << 8) | sym] * span
+            if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+                _LUT_CACHE.clear()
+            _LUT_CACHE[key] = lut
         self.lut = lut
 
     def get(self, key):
