@@ -1824,6 +1824,26 @@ def test_avi_media_frame_stats(spark):
         assert abs(r["frame_mean"] - exp) < 1e-6
 
 
+def test_jpeg_huffman_lut_memoized_across_images():
+    """r6: the 2^16 huffman peek LUT is memoized by table content —
+    two images sharing the standard tables must reuse the SAME lut
+    object (building it per image dominated small-tile decode), and
+    decoded bytes are identical either way."""
+    from orc_spark.functions import jpeg_pure as J
+    img = np.zeros((8, 8), np.uint8)
+    img[:] = 100
+    blob = J.encode_jpeg(img, quality=50)
+    J._LUT_CACHE.clear()
+    a = J.decode_jpeg(blob)
+    n_after_first = len(J._LUT_CACHE)
+    assert n_after_first >= 1
+    luts_first = {id(v) for v in J._LUT_CACHE.values()}
+    b = J.decode_jpeg(blob)
+    assert len(J._LUT_CACHE) == n_after_first  # no rebuild
+    assert {id(v) for v in J._LUT_CACHE.values()} == luts_first
+    assert (a == b).all()
+
+
 def test_jpeg_tile_constant_decode_is_bit_exact():
     """The mm_decode oracle premise: 8x8-constant-tile grayscale
     JPEGs at quality 50 (unscaled Annex K tables, DC-only blocks,
